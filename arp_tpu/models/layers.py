@@ -1,0 +1,241 @@
+"""Shared transformer layers.
+
+One implementation serving every policy model (ARPDT / BC / GCBC) and the
+M3AE encoder-decoder.  The reference duplicates this stack three times
+(arp_dt/layers.py, arp_dt/GCBC.py:19-174, arp_dt/models/m3ae/model.py:202-312);
+here it exists once, built on the fused attention op (arp_tpu/ops/attention.py)
+with lazy mask specs instead of host-materialized (n, n) masks.
+
+TPU notes:
+  * attention runs through `dot_product_attention` — Pallas flash kernel on
+    TPU for long sequences, fused XLA einsum otherwise;
+  * all matmuls keep the model dim as the trailing (lane) axis; param layouts
+    are compatible with the tp sharding rules in arp_tpu/parallel/mesh.py
+    (qkv/fc1 shard columns, attn_out/fc2 shard rows);
+  * an optional ``compute_dtype`` runs the block in bfloat16 with fp32
+    layernorms/softmax, the standard TPU mixed-precision recipe.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.attention import dot_product_attention
+from ..ops.masks import MaskSpec
+
+
+def get_attention_slopes(n: int):
+    """ALiBi-style head slopes (reference: arp_dt/layers.py:102-115)."""
+
+    def power_of_2(n):
+        start = 2 ** (-(2 ** -(math.log2(n) - 3)))
+        return [start * start**i for i in range(n)]
+
+    if math.log2(n).is_integer():
+        return power_of_2(n)
+    closest = 2 ** math.floor(math.log2(n))
+    return power_of_2(closest) + get_attention_slopes(2 * closest)[0::2][: n - closest]
+
+
+class FeedForward(nn.Module):
+    """Pre-activation MLP: fc1 -> act -> drop -> fc2 -> drop."""
+
+    dim: int = 256
+    out_dim: int = 256
+    dropout: float = 0.0
+    use_bias: bool = False
+    activation: str = "gelu"
+    kernel_init: Callable = nn.initializers.xavier_uniform()
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        x = nn.Dense(self.dim, use_bias=self.use_bias, kernel_init=self.kernel_init, name="fc1")(x)
+        if self.activation == "gelu":
+            x = nn.gelu(x)
+        elif self.activation == "quick_gelu":
+            x = x * nn.sigmoid(1.702 * x)
+        else:
+            raise ValueError(self.activation)
+        x = nn.Dropout(self.dropout)(x, deterministic)
+        x = nn.Dense(self.out_dim, use_bias=self.use_bias, kernel_init=self.kernel_init, name="fc2")(x)
+        x = nn.Dropout(self.dropout)(x, deterministic)
+        return x
+
+
+class Attention(nn.Module):
+    """Multi-head self-attention with a lazy mask spec.
+
+    Matches the reference numerics (arp_dt/layers.py:45-99) while never
+    materializing batch-sized masks; ALiBi bias (key-index form, as in the
+    reference) goes through the XLA path as an additive bias.
+    """
+
+    dim: int
+    num_heads: int = 8
+    use_bias: bool = False
+    att_drop: float = 0.0
+    proj_drop: float = 0.0
+    alibi_bias: bool = False
+    kernel_init: Callable = nn.linear.default_kernel_init
+
+    @nn.compact
+    def __call__(self, x, deterministic=True, mask_spec=MaskSpec("causal"), kv_padding=None):
+        b, n, _ = x.shape
+        head_dim = self.dim // self.num_heads
+        qkv = nn.Dense(self.dim * 3, use_bias=self.use_bias, kernel_init=self.kernel_init, name="qkv")(x)
+        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+
+        bias = None
+        impl = None
+        if self.alibi_bias:
+            # Reference form: slope_h * k_index, independent of q, added to the
+            # already-scaled scores (layers.py:74-78).
+            slopes = jnp.asarray(np.array(get_attention_slopes(self.num_heads)), jnp.float32)
+            bias = (slopes[:, None, None] * jnp.arange(n, dtype=jnp.float32)[None, None, :])[None]
+            bias = jnp.broadcast_to(bias, (1, self.num_heads, n, n))
+            impl = "xla"
+
+        out = dot_product_attention(q, k, v, spec=mask_spec, kv_padding=kv_padding, bias=bias, impl=impl)
+        out = out.reshape(b, n, self.dim)
+        if self.att_drop > 0:
+            # att-prob dropout is incompatible with the fused kernel; apply an
+            # equivalent-rate dropout on the attention output instead.
+            out = nn.Dropout(self.att_drop)(out, deterministic)
+        out = nn.Dense(self.dim, use_bias=self.use_bias, kernel_init=self.kernel_init, name="attn_out")(out)
+        out = nn.Dropout(self.proj_drop)(out, deterministic)
+        return out
+
+
+class DropPath(nn.Module):
+    """Stochastic depth (reference: m3ae/model.py:185-199)."""
+
+    dropout_prob: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        import jax
+
+        if deterministic or self.dropout_prob == 0.0:
+            return x
+        keep_prob = 1 - self.dropout_prob
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        rng = self.make_rng("drop_path")
+        random_tensor = jnp.floor(keep_prob + jax.random.uniform(rng, shape, dtype=jnp.float32))
+        return (x / keep_prob) * random_tensor
+
+
+class Block(nn.Module):
+    """Pre-LN transformer block."""
+
+    dim: int = 256
+    num_heads: int = 8
+    mlp_ratio: int = 4
+    att_drop: float = 0.0
+    drop: float = 0.0
+    drop_path: float = 0.0
+    alibi_bias: bool = False
+    use_attn_bias: bool = True
+    activation: str = "gelu"
+
+    @nn.compact
+    def __call__(self, x, deterministic=True, mask_spec=MaskSpec("causal"), kv_padding=None):
+        y = nn.LayerNorm(name="norm1")(x)
+        y = Attention(
+            self.dim,
+            self.num_heads,
+            use_bias=self.use_attn_bias,
+            att_drop=self.att_drop,
+            proj_drop=self.drop,
+            alibi_bias=self.alibi_bias,
+            name="attn",
+        )(y, deterministic, mask_spec, kv_padding)
+        y = DropPath(self.drop_path)(y, deterministic)
+        x = x + y
+
+        y = nn.LayerNorm(name="norm2")(x)
+        y = FeedForward(
+            self.dim * self.mlp_ratio, self.dim, self.drop, activation=self.activation, name="mlp"
+        )(y, deterministic)
+        y = DropPath(self.drop_path)(y, deterministic)
+        return x + y
+
+
+class Transformer(nn.Module):
+    """Stack of pre-LN blocks with a final LayerNorm.
+
+    ``sow_intermediates`` records each block's output under
+    ``intermediates/intermediate_layer_{i}`` — used by the InstructRL-style
+    multi-layer feature concat (reference: m3ae/model.py:309).
+    """
+
+    emb_dim: int = 1024
+    depth: int = 24
+    att_drop: float = 0.0
+    drop: float = 0.0
+    drop_path: float = 0.0
+    num_heads: int = 16
+    mlp_ratio: int = 4
+    alibi_bias: bool = False
+    activation: str = "gelu"
+    sow_intermediates: bool = False
+
+    @nn.compact
+    def __call__(self, x, deterministic=True, mask_spec=MaskSpec("causal"), kv_padding=None):
+        for i in range(self.depth):
+            x = Block(
+                self.emb_dim,
+                self.num_heads,
+                self.mlp_ratio,
+                self.att_drop,
+                self.drop,
+                self.drop_path,
+                self.alibi_bias,
+                activation=self.activation,
+                name=f"blocks_{i}",
+            )(x, deterministic, mask_spec, kv_padding)
+            if self.sow_intermediates:
+                self.sow("intermediates", f"intermediate_layer_{i}", x)
+        return nn.LayerNorm(name="norm")(x)
+
+
+class AdapterMLP(nn.Module):
+    """Parameter-efficient adapter MLP (reference: models/adapter/layers.py)."""
+
+    hidden_dim: int = 1024
+    output_dim: int = 1024
+    num_layers: int = 2
+    kernel_init: Callable = nn.initializers.xavier_uniform
+
+    @nn.compact
+    def __call__(self, x):
+        for _ in range(self.num_layers - 1):
+            x = nn.Dense(self.hidden_dim, kernel_init=self.kernel_init())(x)
+            x = nn.relu(x)
+        x = nn.Dense(self.output_dim, kernel_init=self.kernel_init())(x)
+        return nn.relu(x)
+
+
+class MLP(nn.Module):
+    """Residual MLP head used by M3AE decoders (reference: m3ae/model.py:160-182)."""
+
+    hidden_dim: int
+    output_dim: int
+    depth: int
+    input_norm: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        if self.input_norm:
+            x = nn.LayerNorm()(x)
+        for i in range(self.depth):
+            y = nn.Dense(self.hidden_dim, kernel_init=nn.initializers.xavier_uniform())(x)
+            y = nn.gelu(y)
+            y = nn.LayerNorm()(y)
+            x = x + y if i > 0 else y
+        return nn.Dense(self.output_dim, kernel_init=nn.initializers.xavier_uniform())(x)

@@ -1,0 +1,172 @@
+"""Fused multi-head attention for TPU.
+
+Two implementations behind one API:
+
+  * ``pallas`` — a FlashAttention-style kernel (online softmax, tiled over the
+    query axis, K/V streamed through VMEM) with the mask evaluated *inside*
+    the kernel from index arithmetic (see ops/masks.py).  No (n, n) mask or
+    (b, h, n, n) score tensor ever hits HBM.
+  * ``xla``    — a reference einsum path with a lazily materialized mask; XLA
+    fuses it well for the small sequences (<=256 tokens) this framework's
+    policies use, and it runs everywhere (CPU tests).
+
+The reference computes dense attention with host-numpy masks
+(arp_dt/layers.py:45-99, models/m3ae/model.py:220-259, models/openai via
+flax SelfAttention); this module is the single replacement for all of them.
+
+``impl="auto"`` picks pallas on TPU for sequences where tiling pays off and
+xla otherwise.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+
+try:  # pallas TPU backend is unavailable when running CPU-only tests
+    from jax.experimental.pallas import tpu as pltpu
+except ImportError:  # pragma: no cover
+    pltpu = None
+
+from .masks import MaskSpec, combine_padding, mask_allowed, materialize_mask
+
+_BIG_NEG = -1e30
+
+
+def _xla_attention(q, k, v, spec: MaskSpec, kv_padding, scale, bias=None):
+    # q, k, v: (B, H, N, D)
+    n = q.shape[2]
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+    if bias is not None:
+        s = s + bias
+    mask = materialize_mask(spec, n)[None, None]
+    if kv_padding is not None:
+        mask = combine_padding(mask, kv_padding)
+    s = jnp.where(mask, s, _BIG_NEG)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
+
+
+def _flash_kernel(
+    q_ref, k_ref, v_ref, kvmask_ref, o_ref, *, spec, scale, block_q, block_k, seq_len, num_heads
+):
+    j_q = pl.program_id(1)
+    q = q_ref[0].astype(jnp.float32)  # (block_q, D)
+    head_dim = q.shape[-1]
+    q_start = j_q * block_q
+    q_idx = q_start + lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
+
+    kv_blocks = pl.cdiv(seq_len, block_k)
+    if spec.kind == "causal":
+        # Keys strictly after this q block contribute nothing.
+        kv_blocks = jnp.minimum(kv_blocks, pl.cdiv((j_q + 1) * block_q, block_k))
+    elif spec.kind == "dt":
+        # DT adds intra-timestep lookahead of < num_token_per_step keys.
+        kv_blocks = jnp.minimum(
+            pl.cdiv(seq_len, block_k),
+            pl.cdiv((j_q + 1) * block_q + spec.num_token_per_step, block_k),
+        )
+
+    def body(j, carry):
+        m, l, acc = carry
+        k = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale  # (bq, bk)
+        k_idx = j * block_k + lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
+        allowed = mask_allowed(spec, q_idx, k_idx) & (k_idx < seq_len)
+        if kvmask_ref is not None:
+            pad = kvmask_ref[0, pl.ds(j * block_k, block_k)].reshape(1, block_k)
+            allowed = allowed & (pad == 0)
+        s = jnp.where(allowed, s, _BIG_NEG)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
+        return m_new, l_new, acc_new
+
+    init = (
+        jnp.full((block_q, 1), _BIG_NEG, jnp.float32),
+        jnp.zeros((block_q, 1), jnp.float32),
+        jnp.zeros((block_q, head_dim), jnp.float32),
+    )
+    _, l, acc = lax.fori_loop(0, kv_blocks, body, init)
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def _pallas_attention(q, k, v, spec: MaskSpec, kv_padding, scale, block_q=128, block_k=128):
+    b, h, n, d = q.shape
+    block_q = min(block_q, max(8, n))
+    block_k = min(block_k, max(128, 128))
+    n_pad = -(-n // max(block_q, block_k)) * max(block_q, block_k)
+
+    def pad(x):
+        return jnp.pad(x, ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
+
+    qf = pad(q).reshape(b * h, n_pad, d)
+    kf = pad(k).reshape(b * h, n_pad, d)
+    vf = pad(v).reshape(b * h, n_pad, d)
+
+    grid = (b * h, n_pad // block_q)
+    in_specs = [
+        pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
+        pl.BlockSpec((1, n_pad, d), lambda i, j: (i, 0, 0)),
+        pl.BlockSpec((1, n_pad, d), lambda i, j: (i, 0, 0)),
+    ]
+    args = [qf, kf, vf]
+    if kv_padding is not None:
+        kvm = jnp.pad(kv_padding.astype(jnp.int32), ((0, 0), (0, n_pad - n)), constant_values=1)
+        in_specs.append(pl.BlockSpec((1, n_pad), lambda i, j, _h=h: (i // _h, 0)))
+        args.append(kvm)
+        kernel = functools.partial(
+            _flash_kernel, spec=spec, scale=scale, block_q=block_q, block_k=block_k,
+            seq_len=n, num_heads=h,
+        )
+    else:
+        def kernel(q_ref, k_ref, v_ref, o_ref):
+            _flash_kernel(
+                q_ref, k_ref, v_ref, None, o_ref, spec=spec, scale=scale,
+                block_q=block_q, block_k=block_k, seq_len=n, num_heads=h,
+            )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, n_pad, d), q.dtype),
+    )(*args)
+    return out.reshape(b, h, n_pad, d)[:, :, :n, :]
+
+
+def dot_product_attention(
+    q,
+    k,
+    v,
+    spec: MaskSpec = MaskSpec("none"),
+    kv_padding: Optional[jnp.ndarray] = None,
+    bias=None,
+    impl: Optional[str] = None,
+):
+    """Multi-head attention.  q/k/v: (batch, seq, heads, head_dim).
+
+    ``kv_padding``: optional (batch, seq) array, nonzero = PAD (masked out).
+    ``bias``: optional additive (1|B, H, N, N) bias (e.g. ALiBi) — xla impl only.
+    """
+    assert q.ndim == 4, f"expected (b, n, h, d), got {q.shape}"
+    scale = q.shape[-1] ** -0.5
+    qt, kt, vt = (jnp.swapaxes(x, 1, 2) for x in (q, k, v))  # (B,H,N,D)
+    if impl is None or impl == "auto":
+        on_tpu = jax.default_backend() == "tpu"
+        impl = "pallas" if (on_tpu and q.shape[1] >= 256 and bias is None) else "xla"
+    if impl == "pallas":
+        assert bias is None, "pallas path does not take dense bias; use xla"
+        out = _pallas_attention(qt, kt, vt, spec, kv_padding, scale)
+    else:
+        out = _xla_attention(qt, kt, vt, spec, kv_padding, scale, bias=bias)
+    return jnp.swapaxes(out, 1, 2)

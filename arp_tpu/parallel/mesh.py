@@ -1,0 +1,133 @@
+"""Device-mesh construction and sharding rules.
+
+The reference scales with ``jax.pmap(axis_name="pmap")`` + ``lax.pmean``
+(arp_dt/main_procgen.py:94-168) — pure data parallelism with replicated
+params.  Here everything is built on a named `jax.sharding.Mesh` with three
+axes and GSPMD sharding propagation, so XLA inserts the collectives (psum over
+ICI for gradients, all-gathers for fsdp params, etc.):
+
+  * ``dp``   — data parallelism (batch axis; grads all-reduced over ICI)
+  * ``fsdp`` — fully-sharded data parallelism (params/optimizer sharded on
+               their largest dim, gathered just-in-time per layer)
+  * ``tp``   — tensor parallelism (attention heads & MLP hidden sharded)
+
+A 1-D ``dp`` mesh reproduces the reference's behavior; the other axes are
+first-class so larger models / pods are a config change, not a rewrite.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXES = ("dp", "fsdp")  # batch dim is sharded over both
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    dp: int = -1  # -1: use all remaining devices
+    fsdp: int = 1
+    tp: int = 1
+
+    def resolve(self, n_devices: Optional[int] = None) -> tuple[int, int, int]:
+        n = n_devices if n_devices is not None else len(jax.devices())
+        dp, fsdp, tp = self.dp, self.fsdp, self.tp
+        if dp == -1:
+            assert n % (fsdp * tp) == 0, f"{n} devices not divisible by fsdp*tp={fsdp * tp}"
+            dp = n // (fsdp * tp)
+        assert dp * fsdp * tp == n, f"mesh {dp}x{fsdp}x{tp} != {n} devices"
+        return dp, fsdp, tp
+
+
+def create_mesh(config: MeshConfig = MeshConfig(), devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    shape = config.resolve(len(devices))
+    device_array = mesh_utils.create_device_mesh(shape, devices=devices)
+    return Mesh(device_array, axis_names=("dp", "fsdp", "tp"))
+
+
+def batch_spec(ndim: int = 1) -> P:
+    """PartitionSpec for a batch-leading array: batch over (dp, fsdp)."""
+    return P(DATA_AXES, *([None] * (ndim - 1)))
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
+    return NamedSharding(mesh, batch_spec(ndim))
+
+
+# --- Parameter partitioning rules -------------------------------------------
+#
+# Pattern-matched on the flattened param path.  TP rules target the shared
+# transformer layer names (arp_tpu/models/layers.py): qkv and fc1 shard their
+# output dim, the projections fc2/proj shard their input dim, so each block
+# needs exactly one reduce-scatter/all-reduce pair under tp.
+_TP_COL_RULES = (r".*qkv/kernel$", r".*fc1/kernel$", r".*/query/kernel$", r".*/key/kernel$", r".*/value/kernel$")
+_TP_ROW_RULES = (r".*attn_out/kernel$", r".*fc2/kernel$", r".*/out/kernel$")
+
+
+def _spec_for(path: str, shape: tuple[int, ...], dp: int, fsdp: int, tp: int) -> P:
+    if tp > 1:
+        for pat in _TP_COL_RULES:
+            if re.match(pat, path) and len(shape) >= 2 and shape[-1] % tp == 0:
+                spec = [None] * len(shape)
+                spec[-1] = "tp"
+                if fsdp > 1 and shape[0] % fsdp == 0 and len(shape) >= 2:
+                    spec[0] = "fsdp"
+                return P(*spec)
+        for pat in _TP_ROW_RULES:
+            if re.match(pat, path) and len(shape) >= 2 and shape[0] % tp == 0:
+                spec = [None] * len(shape)
+                spec[0] = "tp"
+                if fsdp > 1 and shape[-1] % fsdp == 0:
+                    spec[-1] = "fsdp"
+                return P(*spec)
+    if fsdp > 1 and len(shape) >= 1:
+        # Shard the largest divisible dim over fsdp (ZeRO-3 style).
+        order = sorted(range(len(shape)), key=lambda i: -shape[i])
+        for i in order:
+            if shape[i] >= fsdp and shape[i] % fsdp == 0:
+                spec = [None] * len(shape)
+                spec[i] = "fsdp"
+                return P(*spec)
+    return P()  # replicated
+
+
+def partition_params(params, mesh: Mesh):
+    """Build a pytree of NamedShardings for a param pytree via name rules."""
+    dp, fsdp, tp = (mesh.shape["dp"], mesh.shape["fsdp"], mesh.shape["tp"])
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    treedef = jax.tree_util.tree_structure(params)
+    specs = []
+    for path, leaf in flat:
+        name = "/".join(
+            str(getattr(p, "key", getattr(p, "idx", p))) for p in path
+        )
+        specs.append(NamedSharding(mesh, _spec_for(name, np.shape(leaf), dp, fsdp, tp)))
+    return jax.tree_util.tree_unflatten(treedef, specs)
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Put a host-local batch onto the mesh, sharded on the leading dim.
+
+    Under multi-process execution each host holds its slice of the global
+    batch; ``make_array_from_process_local_data`` assembles the logically
+    global array (reference equivalent: the reshape-to-devices generator at
+    main_procgen.py:642-701 + ``device_put_sharded``).
+    """
+
+    def _put(x):
+        x = np.asarray(x)
+        sharding = NamedSharding(mesh, batch_spec(x.ndim))
+        return jax.make_array_from_process_local_data(sharding, x)
+
+    return jax.tree_util.tree_map(_put, batch)
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
