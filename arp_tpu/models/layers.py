@@ -141,6 +141,7 @@ class Block(nn.Module):
     drop_path: float = 0.0
     alibi_bias: bool = False
     use_attn_bias: bool = True
+    mlp_bias: bool = False
     activation: str = "gelu"
 
     @nn.compact
@@ -160,7 +161,8 @@ class Block(nn.Module):
 
         y = nn.LayerNorm(name="norm2")(x)
         y = FeedForward(
-            self.dim * self.mlp_ratio, self.dim, self.drop, activation=self.activation, name="mlp"
+            self.dim * self.mlp_ratio, self.dim, self.drop, use_bias=self.mlp_bias,
+            activation=self.activation, name="mlp",
         )(y, deterministic)
         y = DropPath(self.drop_path)(y, deterministic)
         return x + y
@@ -182,6 +184,7 @@ class Transformer(nn.Module):
     num_heads: int = 16
     mlp_ratio: int = 4
     alibi_bias: bool = False
+    mlp_bias: bool = False
     activation: str = "gelu"
     sow_intermediates: bool = False
 
@@ -196,6 +199,7 @@ class Transformer(nn.Module):
                 self.drop,
                 self.drop_path,
                 self.alibi_bias,
+                mlp_bias=self.mlp_bias,
                 activation=self.activation,
                 name=f"blocks_{i}",
             )(x, deterministic, mask_spec, kv_padding)
