@@ -1,0 +1,289 @@
+"""HDF5-backed Procgen demonstration dataset (torch-free).
+
+Numpy re-design of the reference ``ProcgenDataset`` (arp_dt/data_procgen.py):
+same file layout, trajectory indexing, RTG preprocessing (min-normalization,
+per-trajectory discounted cumsum, frame stacking), hindsight goal sampling,
+window slicing and instruction tokenization — but with no torch dependency,
+vectorized preprocessing, and a thread-prefetched batching loader feeding the
+mesh sharder (arp_tpu/parallel).
+
+Per-host sharding: pass ``start_offset_ratio = process_index / process_count``
+exactly like the reference (main_procgen.py:355).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import h5py
+import numpy as np
+from ml_collections import ConfigDict
+
+from ..config import update_config
+from ..utils import compute_scale
+from ..ops.rewards import discount_cumsum, stack_frames
+from .instructions import get_m3ae_instruct
+
+
+def build_instruction_tokenizer(use_bert: bool = True, max_length: int = 77, vocab_path: Optional[str] = None):
+    """Instruction tokenizer: BERT wordpiece (local vocab / hash fallback) or CLIP BPE.
+
+    Returns fn(text) -> (ids int32[max_length], padding_mask float32[max_length])
+    with padding_mask 1.0 = PAD (reference convention, data_procgen.py:228-247).
+    """
+    if use_bert:
+        tokenizer = None
+        vocab_path = vocab_path or os.environ.get("ARP_TPU_BERT_VOCAB")
+        if vocab_path and os.path.exists(vocab_path):
+            from transformers import BertTokenizer
+
+            tokenizer = BertTokenizer(vocab_file=vocab_path)
+
+        def tokenizer_fn(instruct: str):
+            if len(instruct) == 0:
+                return (
+                    np.zeros(max_length, np.int32),
+                    np.ones(max_length, np.float32),
+                )
+            if tokenizer is not None:
+                enc = tokenizer(
+                    instruct,
+                    padding="max_length",
+                    truncation=True,
+                    max_length=max_length,
+                    return_tensors="np",
+                    add_special_tokens=False,
+                )
+                ids = enc["input_ids"][0].astype(np.int32)
+                pad = 1.0 - enc["attention_mask"][0].astype(np.float32)
+                return ids, pad
+            # deterministic hash-vocab fallback (egress-free environments):
+            # stable word -> id in [1000, 29000), same text -> same ids.
+            words = instruct.lower().replace(".", " .").replace(",", " ,").split()
+            ids = np.zeros(max_length, np.int32)
+            for i, w in enumerate(words[:max_length]):
+                h = 2166136261
+                for ch in w.encode():
+                    h = ((h ^ ch) * 16777619) & 0xFFFFFFFF
+                ids[i] = 1000 + (h % 28000)
+            pad = np.ones(max_length, np.float32)
+            pad[: min(len(words), max_length)] = 0.0
+            return ids, pad
+
+        return tokenizer_fn
+
+    from ..models.clip.tokenizer import build_tokenizer as build_clip_tokenizer
+
+    clip_tok = build_clip_tokenizer(truncate=True)
+
+    def tokenizer_fn(instruct: str):
+        ids = np.asarray(clip_tok(instruct)[0]).astype(np.int32)
+        return ids, np.ones(max_length, np.float32)
+
+    return tokenizer_fn
+
+
+class ProcgenDataset:
+    @staticmethod
+    def get_default_config(updates=None):
+        config = ConfigDict()
+        config.path = "../demonstrations"
+        config.start_index = 0
+        config.max_length = int(1e9)
+        config.random_start = False
+        config.image_size = 512
+        config.num_frames = 8
+        config.state_key = ""
+        config.state_dim = 0
+        config.image_key = "ob"
+        config.action_dim = 15
+        config.num_demonstrations = 200
+        config.num_subset = -1
+        config.window_size = 8
+        config.use_bert_tokenizer = True
+        config.tokenizer_max_length = 77
+        config.augmentations = "random_crop,color_jitter"
+        config.enable_filter = True
+        config.scale = 100.0
+        config.use_task_reward = False
+        config.use_normalize = False
+        config.train_env_type = "none"
+        config.use_vl = False
+        config.vl_type = "clip"
+        config.inst_type = "none"
+        return update_config(config, updates)
+
+    def __init__(self, update, dataset_name="reach_target", start_offset_ratio=None, split="train"):
+        self.config = self.get_default_config(update)
+        assert self.config.path != ""
+        self.dataset_name = dataset_name
+        self.split = split
+
+        path = f"{self.config.path}/{dataset_name}/data_{split}.hdf5"
+        self.h5_file = h5py.File(path, "r")
+
+        self.env_name = dataset_name.split("_")[0]
+        if self.config.train_env_type != "none":
+            self.env_name = f"{self.env_name}_{self.config.train_env_type}"
+
+        h5_num_frames = self.h5_file["ob"][0].shape[0]
+        assert h5_num_frames > self.config.window_size, (
+            f"file has {h5_num_frames} stacked frames <= window_size {self.config.window_size}"
+        )
+        self.window_size = self.config.window_size
+
+        if self.config.random_start:
+            self.random_start_offset = np.random.default_rng().choice(len(self))
+        elif start_offset_ratio is not None:
+            self.random_start_offset = int(len(self) * start_offset_ratio) % len(self)
+        else:
+            self.random_start_offset = 0
+
+        self.tokenizer = build_instruction_tokenizer(
+            self.config.use_bert_tokenizer, self.config.tokenizer_max_length
+        )
+        self.h5_file_traj_idx = self.get_traj_idx()
+        self.idx_to_traj = self.index_to_traj()
+        if self.config.use_vl:
+            self.rtgs = self.preprocess_rtgs()
+        # tokenized instruction is constant per dataset — compute once.
+        instruct = get_m3ae_instruct(self.env_name) or ""
+        self._instruct_ids, self._instruct_pad = self.tokenizer(instruct)
+
+    def __len__(self):
+        if self.split == "train" and self.config.num_subset != -1:
+            return self.h5_file_traj_idx[self.config.num_subset]
+        return min(self.h5_file["ob"].shape[0] - self.config.start_index, self.config.max_length)
+
+    def get_traj_idx(self):
+        traj_idx = list(np.nonzero(self.h5_file["done"][:, -1])[0] + 1)
+        traj_idx.insert(0, 0)
+        return traj_idx
+
+    def index_to_traj(self):
+        idx_to_traj = np.zeros(self.h5_file["done"].shape[0], dtype=np.int32)
+        for i in range(len(self.h5_file_traj_idx) - 1):
+            idx_to_traj[self.h5_file_traj_idx[i] : self.h5_file_traj_idx[i + 1]] = i
+        return idx_to_traj
+
+    def _reward_dataset_key(self, image_key: str) -> str:
+        """Labeled-reward key with fallback.
+
+        The reference reads ``{key}_{vl_type}_pos_reward`` (data_procgen.py:141)
+        while its labeler writes ``{key}_{vl_type}_reward`` — we accept either
+        (and the inst_type-suffixed variants).
+        """
+        suffix = "" if self.config.inst_type == "none" else f"_{self.config.inst_type}"
+        for cand in (
+            f"{image_key}_{self.config.vl_type}_pos_reward{suffix}",
+            f"{image_key}_{self.config.vl_type}_reward{suffix}",
+        ):
+            if cand in self.h5_file:
+                return cand
+        raise KeyError(
+            f"no labeled rewards for {image_key!r}/{self.config.vl_type!r} in {self.dataset_name}; "
+            f"run arp_tpu.reward.labeler first"
+        )
+
+    def preprocess_rtgs(self):
+        """Min-normalize rewards, per-traj cumsum, frame-stack; pick rtg/scale.
+
+        Reference: data_procgen.py:132-174 (vectorized here).
+        """
+        image_keys = self.config.image_key.split(", ")
+        reward = {
+            key: self.h5_file[self._reward_dataset_key(key)][:, -1].astype(np.float32)
+            for key in image_keys
+        }
+        self.reward_min = {key: float(np.min(r)) for key, r in reward.items()}
+        self.reward_max = {key: float(np.max(r)) for key, r in reward.items()}
+
+        if self.config.use_normalize:
+            reward = {key: r - self.reward_min[key] for key, r in reward.items()}
+
+        rtgs = {}
+        for key, r in reward.items():
+            rows = np.zeros((len(r), self.config.num_frames), np.float32)
+            for i in range(len(self.h5_file_traj_idx) - 1):
+                sl = slice(self.h5_file_traj_idx[i], self.h5_file_traj_idx[i + 1])
+                rows[sl] = stack_frames(discount_cumsum(r[sl], 1.0), self.config.num_frames)
+            rtgs[key] = rows
+
+        all_rtgs = np.concatenate([v.reshape(-1) for v in rtgs.values()])
+        if "coinrun" in self.env_name:
+            self.return_to_go = float(np.max(all_rtgs) // 100 * 100)
+        else:
+            self.return_to_go = float(np.quantile(all_rtgs, 0.9) // 100 * 100)
+        self.scale = compute_scale(self.return_to_go)
+        self.config.scale = self.scale
+        return rtgs
+
+    def process_index(self, index):
+        index = (index + self.random_start_offset) % len(self)
+        return index + self.config.start_index
+
+    def __getitem__(self, index):
+        index = self.process_index(index)
+        rng = np.random  # module-level rng, seeded by the loader per-worker
+        res = {"image": {}, "rtg": {}, "goal": {}}
+        traj_end = self.h5_file_traj_idx[self.idx_to_traj[index] + 1]
+        for key in self.config.image_key.split(", "):
+            res["image"][key] = self.h5_file[key][index][-self.window_size :]
+            # hindsight goal: uniform over the future of the same trajectory
+            goal_index = int(rng.randint(index, traj_end))
+            goal_index = min(goal_index, self.h5_file["ob"].shape[0] - 1)
+            res["goal"][key] = self.h5_file[key][goal_index][-self.window_size :]
+            if self.config.use_vl:
+                if self.config.use_task_reward:
+                    rtg = (
+                        self.h5_file["rtg"][index][-self.window_size :][..., None]
+                        - self.h5_file["rtg"][index][-self.window_size][..., None]
+                    ) / self.config.scale
+                else:
+                    rtg = self.rtgs[key][index][-self.window_size :][..., None] / self.config.scale
+                res["rtg"][key] = rtg.astype(np.float32)
+        if self.config.state_key != "":
+            res["state"] = np.concatenate(
+                [self.h5_file[k][index] for k in self.config.state_key.split(", ")], axis=-1
+            )[-self.window_size :]
+        res["action"] = self.h5_file["act"][index][-self.window_size :]
+        res["instruct"] = self._instruct_ids
+        res["text_padding_mask"] = self._instruct_pad
+        return res
+
+    @property
+    def num_actions(self):
+        return self.config.action_dim
+
+    @property
+    def obs_shape(self):
+        res = {"image": {}, "rtg": {}}
+        for key in self.config.image_key.split(", "):
+            res["image"][key] = (self.config.image_size, self.config.image_size, 3)
+            res["rtg"][key] = (1,)
+        if self.config.state_key != "":
+            res["state"] = self.config.state_dim
+        return res
+
+
+def dataset_dirname(
+    game_name: str,
+    distribution_mode: str = "hard",
+    start_level: int = 0,
+    num_levels: int = 500,
+    num_demonstrations: int = 200,
+    num_frames: int = 8,
+    enable_filter: bool = True,
+    env_type: str = "none",
+) -> str:
+    """Canonical dataset directory naming (main_procgen.py:335-339)."""
+    name = (
+        f"{game_name}_{distribution_mode}_level{start_level}to{num_levels}"
+        f"_num{num_demonstrations}_frame{num_frames}"
+    )
+    if not enable_filter:
+        name += "_unfiltered"
+    if env_type != "none":
+        name += f"_{env_type}"
+    return name

@@ -1,0 +1,538 @@
+"""Policy models: ARPDT (reward-conditioned DT), BC / InstructRL, GCBC.
+
+One shared implementation (the reference triplicates ~1.7k LoC across
+arp_dt/ARPDT.py, BC.py, GCBC.py; the only real differences are the token
+layout and the goal/rtg conditioning).  Token streams per timestep:
+
+    ARPDT:  [obs_tokens..., (state), rtg, action]     (ARPDT.py:156-172)
+    BC:     [obs_tokens..., (state), action]          (BC.py:135-147)
+    GCBC:   [obs_tokens..., (state), action]  with goal-joint obs encoding
+                                                      (GCBC.py:445-496)
+
+TPU-first details:
+  * the causal+intra-step-obs mask is a lazy MaskSpec evaluated in the fused
+    attention op — the reference builds (n, n) numpy/scipy masks per call
+    (ARPDT.py:175-200);
+  * ensemble action/return heads run as ONE vmapped batched matmul on the MXU
+    instead of a python loop of 5 small Denses (ARPDT.py:210-222);
+  * frozen-encoder forwards (CLIP / M3AE) are jit-inlined and can be
+    bf16-cast; stop_gradient placement matches the reference exactly.
+
+Size presets: the reference's ``get_transformer_by_config`` never fires for
+CLI-configured runs (it is evaluated before flag updates are applied,
+ARPDT.py:60-64), so names like "vit_base" only select the DT block mask and
+dims come from the explicit config (default 128/2/8).  Here presets apply
+post-update when the name is in the preset table, and "vit*" names keep
+explicit dims — strictly compatible with how the reference actually runs.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+from ml_collections import ConfigDict
+from ml_collections.config_dict import config_dict
+
+from ...config import update_config
+from ...ops.masks import MaskSpec
+from ...utils import get_1d_sincos_pos_embed, get_2d_sincos_pos_embed, symexp, symlog
+from .. import m3ae as m3ae_lib
+from ..clip import model as clip_lib
+from ..impala import ImpalaCNN
+from ..layers import AdapterMLP, Transformer
+
+# text vocab of bert-base-uncased; constant to avoid a tokenizer download
+# (reference queries transformers.BertTokenizer at module init, ARPDT.py:138)
+BERT_VOCAB_SIZE = 30522
+
+_SIZE_PRESETS = {
+    "tiny": dict(emb_dim=128, depth=4, num_heads=8),
+    "small": dict(emb_dim=512, depth=4, num_heads=8),
+    "base": dict(emb_dim=768, depth=6, num_heads=12),
+    "medium": dict(emb_dim=1280, depth=10, num_heads=20),
+    "large": dict(emb_dim=1280, depth=14, num_heads=20),
+    "huge": dict(emb_dim=1280, depth=18, num_heads=16),
+    "debug": dict(emb_dim=16, depth=2, num_heads=2, mlp_ratio=2),
+}
+_WIDTH_SUFFIXES = {"l": 2560, "xl": 5120}
+
+
+def apply_size_preset(model_type: str, config: ConfigDict) -> None:
+    if model_type in _SIZE_PRESETS:
+        for k, v in _SIZE_PRESETS[model_type].items():
+            setattr(config, k, v)
+        return
+    for base_name, preset in _SIZE_PRESETS.items():
+        if model_type.startswith(base_name):
+            suffix = model_type[len(base_name):]
+            if suffix in _WIDTH_SUFFIXES:
+                for k, v in preset.items():
+                    setattr(config, k, v)
+                config.emb_dim = _WIDTH_SUFFIXES[suffix]
+                return
+    # unknown names (e.g. "vit_base") keep explicit dims — see module docstring
+
+
+def get_policy_default_config(updates=None) -> ConfigDict:
+    """Shared policy config (reference: ARPDT.get_default_config, ARPDT.py:27-66)."""
+    config = ConfigDict()
+    config.model_type = config_dict.placeholder(str)
+    config.transfer_type = "none"
+    config.alibi_bias = False
+    config.att_drop = 0.0
+    config.drop = 0.0
+    config.mlp_ratio = 4
+    config.emb_dim = 128
+    config.depth = 2
+    config.num_heads = 8
+    config.use_discrete_action = False
+    config.use_text = False
+
+    config.use_adapter = False
+    config.use_from_scratch = False
+    config.use_impala_backbone = False
+    config.clip_checkpoint_path = "none"
+
+    config.use_intermediate = False
+    config.num_ensembles = 5
+
+    config.lambda_return_pred = 1.0
+    config.use_symlog = False
+
+    config.mae = m3ae_lib.MaskedAutoencoder.get_default_config()
+    config.mae.use_type_embedding = False
+    config.m3ae = m3ae_lib.MaskedMultimodalAutoencoder.get_default_config()
+
+    update_config(config, updates)
+    if config.model_type is not None:
+        apply_size_preset(config.model_type, config)
+    return config
+
+
+def cross_entropy(logits, labels, num_classes):
+    acc = jnp.mean(jnp.argmax(logits, axis=-1) == labels)
+    onehot = jax.nn.one_hot(labels, num_classes)
+    loss = jnp.mean(-onehot * jax.nn.log_softmax(logits))
+    return loss, acc
+
+
+def mse_loss(val, target):
+    return jnp.mean(jnp.square(val - target))
+
+
+class _Head(nn.Module):
+    hidden_dim: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden_dim)(x)
+        x = nn.relu(x)
+        return nn.Dense(self.out_dim, use_bias=False)(x)
+
+
+class EnsembleHeads(nn.Module):
+    """N independent MLP heads, averaged — one vmapped MXU matmul.
+
+    Equivalent to the reference's list of Sequential heads (ARPDT.py:94-99)
+    but executed as a single batched program.
+    """
+
+    num_ensembles: int
+    hidden_dim: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        heads = nn.vmap(
+            _Head,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            in_axes=None,
+            out_axes=0,
+            axis_size=self.num_ensembles,
+        )(self.hidden_dim, self.out_dim, name="heads")
+        return heads(x).mean(axis=0)
+
+
+class BasePolicy(nn.Module):
+    """Common skeleton; subclasses set `use_rtg` / `use_goal` class attrs."""
+
+    config_updates: Any = None
+    num_actions: Optional[int] = None
+    patch_dim: Optional[int] = None
+    normalize_quterion: bool = False
+
+    use_rtg: bool = False   # ARPDT
+    use_goal: bool = False  # GCBC
+    resize_clip_input: bool = False  # BC/GCBC resize to 224 in-model (BC.py:259)
+
+    @staticmethod
+    @nn.nowrap
+    def get_default_config(updates=None):
+        return get_policy_default_config(updates)
+
+    @nn.nowrap
+    def rng_keys(self):
+        return ("params", "noise", "dropout")
+
+    @nn.nowrap
+    def no_decay_list(self):
+        return []
+
+    def setup(self):
+        self.config = self.get_default_config(self.config_updates)
+        cfg = self.config
+
+        self.policy = Transformer(
+            emb_dim=cfg.emb_dim,
+            depth=cfg.depth,
+            att_drop=cfg.att_drop,
+            drop=cfg.drop,
+            num_heads=cfg.num_heads,
+            mlp_ratio=cfg.mlp_ratio,
+            alibi_bias=cfg.alibi_bias,
+            name="policy",
+        )
+        self.action_outputs = EnsembleHeads(cfg.num_ensembles, cfg.emb_dim, self.num_actions)
+        if self.use_rtg:
+            self.return_outputs = EnsembleHeads(cfg.num_ensembles, cfg.emb_dim, 1)
+
+        if cfg.use_discrete_action:
+            assert self.num_actions == 15, "15 discrete actions for Procgen benchmark."
+            self.action_input = nn.Embed(num_embeddings=self.num_actions, features=cfg.emb_dim)
+        else:
+            self.action_input = nn.Dense(cfg.emb_dim, use_bias=False)
+        self.state_input = nn.Dense(cfg.emb_dim, use_bias=False)
+        if self.use_rtg:
+            self.rtg_input = nn.Dense(cfg.emb_dim, use_bias=False)
+
+        transfer_type = cfg.transfer_type
+        if transfer_type == "none":
+            self.patch_emb = nn.Dense(cfg.emb_dim)
+        elif transfer_type.startswith("clip"):
+            model_name = transfer_type.split("_", 1)[1]
+            self.pt_model = clip_lib.MODELS[model_name]()
+            if not cfg.use_from_scratch:
+                checkpoint_path = None if cfg.clip_checkpoint_path == "none" else cfg.clip_checkpoint_path
+                self.pt_params = clip_lib.load_model_vars(model_name, checkpoint_path=checkpoint_path)
+            if cfg.use_impala_backbone:
+                self.impala = ImpalaCNN()
+            self.image_text_input = nn.Dense(cfg.emb_dim)
+        elif transfer_type.startswith("mae"):
+            model_name = transfer_type.split("_", 1)[1]
+            self.pt_model = m3ae_lib.MaskedAutoencoder(cfg.mae)
+            if not cfg.use_from_scratch:
+                self.pt_params = m3ae_lib.load_m3ae_model_vars(model_name)
+            self.image_text_input = nn.Dense(cfg.emb_dim)
+        elif transfer_type.startswith("m3ae"):
+            self.pt_model = m3ae_lib.MaskedMultimodalAutoencoder(cfg.m3ae, text_vocab_size=BERT_VOCAB_SIZE)
+            if not cfg.use_from_scratch:
+                model_name = transfer_type.split("_", 1)[1]
+                self.pt_params = m3ae_lib.load_m3ae_model_vars(model_name)
+            self.image_text_input = nn.Dense(cfg.emb_dim)
+        else:
+            raise ValueError("Unsupported transfer type!")
+
+        if cfg.use_adapter:
+            self.residual_weight = self.param("residual_weight", nn.initializers.constant(4.0), (1,))
+
+    # -- helpers --------------------------------------------------------------
+
+    def patchify(self, x):
+        p = self.patch_dim
+        b, h, w, c = x.shape
+        x = x.reshape(b, h // p, p, w // p, p, c)
+        x = jnp.swapaxes(x, 2, 3)
+        return x.reshape(b, (h // p) * (w // p), p * p * c)
+
+    def _apply_adapter(self, emb):
+        adapter = AdapterMLP(hidden_dim=emb.shape[-1], output_dim=emb.shape[-1], num_layers=2)
+        res = nn.sigmoid(self.residual_weight)
+        return res * adapter(emb) + (1 - res) * emb
+
+    # -- encode ---------------------------------------------------------------
+
+    def encode(self, batch):
+        cfg = self.config
+        # ARPDT gates text on use_text (ARPDT.py:264); BC/GCBC read whatever
+        # instruct the batch carries (BC.py:208, GCBC.py:366).
+        text = batch.get("instruct", None) if (cfg.use_text or not self.use_rtg) else None
+
+        image_batch = batch["image"]
+        image = jnp.asarray(list(image_batch.values()))
+        num_image, batch_size, num_timestep = image.shape[:3]
+
+        state_batch = batch.get("state", None)
+        state_emb = self.state_input(state_batch) if state_batch is not None else None
+
+        action_batch = batch["action"]
+        if cfg.use_discrete_action:
+            action_batch = action_batch.astype(jnp.int32)
+        action_emb = self.action_input(action_batch)
+
+        rtg_emb = None
+        if self.use_rtg:
+            rtg = jnp.asarray(list(batch["rtg"].values())).astype(jnp.float32)
+            if cfg.use_symlog:
+                rtg = symlog(rtg)
+            rtg = jnp.mean(rtg, axis=0)  # average rewards over views
+            rtg_emb = self.rtg_input(rtg)
+
+        text_padding_mask = batch.get("text_padding_mask", None)
+        transfer_type = cfg.transfer_type
+
+        def concat_multiple_image_emb(img_emb):
+            img_emb = jnp.reshape(img_emb, (batch_size * num_image, num_timestep, -1))
+            return jnp.concatenate(jnp.split(img_emb, num_image, axis=0), -1)
+
+        if transfer_type == "none":
+            image = jnp.concatenate(list(image_batch.values()), axis=-1)
+            image = jnp.reshape(image, (-1,) + image.shape[-3:])
+            patch = self.patch_emb(self.patchify(image))
+            num_obs_token = patch.shape[1]
+            patch = patch + get_2d_sincos_pos_embed(patch.shape[-1], num_obs_token)
+            patch = jnp.reshape(patch, (batch_size, num_timestep, -1))
+            patch = patch + get_1d_sincos_pos_embed(patch.shape[-1], num_timestep)
+            return num_obs_token, patch, action_emb, state_emb, rtg_emb
+
+        if transfer_type.startswith("clip"):
+            image = jnp.reshape(image, (-1,) + image.shape[-3:])
+            if self.resize_clip_input and image.shape[1] != 224:
+                image = jax.image.resize(
+                    image, (image.shape[0], 224, 224, image.shape[-1]), method="bicubic"
+                )
+            if cfg.use_impala_backbone:
+                img_emb = self.impala(image)
+            elif cfg.use_from_scratch:
+                img_emb = self.pt_model.encode_image(image)
+            else:
+                img_emb = self.pt_model.apply(self.pt_params, image, method=self.pt_model.encode_image)
+
+            if cfg.use_adapter:
+                img_emb = jax.lax.stop_gradient(img_emb)
+                img_emb = self._apply_adapter(img_emb)
+
+            img_emb = concat_multiple_image_emb(img_emb)
+
+            if text is not None:
+                if cfg.use_from_scratch or cfg.use_impala_backbone:
+                    text_emb = self.pt_model.encode_text(text)
+                else:
+                    text_emb = self.pt_model.apply(self.pt_params, text, method=self.pt_model.encode_text)
+                text_emb = jnp.tile(jnp.expand_dims(text_emb, axis=1), (1, img_emb.shape[1], 1))
+                if cfg.use_adapter:
+                    text_emb = jax.lax.stop_gradient(text_emb)
+                image_text_emb = jnp.concatenate([img_emb, text_emb], axis=-1)
+            else:
+                image_text_emb = img_emb
+
+            if not cfg.use_from_scratch and not cfg.use_impala_backbone and not cfg.use_adapter:
+                image_text_emb = jax.lax.stop_gradient(image_text_emb)
+
+            image_text_emb = nn.tanh(self.image_text_input(image_text_emb))
+            image_text_emb = image_text_emb + get_1d_sincos_pos_embed(image_text_emb.shape[-1], num_timestep)
+            return 1, image_text_emb, action_emb, state_emb, rtg_emb
+
+        if transfer_type.startswith("mae"):
+            image = jnp.reshape(image, (-1,) + image.shape[-3:])
+            patch = self.patchify(image)
+            if cfg.use_from_scratch:
+                image_text_emb = self.pt_model.forward_representation(patch, deterministic=True)
+            else:
+                image_text_emb = self.pt_model.apply(
+                    self.pt_params, patch, method=self.pt_model.forward_representation, deterministic=True
+                )
+            image_text_emb = jax.lax.stop_gradient(image_text_emb)
+            if cfg.use_adapter:
+                image_text_emb = self._apply_adapter(image_text_emb)
+            image_text_emb = concat_multiple_image_emb(image_text_emb)
+            image_text_emb = nn.tanh(self.image_text_input(image_text_emb))
+            image_text_emb = image_text_emb + get_1d_sincos_pos_embed(image_text_emb.shape[-1], num_timestep)
+            return 1, image_text_emb, action_emb, state_emb, rtg_emb
+
+        if transfer_type.startswith("m3ae"):
+            image = jnp.reshape(image, (-1,) + image.shape[-3:])
+            patch = self.patchify(image)
+
+            if self.use_goal:
+                goal_image = jnp.asarray(list(batch["goal"].values()))
+                goal_image = jnp.reshape(goal_image, (-1,) + goal_image.shape[-3:])
+                goal_patch = self.patchify(goal_image)
+                if cfg.use_from_scratch:
+                    image_text_emb = self.pt_model.forward_gc_representations(
+                        patch, goal_patch, deterministic=True
+                    )
+                else:
+                    image_text_emb = self.pt_model.apply(
+                        self.pt_params,
+                        patch,
+                        goal_patch,
+                        method=self.pt_model.forward_gc_representations,
+                        deterministic=True,
+                    )
+                    image_text_emb = jax.lax.stop_gradient(image_text_emb)
+                num_layers = 1
+            else:
+                if text is not None:
+                    tokenized_caption = jnp.tile(text, (num_image * num_timestep, 1))
+                    tiled_pad = jnp.tile(text_padding_mask, (num_image * num_timestep, 1))
+                else:
+                    tokenized_caption = None
+                    tiled_pad = None
+
+                if cfg.use_from_scratch:
+                    image_text_emb = self.pt_model.forward_representation(
+                        patch, tokenized_caption, tiled_pad, deterministic=True
+                    )
+                    num_layers = 1
+                elif cfg.use_intermediate:
+                    image_text_emb, states = self.pt_model.apply(
+                        self.pt_params,
+                        patch,
+                        tokenized_caption,
+                        tiled_pad,
+                        method=self.pt_model.forward_representation,
+                        deterministic=True,
+                        capture_intermediates=True,
+                        mutable=["intermediates"],
+                    )
+                    num_layers = cfg.m3ae.depth
+                    intermediate_embs = [
+                        states["intermediates"]["encoder"][f"intermediate_layer_{i}"][0]
+                        for i in range(num_layers - 1)
+                    ]
+                    image_text_emb = jnp.concatenate(intermediate_embs + [image_text_emb], axis=0)
+                else:
+                    image_text_emb = self.pt_model.apply(
+                        self.pt_params,
+                        patch,
+                        tokenized_caption,
+                        tiled_pad,
+                        method=self.pt_model.forward_representation,
+                        deterministic=True,
+                    )
+                    num_layers = 1
+                image_text_emb = jax.lax.stop_gradient(image_text_emb)
+
+            if cfg.use_adapter:
+                image_text_emb = self._apply_adapter(image_text_emb)
+
+            image_text_emb = jnp.reshape(image_text_emb, (batch_size * num_image * num_layers, num_timestep, -1))
+            image_text_emb = jnp.concatenate(jnp.split(image_text_emb, num_layers, axis=0), -1)
+            image_text_emb = nn.tanh(self.image_text_input(image_text_emb))
+            image_text_emb = jnp.concatenate(jnp.split(image_text_emb, num_image, axis=0), -1)
+            return num_image, image_text_emb, action_emb, state_emb, rtg_emb
+
+        raise ValueError("Unsupported transfer type!")
+
+    # -- forward --------------------------------------------------------------
+    # @nn.compact so encode() may create the inline AdapterMLP submodules
+    # (mirrors the reference, which builds adapters inside its compact
+    # __call__, ARPDT.py:341-346).
+
+    @nn.compact
+    def __call__(self, batch, deterministic=False):
+        cfg = self.config
+        batch_size, num_timestep = batch["action"].shape[:2]
+
+        num_obs_token, image_embed, action_emb, state_emb, rtg_emb = self.encode(batch)
+
+        parts = [image_embed]
+        extra = 1  # action
+        if state_emb is not None:
+            parts.append(state_emb)
+            extra += 1
+        if rtg_emb is not None:
+            parts.append(rtg_emb)
+            extra += 1
+        parts.append(action_emb)
+        token_embed = jnp.concatenate(parts, axis=-1)
+        num_token_per_step = num_obs_token + extra
+        token_embed = jnp.reshape(
+            token_embed, [batch_size, num_token_per_step * num_timestep, cfg.emb_dim]
+        )
+
+        if cfg.model_type is not None and cfg.model_type.startswith("vit"):
+            mask_spec = MaskSpec("dt", num_obs_token=num_obs_token, num_token_per_step=num_token_per_step)
+        else:
+            mask_spec = MaskSpec("causal")
+
+        output_embed = self.policy(token_embed, deterministic=deterministic, mask_spec=mask_spec)
+
+        # position of the token whose output predicts the action: the last
+        # token *before* the action slot (reference: ARPDT.py:203-208,
+        # BC.py:165-168).
+        action_pos = num_obs_token + extra - 2  # obs..., [state], [rtg] -> predict action
+        action_pred = self.action_outputs(output_embed[:, action_pos::num_token_per_step, :])
+
+        output = {"action_pred": action_pred}
+        if self.use_rtg:
+            return_pos = action_pos - 1
+            return_pred = self.return_outputs(output_embed[:, return_pos::num_token_per_step, :])
+            output["return_pred"] = return_pred
+            loss, acc, info = self._compute_loss_rtg(action_pred, batch["action"], return_pred, batch["rtg"])
+            output.update(loss=loss, acc=acc, trans_loss=info["trans_loss"], return_loss=info["return_loss"])
+        else:
+            loss, acc = self._compute_loss(action_pred, batch["action"])
+            output.update(loss=loss, acc=acc)
+        return output
+
+    def _compute_loss(self, action_pred, action):
+        if not self.config.use_discrete_action:
+            if self.normalize_quterion:
+                x = action_pred[:, 3:7]
+                x = x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+                action_pred = action_pred.at[:, 3:7].set(x)
+            return mse_loss(action_pred, action), 0.0
+        return cross_entropy(action_pred, action, self.num_actions)
+
+    def _compute_loss_rtg(self, action_pred, action, rtg_pred, rtg):
+        loss, acc = self._compute_loss(action_pred, action)
+        info = {"trans_loss": loss, "return_loss": 0.0}
+        if rtg_pred is not None and rtg is not None:
+            rtg = jnp.asarray(list(rtg.values())).astype(jnp.float32)
+            if self.config.use_symlog:
+                rtg = symlog(rtg)
+            rtg = jnp.mean(rtg, axis=0)
+            return_loss = mse_loss(rtg_pred, rtg)
+            loss = loss + self.config.lambda_return_pred * return_loss
+            info["return_loss"] = return_loss
+        return loss, acc, info
+
+    def greedy_action(self, batch):
+        pred = self(batch, deterministic=True)["action_pred"][:, -1, :]
+        if not self.config.use_discrete_action:
+            return pred
+        return pred.argmax(-1)
+
+    def greedy_return(self, batch):
+        return symexp(self(batch, deterministic=True)["return_pred"])
+
+
+class ARPDT(BasePolicy):
+    """Return-conditioned policy with CLIP rewards (reference: arp_dt/ARPDT.py)."""
+
+    use_rtg: bool = True
+    use_goal: bool = False
+    resize_clip_input: bool = False
+
+
+class BC(BasePolicy):
+    """Behavior cloning / InstructRL-with-text baseline (reference: arp_dt/BC.py)."""
+
+    use_rtg: bool = False
+    use_goal: bool = False
+    resize_clip_input: bool = True
+
+
+class GCBC(BasePolicy):
+    """Goal-conditioned BC with joint (obs, goal) encoding (reference: arp_dt/GCBC.py)."""
+
+    use_rtg: bool = False
+    use_goal: bool = True
+    resize_clip_input: bool = True

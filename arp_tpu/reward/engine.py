@@ -1,0 +1,159 @@
+"""Batched on-device CLIP reward engine — the framework's north-star component.
+
+Replaces the reference's reward computation (arp_dt/label_reward.py,
+arp_dt/envs/vl_reward.py), which runs per-image PIL preprocessing on the host
+and per-trajectory torch CLIP batches on a GPU.  Here the whole path is one
+jitted TPU program per fixed-size batch:
+
+    uint8 frames -> (pallas/XLA) resize+normalize -> ViT encode (MXU, bf16
+    optional) -> logit-scale cosine rewards
+
+with shape-bucketed compilation (pad-to-batch), async dispatch so host HDF5
+reads overlap device compute, and both reward families:
+
+  * text rewards:  ``logit_scale * cos(f_img, f_text)`` (mean over texts when
+    several are given) — label_reward.py:132-146 semantics;
+  * goal-conditioned: ``-||f_img - f_goal||_2`` on *unnormalized* features —
+    label_reward.py:148-163 semantics.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import clip as clip_models
+from ..ops.preprocess import clip_preprocess
+
+
+class ClipRewardEngine:
+    """Streams uint8 frames through a jitted preprocess+encode+score pipeline.
+
+    Args:
+      model_name: key into arp_tpu.models.clip.MODELS (default CLIP ViT-B/16,
+        the reference's reward model).
+      variables: flax variables; if None, loaded via load_model_vars (requires
+        a local checkpoint) — pass explicitly for tests.
+      batch_size: fixed device batch; inputs are padded to multiples (one
+        compilation, no shape churn).
+      resize_mode: "pil" (bit-exact vs the reference preprocessing) or "fast".
+      compute_dtype: jnp.bfloat16 runs the encoder in bf16 on the MXU.
+    """
+
+    def __init__(
+        self,
+        model_name: str = "vit_b16",
+        variables=None,
+        batch_size: int = 256,
+        resize_mode: str = "pil",
+        use_crop: bool = False,
+        image_size: Optional[int] = None,
+        compute_dtype=jnp.float32,
+        tokenizer=None,
+        model=None,
+    ):
+        self.model = model if model is not None else clip_models.MODELS[model_name]()
+        if variables is None:
+            variables = clip_models.load_model_vars(model_name)
+        self.variables = variables
+        self.batch_size = batch_size
+        self.resize_mode = resize_mode
+        self.use_crop = use_crop
+        self.image_size = image_size or clip_models.IMAGE_RESOLUTION.get(model_name, 224)
+        self.compute_dtype = compute_dtype
+        self._tokenizer = tokenizer
+
+        model = self.model
+        img_size = self.image_size
+
+        @jax.jit
+        def _encode_images(variables, frames, normalize):
+            x = clip_preprocess(
+                frames, image_size=img_size, resize_mode=resize_mode, crop_half=use_crop
+            )
+            if compute_dtype != jnp.float32:
+                x = x.astype(compute_dtype)
+                variables = jax.tree_util.tree_map(
+                    lambda p: p.astype(compute_dtype) if jnp.issubdtype(p.dtype, jnp.floating) else p,
+                    variables,
+                )
+            feat = model.apply(variables, x, normalize=False, method=model.encode_image)
+            feat = feat.astype(jnp.float32)
+            norm_feat = feat / jnp.linalg.norm(feat, axis=-1, keepdims=True)
+            return jnp.where(normalize, norm_feat, feat)
+
+        @jax.jit
+        def _encode_text(variables, tokens):
+            return model.apply(variables, tokens, normalize=True, method=model.encode_text)
+
+        self._encode_images_jit = _encode_images
+        self._encode_text_jit = _encode_text
+
+    # -- tokenization ---------------------------------------------------------
+
+    @property
+    def tokenizer(self):
+        if self._tokenizer is None:
+            self._tokenizer = clip_models.build_tokenizer(truncate=True)
+        return self._tokenizer
+
+    def tokenize(self, text: Union[str, Sequence[str]]) -> np.ndarray:
+        return np.asarray(self.tokenizer(text))
+
+    # -- feature extraction ---------------------------------------------------
+
+    def _batched_image_features(self, frames: np.ndarray, normalize: bool) -> np.ndarray:
+        """Encode (N, H, W, C) uint8 frames in fixed-size padded batches.
+
+        Dispatches all device batches before blocking on results, so the
+        host->device transfer and HDF5 reads of batch k+1 overlap the encode
+        of batch k (jax async dispatch).
+        """
+        n = frames.shape[0]
+        bs = self.batch_size
+        outputs = []
+        for start in range(0, n, bs):
+            chunk = np.asarray(frames[start : start + bs])
+            if chunk.shape[0] < bs:
+                pad = np.repeat(chunk[-1:], bs - chunk.shape[0], axis=0)
+                chunk = np.concatenate([chunk, pad], axis=0)
+            outputs.append(self._encode_images_jit(self.variables, chunk, normalize))
+        feats = np.concatenate([np.asarray(o) for o in outputs], axis=0)
+        return feats[:n]
+
+    def encode_text_features(self, text: Union[str, Sequence[str], np.ndarray]) -> np.ndarray:
+        if isinstance(text, (str, list, tuple)):
+            tokens = self.tokenize(text)
+        else:
+            tokens = np.asarray(text)
+        return np.asarray(self._encode_text_jit(self.variables, tokens))
+
+    # -- rewards --------------------------------------------------------------
+
+    def text_rewards(self, frames: np.ndarray, text: Union[str, Sequence[str], np.ndarray]) -> np.ndarray:
+        """logit_scale * cosine(image, text); averaged over multiple texts."""
+        img_feat = self._batched_image_features(frames, normalize=True)
+        txt_feat = self.encode_text_features(text)
+        logit_scale = float(np.exp(np.asarray(self.variables["params"]["logit_scale"])))
+        logits_per_text = logit_scale * (txt_feat @ img_feat.T)  # (n_text, N)
+        if logits_per_text.shape[0] > 1:
+            return logits_per_text.mean(axis=0)
+        return logits_per_text[0]
+
+    def goal_rewards(self, frames: np.ndarray, goal_index: int = -1) -> np.ndarray:
+        """-||f(img) - f(goal)||_2 on unnormalized features; the goal is the
+        frame at ``goal_index`` within ``frames`` (reference uses the last
+        frame of each trajectory, label_reward.py:159)."""
+        feats = self._batched_image_features(frames, normalize=False)
+        goal = feats[goal_index]
+        return -np.linalg.norm(feats - goal[None], axis=-1)
+
+    def goal_rewards_vs(self, frames: np.ndarray, goal_frame: np.ndarray) -> np.ndarray:
+        """Goal rewards against an explicit goal image (online eval variant)."""
+        feats = self._batched_image_features(frames, normalize=False)
+        goal = self._batched_image_features(goal_frame[None], normalize=False)[0]
+        return -np.linalg.norm(feats - goal[None], axis=-1)

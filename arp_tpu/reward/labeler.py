@@ -1,0 +1,195 @@
+"""Offline reward labeling CLI — `python -m arp_tpu.reward.labeler`.
+
+Drop-in equivalent of the reference's ``python -m arp_dt.label_reward``
+(arp_dt/label_reward.py): reads demonstration HDF5 files, computes CLIP
+rewards for every step's last stacked frame, and writes the exact same
+datasets back in place:
+
+    {img_key}_{model_type}_reward[_{inst_type}]   (T, num_frames) gzip
+    {img_key}_{model_type}_pos_rtg[_{inst_type}]  (T, num_frames) gzip
+
+TPU redesign: instead of one GPU batch per trajectory with host-side PIL
+preprocessing, ALL frames stream through the batched on-device engine
+(fixed-size padded batches, async dispatch, preprocessing fused into the
+encoder program); per-trajectory cumsum/re-stacking happens vectorized on the
+host afterwards.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import h5py
+import numpy as np
+
+from ..data.instructions import get_clip_instruct, get_clip_special_instruct
+from ..ops.rewards import discount_cumsum, stack_frames
+from .engine import ClipRewardEngine
+
+
+def get_traj_boundaries(g) -> tuple[list[int], int, int]:
+    """Trajectory start indices from done/rewards/is_terminal/time datasets
+    (reference: label_reward.py:71-87)."""
+    done_key = None
+    for key in ("done", "rewards", "is_terminal"):
+        if g.get(key) is not None:
+            done_key = key
+            break
+    if done_key is not None:
+        len_data, num_frames = g[done_key].shape[:2]
+        traj_idx = list(np.nonzero(g[done_key][:, -1])[0] + 1)
+        traj_idx.insert(0, 0)
+    else:
+        len_data, num_frames = g["time"].shape[:2]
+        traj_idx = list(np.where(g["time"][:, -1, 0] == 1.0)[0])
+        traj_idx.append(len(g["time"]))
+    return traj_idx, len_data, num_frames
+
+
+def label_rewards(
+    data_path: str,
+    text,
+    image_keys: str = "ob",
+    model_type: str = "clip",
+    engine: ClipRewardEngine | None = None,
+    use_crop: bool = False,
+    inst_type: str = "none",
+    num_frames_override: int | None = None,
+    batch_size: int = 256,
+    resize_mode: str = "pil",
+    variables=None,
+    gamma: float = 1.0,
+    progress: bool = True,
+) -> dict:
+    """Label an HDF5 demo file in place.  Returns timing/throughput stats."""
+    if engine is None:
+        engine = ClipRewardEngine(
+            batch_size=batch_size, resize_mode=resize_mode, use_crop=use_crop, variables=variables
+        )
+
+    g = h5py.File(data_path, "a")
+    try:
+        traj_idx, len_data, num_frames = get_traj_boundaries(g)
+        num_frames = num_frames_override or num_frames
+
+        target_keys = [f"{model_type}_reward", f"{model_type}_pos_rtg"]
+        if inst_type != "none":
+            target_keys = [f"{k}_{inst_type}" for k in target_keys]
+
+        stats = {"frames": 0, "seconds": 0.0}
+        goal_conditioned = "goal_conditioned" in model_type
+
+        for img_key in image_keys.split(", "):
+            t0 = time.time()
+            rewards = np.zeros(len_data, np.float32)
+            if goal_conditioned:
+                # per-trajectory goals: the engine needs traj boundaries
+                for i in range(len(traj_idx) - 1):
+                    traj = slice(traj_idx[i], min(traj_idx[i + 1], len_data))
+                    frames = g[img_key][traj, -1]
+                    rewards[traj] = engine.goal_rewards(frames, goal_index=-1)
+            else:
+                # one streamed pass over every frame in the file
+                frames = g[img_key][:, -1]
+                rewards[:] = engine.text_rewards(frames, text)
+            elapsed = time.time() - t0
+            stats["frames"] += len_data
+            stats["seconds"] += elapsed
+
+            # per-trajectory return-to-go + frame re-stacking (vectorized host)
+            reward_rows = np.zeros((len_data, num_frames), np.float32)
+            rtg_rows = np.zeros((len_data, num_frames), np.float32)
+            for i in range(len(traj_idx) - 1):
+                traj = slice(traj_idx[i], min(traj_idx[i + 1], len_data))
+                r = rewards[traj]
+                reward_rows[traj] = stack_frames(r, num_frames)
+                rtg_rows[traj] = stack_frames(discount_cumsum(r, gamma), num_frames)
+
+            for suffix, data in zip(target_keys, (reward_rows, rtg_rows)):
+                key = f"{img_key}_{suffix}"
+                if g.get(key) is None:
+                    g.create_dataset(
+                        key,
+                        compression="gzip",
+                        chunks=(1, num_frames),
+                        maxshape=(len_data, num_frames),
+                        data=data,
+                    )
+                else:
+                    g[key][...] = data
+            if progress:
+                fps = len_data / max(elapsed, 1e-9)
+                print(f"[{img_key}] {len_data} frames in {elapsed:.2f}s = {fps:.1f} frames/s")
+        stats["fps"] = stats["frames"] / max(stats["seconds"], 1e-9)
+        return stats
+    finally:
+        g.close()
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Label demonstrations with CLIP rewards (TPU).")
+    parser.add_argument("--env_name", type=str, default="coinrun")
+    parser.add_argument("--env_type", type=str, default="none")
+    parser.add_argument("--num_levels", type=int, default=500)
+    parser.add_argument("--start_level", type=int, default=0)
+    parser.add_argument("--distribution_mode", type=str, default="hard")
+    parser.add_argument("--image_keys", type=str, default="ob")
+    parser.add_argument("--data_path", type=str, default=None)
+    parser.add_argument("--base_path", type=str, default="./demonstrations")
+    parser.add_argument("--num_demonstrations", type=int, default=500)
+    parser.add_argument("--num_frames", type=int, default=8)
+    parser.add_argument("--model_type", type=str, default="clip")
+    parser.add_argument("--model_ckpt_dir", type=str, default=None)
+    parser.add_argument("--use_crop", type=lambda s: s.lower() in ("1", "true"), default=False)
+    parser.add_argument("--inst_type", type=str, default="none")
+    parser.add_argument("--batch_size", type=int, default=256)
+    parser.add_argument("--resize_mode", type=str, default="pil", choices=["pil", "fast"])
+    parser.add_argument("--bf16", action="store_true", help="run the encoder in bfloat16")
+    args = parser.parse_args()
+
+    env_name = args.env_name if args.env_type == "none" else f"{args.env_name}_{args.env_type}"
+    if args.inst_type != "none":
+        text = get_clip_special_instruct(env_name, args.inst_type)
+    else:
+        text = get_clip_instruct(env_name)
+    print(f"[INFO] env_name: {env_name}\t instruction: {text}")
+
+    data_path = args.data_path
+    if data_path is None:
+        dirname = (
+            f"{args.env_name}_{args.distribution_mode}_level{args.start_level}to"
+            f"{args.num_levels}_num{args.num_demonstrations}_frame{args.num_frames}"
+        )
+        if args.env_type != "none":
+            dirname += f"_{args.env_type}"
+        data_path = os.path.join(args.base_path, dirname, "data.hdf5")
+
+    import jax.numpy as jnp
+
+    variables = None
+    if args.model_ckpt_dir is not None and args.model_type.startswith("clip_ft"):
+        raise NotImplementedError("clip_ft labeling flows through arp_tpu.finetune (see stage 6)")
+
+    engine = ClipRewardEngine(
+        batch_size=args.batch_size,
+        resize_mode=args.resize_mode,
+        use_crop=args.use_crop,
+        compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        variables=variables,
+    )
+    stats = label_rewards(
+        data_path,
+        text,
+        image_keys=args.image_keys,
+        model_type=args.model_type,
+        engine=engine,
+        use_crop=args.use_crop,
+        inst_type=args.inst_type,
+    )
+    print(f"[DONE] {stats['frames']} frames @ {stats['fps']:.1f} frames/s")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,81 @@
+"""Benchmark: CLIP ViT-B/16 reward-labeling throughput (frames/sec/chip).
+
+This is BASELINE.json's headline metric: the reference's
+``arp_dt.label_reward`` pipeline (host PIL preprocessing + per-trajectory
+torch CLIP batches on an A100) vs this framework's fused on-device pipeline
+(bit-exact uint8 bicubic resize + normalize + ViT-B/16 encode, bf16 on the
+MXU, fixed-size batches, async dispatch).
+
+vs_baseline: the reference publishes no numbers (SURVEY.md §6); the
+BASELINE.json north star is ">=5x A100 frames/sec/chip".  We take 1200
+frames/s as the A100 reference point — a generous estimate for batched
+fp16 torch CLIP ViT-B/16 inference *including* the reference's host-side
+per-image PIL preprocessing (which in practice bottlenecks it well below
+that).  vs_baseline = measured_fps / (5 * 1200): >=1.0 means the 5x A100
+north-star target is met.
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+A100_REFERENCE_FPS = 1200.0
+TARGET_MULTIPLIER = 5.0
+
+
+def main():
+    from arp_tpu.models.clip import CLIP, CONFIGS
+    from arp_tpu.reward.engine import ClipRewardEngine
+
+    # Random-init ViT-B/16 (throughput is weight-independent).
+    model = CLIP(**CONFIGS["vit_b16"])
+    rng = jax.random.PRNGKey(0)
+    img = jnp.zeros((1, 224, 224, 3), jnp.float32)
+    txt = jnp.zeros((1, 77), jnp.int32)
+    variables = jax.jit(model.init)(rng, img, txt)
+
+    batch_size = 512
+    engine = ClipRewardEngine(
+        model=model,
+        variables=variables,
+        batch_size=batch_size,
+        resize_mode="pil",          # bit-exact reference preprocessing, on device
+        compute_dtype=jnp.bfloat16,  # encoder on the MXU in bf16 (ref: fp16 GPU)
+        image_size=224,
+    )
+
+    n_frames = 4096
+    frames = np.random.default_rng(0).integers(0, 256, size=(n_frames, 256, 256, 3), dtype=np.uint8)
+    tokens = np.zeros((1, 77), np.int32)
+    tokens[0, :3] = [49406, 320, 49407]
+
+    # Warmup (compile)
+    engine.text_rewards(frames[:batch_size], tokens)
+
+    t0 = time.time()
+    passes = 2
+    for _ in range(passes):
+        rewards = engine.text_rewards(frames, tokens)
+    elapsed = time.time() - t0
+    fps = passes * n_frames / elapsed
+
+    assert np.isfinite(rewards).all()
+    print(
+        json.dumps(
+            {
+                "metric": "clip_vitb16_reward_labeling_throughput",
+                "value": round(fps, 1),
+                "unit": "frames/sec/chip",
+                "vs_baseline": round(fps / (TARGET_MULTIPLIER * A100_REFERENCE_FPS), 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

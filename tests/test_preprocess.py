@@ -1,0 +1,73 @@
+"""Resize parity: the 'pil' mode must be bit-exact vs actual Pillow."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from arp_tpu.ops.preprocess import (
+    center_crop,
+    clip_preprocess,
+    resize_bicubic_fast,
+    resize_bicubic_pil,
+)
+
+
+@pytest.mark.parametrize("in_size,out_size", [(256, 224), (64, 224), (512, 224), (100, 50)])
+def test_pil_exact_resize(in_size, out_size):
+    rng = np.random.default_rng(in_size)
+    imgs = rng.integers(0, 256, size=(3, in_size, in_size, 3), dtype=np.uint8)
+    got = np.asarray(resize_bicubic_pil(imgs, out_size, out_size))
+    for i in range(imgs.shape[0]):
+        expected = np.asarray(
+            Image.fromarray(imgs[i]).resize((out_size, out_size), Image.BICUBIC)
+        )
+        np.testing.assert_array_equal(got[i], expected)
+
+
+def test_fast_resize_close_to_pil():
+    rng = np.random.default_rng(7)
+    imgs = rng.integers(0, 256, size=(2, 256, 256, 3), dtype=np.uint8)
+    fast = np.asarray(resize_bicubic_fast(imgs, 224, 224))
+    pil = np.asarray(resize_bicubic_pil(imgs, 224, 224)).astype(np.float32)
+    # float path differs only by fixed-point rounding (~1 LSB)
+    assert np.abs(fast - pil).mean() < 1.0
+
+
+def test_center_crop_matches_reference_arithmetic():
+    rng = np.random.default_rng(1)
+    imgs = rng.integers(0, 256, size=(2, 256, 256, 3), dtype=np.uint8)
+    got = np.asarray(center_crop(imgs, 128, 128))
+    start = int((256 - 128) / 2)
+    np.testing.assert_array_equal(got, imgs[:, start : start + 128, start : start + 128, :])
+
+
+def test_clip_preprocess_matches_reference_pipeline():
+    """Full pipeline vs the reference's torchvision chain, replicated with
+    PIL+numpy (ToPILImage -> Resize(224, BICUBIC) -> CenterCrop(224) ->
+    ToTensor -> Normalize; label_reward.py:109-121).  For square inputs the
+    CenterCrop is a no-op after the square resize."""
+    mean = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+    std = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+    rng = np.random.default_rng(2)
+    imgs = rng.integers(0, 256, size=(2, 256, 256, 3), dtype=np.uint8)
+    expected = []
+    for img in imgs:
+        r = np.asarray(Image.fromarray(img).resize((224, 224), Image.BICUBIC), np.float32)
+        expected.append((r / 255.0 - mean) / std)
+    expected = np.stack(expected)
+    got = np.asarray(clip_preprocess(imgs, resize_mode="pil"))
+    np.testing.assert_allclose(got, expected, atol=1e-6)
+
+
+def test_clip_preprocess_crop_half():
+    rng = np.random.default_rng(3)
+    imgs = rng.integers(0, 256, size=(2, 256, 256, 3), dtype=np.uint8)
+    got = np.asarray(clip_preprocess(imgs, resize_mode="pil", crop_half=True))
+    mean = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+    std = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+    cropped = imgs[:, 64:192, 64:192, :]
+    expected = []
+    for img in cropped:
+        r = np.asarray(Image.fromarray(img).resize((224, 224), Image.BICUBIC), np.float32)
+        expected.append((r / 255.0 - mean) / std)
+    np.testing.assert_allclose(got, np.stack(expected), atol=1e-6)

@@ -1,0 +1,180 @@
+"""Golden tests for the batched reward engine + HDF5 labeler.
+
+An independent per-image reference path (PIL resize -> flax CLIP encode ->
+logit, mirroring arp_dt/label_reward.py:123-291 semantics) is computed in the
+test and the streamed/batched engine must reproduce it, including the HDF5
+dataset keys/layout and the per-trajectory rtg re-stacking.
+"""
+
+import h5py
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from arp_tpu.models.clip import CLIP
+from arp_tpu.ops.rewards import discount_cumsum, stack_frames
+from arp_tpu.reward.engine import ClipRewardEngine
+from arp_tpu.reward.labeler import label_rewards
+
+TINY_CFG = dict(
+    embed_dim=32,
+    vocab_size=97,
+    vision_num_layers=2,
+    vision_features=64,
+    vision_patch_size=8,
+    text_features=32,
+    text_num_heads=4,
+    text_num_layers=2,
+)
+IMG_SIZE = 32  # engine resizes to this
+
+
+class TinyTokenizer:
+    def __call__(self, texts):
+        if isinstance(texts, str):
+            texts = [texts]
+        out = np.zeros((len(texts), 77), np.int32)
+        for i, t in enumerate(texts):
+            ids = [90] + [1 + (ord(c) % 80) for c in t[:30]] + [96]
+            out[i, : len(ids)] = ids
+        return out
+
+
+@pytest.fixture(scope="module")
+def tiny_engine():
+    model = CLIP(**TINY_CFG)
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.normal(size=(1, IMG_SIZE, IMG_SIZE, 3)).astype(np.float32))
+    text = jnp.asarray(TinyTokenizer()("x"))
+    variables = model.init(jax.random.PRNGKey(0), img, text)
+    return ClipRewardEngine(
+        model=model,
+        variables=variables,
+        batch_size=8,
+        resize_mode="pil",
+        image_size=IMG_SIZE,
+        tokenizer=TinyTokenizer(),
+    )
+
+
+def _reference_rewards(engine, frames, text):
+    """Per-image loop replicating the reference torch path semantics."""
+    mean = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+    std = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+    feats = []
+    for f in frames:
+        img = np.asarray(Image.fromarray(f).resize((IMG_SIZE, IMG_SIZE), Image.BICUBIC), np.float32)
+        x = (img / 255.0 - mean) / std
+        feat = engine.model.apply(
+            engine.variables, jnp.asarray(x[None]), normalize=True, method=engine.model.encode_image
+        )
+        feats.append(np.asarray(feat)[0])
+    feats = np.stack(feats)
+    tfeat = np.asarray(
+        engine.model.apply(
+            engine.variables, jnp.asarray(TinyTokenizer()(text)), normalize=True,
+            method=engine.model.encode_text,
+        )
+    )
+    logit_scale = float(np.exp(np.asarray(engine.variables["params"]["logit_scale"])))
+    logits = logit_scale * tfeat @ feats.T
+    return logits.mean(axis=0) if logits.shape[0] > 1 else logits[0]
+
+
+def test_text_rewards_match_per_image_reference(tiny_engine):
+    rng = np.random.default_rng(1)
+    frames = rng.integers(0, 256, size=(13, 48, 48, 3), dtype=np.uint8)  # odd N -> padding path
+    got = tiny_engine.text_rewards(frames, "collect the coin.")
+    expected = _reference_rewards(tiny_engine, frames, "collect the coin.")
+    np.testing.assert_allclose(got, expected, atol=1e-4)
+
+
+def test_multi_text_rewards_mean(tiny_engine):
+    rng = np.random.default_rng(2)
+    frames = rng.integers(0, 256, size=(5, 48, 48, 3), dtype=np.uint8)
+    texts = ["collect the coin.", "reach the saw."]
+    got = tiny_engine.text_rewards(frames, texts)
+    expected = _reference_rewards(tiny_engine, frames, texts)
+    np.testing.assert_allclose(got, expected, atol=1e-4)
+
+
+def test_goal_rewards_semantics(tiny_engine):
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 256, size=(6, IMG_SIZE, IMG_SIZE, 3), dtype=np.uint8)
+    got = tiny_engine.goal_rewards(frames)
+    # unnormalized features, -L2 distance to last frame's features
+    feats = tiny_engine._batched_image_features(frames, normalize=False)
+    expected = -np.linalg.norm(feats - feats[-1][None], axis=-1)
+    np.testing.assert_allclose(got, expected, atol=1e-5)
+    assert got[-1] == 0.0
+
+
+def _make_demo_hdf5(path, n=30, num_frames=4, img=48):
+    rng = np.random.default_rng(4)
+    with h5py.File(path, "w") as g:
+        g.create_dataset("ob", data=rng.integers(0, 256, size=(n, num_frames, img, img, 3), dtype=np.uint8))
+        g.create_dataset("act", data=rng.integers(0, 15, size=(n, num_frames)).astype(np.int64))
+        done = np.zeros((n, num_frames), bool)
+        done[9, -1] = done[19, -1] = done[n - 1, -1] = True  # 3 trajectories
+        g.create_dataset("done", data=done)
+    return [0, 10, 20, n]
+
+
+def test_labeler_end_to_end(tiny_engine, tmp_path):
+    path = str(tmp_path / "data.hdf5")
+    traj_idx = _make_demo_hdf5(path)
+    stats = label_rewards(path, "collect the coin.", engine=tiny_engine, progress=False)
+    assert stats["frames"] == 30
+
+    with h5py.File(path, "r") as g:
+        assert set(g.keys()) >= {"ob", "act", "done", "ob_clip_reward", "ob_clip_pos_rtg"}
+        reward = g["ob_clip_reward"][:]
+        rtg = g["ob_clip_pos_rtg"][:]
+        frames = g["ob"][:, -1]
+        assert reward.shape == (30, 4) and rtg.shape == (30, 4)
+
+    expected_r = _reference_rewards(tiny_engine, frames, "collect the coin.")
+    for i in range(len(traj_idx) - 1):
+        sl = slice(traj_idx[i], traj_idx[i + 1])
+        r = expected_r[sl]
+        np.testing.assert_allclose(reward[sl], stack_frames(r, 4), atol=1e-4)
+        np.testing.assert_allclose(rtg[sl], stack_frames(discount_cumsum(r), 4), atol=1e-4)
+    # MAE well under the 1e-4 target
+    mae = np.abs(reward[:, -1] - expected_r).mean()
+    assert mae < 1e-4, f"reward MAE {mae} exceeds target"
+
+
+def test_labeler_overwrite_existing(tiny_engine, tmp_path):
+    path = str(tmp_path / "data.hdf5")
+    _make_demo_hdf5(path)
+    label_rewards(path, "collect the coin.", engine=tiny_engine, progress=False)
+    with h5py.File(path, "r") as g:
+        first = g["ob_clip_reward"][:]
+    label_rewards(path, "collect the coin.", engine=tiny_engine, progress=False)
+    with h5py.File(path, "r") as g:
+        second = g["ob_clip_reward"][:]
+    np.testing.assert_allclose(first, second)
+
+
+def test_stack_frames_matches_reference_deque():
+    from collections import deque
+
+    values = np.arange(7, dtype=np.float32)
+    num_frames = 4
+    expected = []
+    stack = deque([], maxlen=num_frames)
+    for i in range(len(values)):
+        if i == 0:
+            stack.extend([values[i]] * num_frames)
+        else:
+            stack.append(values[i])
+        expected.append(list(stack))
+    np.testing.assert_array_equal(stack_frames(values, num_frames), np.asarray(expected))
+
+
+def test_discount_cumsum_gamma():
+    x = np.array([1.0, 2.0, 3.0], np.float32)
+    np.testing.assert_allclose(discount_cumsum(x, 1.0), [6, 5, 3])
+    np.testing.assert_allclose(discount_cumsum(x, 0.5), [1 + 0.5 * (2 + 0.5 * 3), 2 + 1.5, 3])
