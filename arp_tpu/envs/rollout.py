@@ -1,0 +1,317 @@
+"""Evaluation rollouts: host env stepping + device policy + on-device rewards.
+
+Redesign of the reference rollout loop (arp_dt/envs/rollout_procgen.py), whose
+per-step chain is device(JAX policy, batch=1) -> host -> C++ env -> host ->
+*separate torch CLIP on GPU* (batch=1) -> host.  Here:
+
+  * the CLIP reward comes from the same JAX reward engine used for labeling
+    (arp_tpu/reward/engine.py) — no torch, same weights as the labeler;
+  * the input window is maintained as fixed-size host arrays; the policy_fn
+    is jitted per window length (window_size distinct shapes, all cached);
+  * `batch_rollout` preserves the reference's sequential semantics (one env,
+    rtg decremented by the per-step CLIP reward / scale); `parallel_rollout`
+    steps N env copies in lockstep so the policy and the reward model run
+    with real batches — the TPU-native fast path.
+"""
+
+from __future__ import annotations
+
+import copy
+import os
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+
+def _tree_map(fn, tree):
+    if isinstance(tree, dict):
+        return {k: _tree_map(fn, v) for k, v in tree.items()}
+    return fn(tree)
+
+
+def _tree_map2(fn, a, b):
+    if isinstance(a, dict):
+        return {k: _tree_map2(fn, a[k], b[k]) for k in a}
+    return fn(a, b)
+
+
+def compute_step_reward(engine, vl_type: str, obs_image, text=None, goal_image=None, use_crop=False):
+    """Per-step reward, same semantics as the reference vl_reward fns."""
+    frames = np.asarray(obs_image)[None]
+    if use_crop:
+        h = frames.shape[1]
+        s = h // 4
+        frames = frames[:, s : s + h // 2, s : s + h // 2, :]
+    if vl_type in ("clip", "clip_ft"):
+        return float(engine.text_rewards(frames, text)[0])
+    if vl_type in ("clip_goal_conditioned", "clip_ft_goal_conditioned"):
+        goal = np.asarray(goal_image)
+        if use_crop:
+            h = goal.shape[0]
+            s = h // 4
+            goal = goal[s : s + h // 2, s : s + h // 2, :]
+        return float(engine.goal_rewards_vs(frames, goal)[0])
+    raise ValueError(vl_type)
+
+
+def batch_rollout(
+    rng,
+    data_aug_rng,
+    env,
+    policy_fn: Callable,
+    transform_obs_fn: Optional[Callable] = None,
+    transform_action_fn: Optional[Callable] = None,
+    episode_length: int = 2500,
+    window_size: int = 4,
+    num_episodes: int = 1,
+    return_to_go: float = 100.0,
+    scale: float = 100.0,
+    reward_engine=None,
+    vl_type: str = "clip",
+    text=None,
+    reward_min=0.0,
+    use_normalize: bool = False,
+    use_crop: bool = False,
+    eval_data_path: Optional[str] = None,
+    data_name: str = "data.hdf5",
+):
+    """Sequential eval rollout (reference parity: rollout_procgen.py:24-182).
+
+    Returns (metric, info, videos).
+    """
+    import h5py
+
+    transform_action_fn = transform_action_fn or (lambda x: x)
+
+    eval_hdf5 = None
+    eval_traj_idx = None
+    if eval_data_path is not None:
+        eval_hdf5 = h5py.File(os.path.join(eval_data_path, data_name), "r")
+        eval_traj_idx = list(np.nonzero(eval_hdf5["done"][:, -1])[0] + 1)
+        eval_traj_idx.insert(0, 0)
+        assert len(eval_traj_idx) >= num_episodes
+
+    batch_fn = lambda x: np.asarray(x)[None, None, ...]
+    concat_fn = lambda a, b: np.concatenate([a, b], axis=1)
+    trim_fn = lambda x: x[:, -window_size:, ...]
+
+    def prepare_input(all_inputs, obs, rtg):
+        action = np.zeros(1, dtype=np.int32)
+        inputs = {**obs, "action": action, "rtg": rtg}
+        inputs = _tree_map(batch_fn, inputs)
+        inputs["action"] = inputs["action"].squeeze(-1)
+        if len(all_inputs) != 0:
+            inputs = _tree_map2(concat_fn, copy.deepcopy(all_inputs), inputs)
+            inputs = _tree_map(trim_fn, inputs)
+        return inputs
+
+    def update_input(all_inputs, obs, action, rtg):
+        inputs = {**obs, "action": action, "rtg": rtg}
+        inputs = _tree_map(batch_fn, inputs)
+        if len(all_inputs) == 0:
+            return inputs
+        all_inputs = _tree_map2(concat_fn, all_inputs, inputs)
+        return _tree_map(trim_fn, all_inputs)
+
+    image_keys = env.config.image_key.split(", ")
+    total_reward = 0.0
+    ep_lens = 0.0
+    videos = []
+    info = {"vid": None, "episode_len": 0}
+
+    for ep in range(num_episodes):
+        rtg = {key: np.full(1, return_to_go / scale, dtype=np.float32) for key in image_keys}
+        all_inputs: dict = {}
+        done = False
+        goal_image = None
+        if eval_hdf5 is not None:
+            goal_image = eval_hdf5["ob"][eval_traj_idx[ep + 1] - 1, -1]
+
+        obs = None
+        next_obs = None
+        for t in range(episode_length):
+            if t == 0:
+                if eval_data_path is not None:
+                    traj_state = np.load(
+                        os.path.join(eval_data_path, f"traj_state_{ep}.npy"), allow_pickle=True
+                    )
+                    env.reset()
+                    obs = env.set_state(traj_state[0])
+                    obs["goal"] = {"ob": goal_image}
+                else:
+                    obs = env.reset(env.config.rand_seed + ep)
+            else:
+                obs = next_obs
+
+            if transform_obs_fn is not None:
+                input_obs = copy.deepcopy(obs)
+                for key, val in input_obs["image"].items():
+                    input_obs["image"][key] = np.asarray(transform_obs_fn(val))
+                if eval_data_path is not None and "goal" in input_obs:
+                    for key, val in input_obs["goal"].items():
+                        input_obs["goal"][key] = np.asarray(transform_obs_fn(val))
+            else:
+                input_obs = obs
+
+            inputs = prepare_input(all_inputs, input_obs, rtg)
+            action = np.asarray(jax.device_get(policy_fn(inputs=inputs, rngs=rng)))[0]
+            action = transform_action_fn(action)
+            all_inputs = update_input(all_inputs, input_obs, action, rtg)
+
+            next_obs, reward, done, info = env.step(action)
+            if eval_data_path is not None:
+                next_obs["goal"] = {"ob": goal_image}
+
+            total_reward += float(reward)
+            if reward_engine is not None:
+                for key in obs["image"]:
+                    r = compute_step_reward(
+                        reward_engine, vl_type, obs["image"][key], text=text,
+                        goal_image=goal_image, use_crop=use_crop,
+                    )
+                    if use_normalize:
+                        rmin = reward_min[key] if isinstance(reward_min, dict) else reward_min
+                        rtg[key] = rtg[key] - (r - rmin) / scale
+                    else:
+                        rtg[key] = rtg[key] - r / scale
+
+            if done:
+                ep_lens += info["episode_len"]
+                break
+
+        if info.get("vid") is not None:
+            videos.append(info["vid"])
+
+    if eval_hdf5 is not None:
+        eval_hdf5.close()
+
+    metric = {
+        "return": np.float32(total_reward / num_episodes),
+        "episode_length": np.float32(ep_lens / num_episodes),
+    }
+    return metric, info, videos
+
+
+def parallel_rollout(
+    rng,
+    envs: list,
+    policy_fn: Callable,
+    transform_obs_fn: Optional[Callable] = None,
+    episode_length: int = 500,
+    window_size: int = 4,
+    return_to_go: float = 100.0,
+    scale: float = 100.0,
+    reward_engine=None,
+    vl_type: str = "clip",
+    text=None,
+    reward_min=0.0,
+    use_normalize: bool = False,
+    use_crop: bool = False,
+):
+    """Lockstep rollout over N host envs with batched device inference.
+
+    The policy and the reward model see (N, window, ...) batches every step —
+    this is where the TPU redesign pays off (the reference does batch=1
+    device round-trips per env step).  Finished episodes keep stepping a
+    frozen no-op until all are done (standard padding semantics; their
+    rewards stop accumulating).
+    """
+    n = len(envs)
+    image_keys = envs[0].config.image_key.split(", ")
+
+    obs = [env.reset(env.config.rand_seed + i) for i, env in enumerate(envs)]
+    done = np.zeros(n, bool)
+    total_reward = np.zeros(n, np.float64)
+    ep_lens = np.zeros(n, np.int64)
+
+    text_feat = None
+    if reward_engine is not None and vl_type in ("clip", "clip_ft"):
+        text_feat = reward_engine.encode_text_features(text)
+
+    def transform(frames):
+        if transform_obs_fn is None:
+            return np.asarray(frames)
+        return np.asarray(transform_obs_fn(np.asarray(frames)))
+
+    # windows: dict key -> (N, W, ...) rolling buffers
+    first = {key: transform(np.stack([o["image"][key] for o in obs])) for key in image_keys}
+    img_window = {key: np.repeat(first[key][:, None], window_size, axis=1) for key in image_keys}
+    act_window = np.zeros((n, window_size), np.int32)
+    rtg_window = {
+        key: np.full((n, window_size, 1), return_to_go / scale, np.float32) for key in image_keys
+    }
+    rtg_now = {key: np.full(n, return_to_go / scale, np.float32) for key in image_keys}
+    valid_len = 1
+
+    def roll_into(buf, new):
+        buf[:, :-1] = buf[:, 1:]
+        buf[:, -1] = new
+        return buf
+
+    for t in range(episode_length):
+        w = min(valid_len, window_size)
+        inputs = {
+            "image": {k: img_window[k][:, -w:] for k in image_keys},
+            "rtg": {k: rtg_window[k][:, -w:] for k in image_keys},
+            "action": act_window[:, -w:],
+            "instruct": None,
+            "text_padding_mask": None,
+        }
+        actions = np.asarray(jax.device_get(policy_fn(inputs=inputs, rngs=rng)))
+
+        raw_frames = {key: [] for key in image_keys}
+        step_rewards = np.zeros(n, np.float64)
+        for i, env in enumerate(envs):
+            if done[i]:
+                for key in image_keys:
+                    raw_frames[key].append(np.asarray(obs[i]["image"][key]))
+                continue
+            o, r, d, info = env.step(int(actions[i]))
+            obs[i] = o
+            step_rewards[i] = r
+            if d:
+                done[i] = True
+                ep_lens[i] = info["episode_len"]
+            for key in image_keys:
+                raw_frames[key].append(np.asarray(o["image"][key]))
+        total_reward += step_rewards
+
+        if reward_engine is not None:
+            for key in image_keys:
+                frames = np.stack(raw_frames[key])
+                if use_crop:
+                    h = frames.shape[1]
+                    s = h // 4
+                    frames = frames[:, s : s + h // 2, s : s + h // 2, :]
+                if vl_type in ("clip", "clip_ft"):
+                    feats = reward_engine._batched_image_features(frames, normalize=True)
+                    logit_scale = float(
+                        np.exp(np.asarray(reward_engine.variables["params"]["logit_scale"]))
+                    )
+                    logits = logit_scale * (text_feat @ feats.T)
+                    rewards = logits.mean(axis=0) if logits.shape[0] > 1 else logits[0]
+                else:
+                    raise ValueError(f"parallel_rollout: unsupported vl_type {vl_type}")
+                if use_normalize:
+                    rmin = reward_min[key] if isinstance(reward_min, dict) else reward_min
+                    rewards = rewards - rmin
+                rtg_now[key] = np.where(done, rtg_now[key], rtg_now[key] - rewards / scale)
+
+        # update windows with the new obs
+        for key in image_keys:
+            roll_into(img_window[key], transform(np.stack(raw_frames[key])))
+            roll_into(rtg_window[key], rtg_now[key][:, None])
+        roll_into(act_window, actions.astype(np.int32))
+        valid_len += 1
+
+        if done.all():
+            break
+
+    ep_lens = np.where(ep_lens == 0, episode_length, ep_lens)
+    metric = {
+        "return": np.float32(total_reward.mean()),
+        "episode_length": np.float32(ep_lens.mean()),
+        "success_rate": np.float32((total_reward > 0).mean()),
+    }
+    return metric

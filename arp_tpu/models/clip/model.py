@@ -145,13 +145,18 @@ class VisionTransformer(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        b, h, w, c = x.shape
+        # Accepts images (B, H, W, C) or pre-patchified vectors (B, N, P*P*C)
+        # in (p_row, p_col, channel) order (see ops/preprocess.py packed path).
         p = self.patch_size
-        # Patchify as reshape + Dense: one (B*T, P*P*C) x (P*P*C, F) matmul on
-        # the MXU.  Equivalent to the reference conv (kernel converted
-        # accordingly in convert.py).
-        x = x.reshape(b, h // p, p, w // p, p, c)
-        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, (h // p) * (w // p), p * p * c)
+        if x.ndim == 4:
+            b, h, w, c = x.shape
+            # Patchify as reshape + Dense: one (B*N, P*P*C) x (P*P*C, F)
+            # matmul on the MXU.  Equivalent to the reference conv (kernel
+            # converted accordingly in convert.py).
+            x = x.reshape(b, h // p, p, w // p, p, c)
+            x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, (h // p) * (w // p), p * p * c)
+        else:
+            b = x.shape[0]
         x = nn.Dense(self.features, use_bias=False, name="conv1")(x)
 
         scale = 1.0 / jnp.sqrt(self.features)

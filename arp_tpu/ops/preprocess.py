@@ -117,6 +117,122 @@ def resize_bicubic_pil(images: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarr
     return x.astype(jnp.uint8)
 
 
+@functools.lru_cache(maxsize=32)
+def _pil_matmul_operands(in_size: int, out_size: int, channels: int):
+    """Dense resample matrices for the MXU formulation, 8-bit 3-way split.
+
+    The fixed-point coefficients kk (<=23 bits signed) split exactly as
+
+        kk = a * 2^16 + b * 2^8 + c,   a = kk >> 16 (signed, |a| <= 64),
+                                       b, c in [0, 255]
+
+    so every operand fits an 8-bit mantissa: against uint8 pixels all
+    products (<= 255*255) and <=7-tap partial sums (< 2^19) are EXACT even in
+    plain bf16 MXU matmuls with f32 accumulation.  Three full-speed bf16
+    matmuls replace one inexact 23-bit pass; the final >>22 recombination
+    happens in int32 via staged shifts that never overflow (see _pil_round).
+
+    When ``channels > 1`` the matrix is channel-interleaved so the resample
+    runs directly on packed (…, W*C) arrays — no minor-dim-3 layouts anywhere.
+    Returns numpy arrays (this fn is lru_cached; device constants must not
+    leak across jit traces).
+    """
+    idx, kk = _pil_coeffs(in_size, out_size)
+    M = np.zeros((in_size, out_size), np.int64)
+    for o in range(out_size):
+        for k in range(idx.shape[1]):
+            if kk[o, k] != 0:
+                M[idx[o, k], o] += kk[o, k]
+    if channels > 1:
+        M2 = np.zeros((in_size * channels, out_size * channels), np.int64)
+        for c in range(channels):
+            M2[c::channels, c::channels] = M
+        M = M2
+    a = M >> 16  # arithmetic shift: signed high chunk
+    b = (M >> 8) & 255
+    c = M & 255
+    assert (M == a * 65536 + b * 256 + c).all()
+    to_bf16 = lambda m: m.astype(np.float32).astype(jnp.bfloat16)
+    return to_bf16(a), to_bf16(b), to_bf16(c)
+
+
+def _pil_round(acc_a: jnp.ndarray, acc_b: jnp.ndarray, acc_c: jnp.ndarray) -> jnp.ndarray:
+    """(A*2^16 + B*2^8 + C + 2^21) >> 22 in int32 without overflow.
+
+    C >= 0, so by the floor-division identity the result equals
+    ((A << 8) + B + ((C + 2^21) >> 8)) >> 14; every stage stays < 2^31
+    (|A| <= 2^17, B <= 2^19, C <= 2^19).
+    """
+    A = acc_a.astype(jnp.int32)
+    B = acc_b.astype(jnp.int32)
+    C = acc_c.astype(jnp.int32) + (1 << (PRECISION_BITS - 1))
+    out = ((A << 8) + B + (C >> 8)) >> (PRECISION_BITS - 8)
+    return jnp.clip(out, 0, 255)
+
+
+def _pil_pass_matmul(x_int: jnp.ndarray, mats, dn) -> jnp.ndarray:
+    """One resample pass: three exact bf16 matmuls + int32 recombination."""
+    xb = x_int.astype(jnp.bfloat16)
+    accs = [
+        jax.lax.dot_general(xb, jnp.asarray(m), dn, preferred_element_type=jnp.float32)
+        for m in mats
+    ]
+    return _pil_round(*accs)
+
+
+def resize_bicubic_pil_packed(
+    x: jnp.ndarray, channels: int, out_h: int, out_w: int
+) -> jnp.ndarray:
+    """Bit-exact Pillow bicubic resize on channel-packed layout, MXU-native.
+
+    x: (B, H, W*C) holding exact uint8 values (any integer/float dtype).
+    Returns (B, out_h, out_w*C) float32 (exact uint8 values).
+
+    Both separable passes are dense banded bf16 matmuls (exact by the 8-bit
+    operand split, see :func:`_pil_matmul_operands`) — orders of magnitude
+    faster on TPU than the gather-based :func:`resize_bicubic_pil`, which
+    suffers from scalar gathers and minor-dim-3 layouts.
+    """
+    b, h, wc = x.shape
+    w = wc // channels
+    # horizontal: contract packed W*C axis
+    x = _pil_pass_matmul(x, _pil_matmul_operands(w, out_w, channels), (((2,), (0,)), ((), ())))
+    # vertical: contract H (axis 1), keep packed minor axis
+    x = _pil_pass_matmul(x, _pil_matmul_operands(h, out_h, 1), (((1,), (0,)), ((), ())))
+    # dot_general output dims: (batch, out_w*C, out_h) -> transpose minor two
+    return jnp.swapaxes(x, 1, 2).astype(jnp.float32)
+
+
+def clip_preprocess_packed_patches(
+    frames_packed: jnp.ndarray,
+    channels: int = 3,
+    image_size: int = 224,
+    patch_size: int = 16,
+    mean=(0.48145466, 0.4578275, 0.40821073),
+    std=(0.26862954, 0.26130258, 0.27577711),
+) -> jnp.ndarray:
+    """uint8 packed frames (B, H, W*C) -> normalized ViT patches (B, N, P*P*C).
+
+    The whole pipeline stays in lane-friendly packed layouts: bit-exact PIL
+    resize (matmuls), /255 + per-channel normalize (channel pattern tiled
+    along the packed axis), then direct reassembly into patch vectors in the
+    (p_row, p_col, channel) order expected by the converted conv1 kernel.
+    """
+    x = frames_packed.astype(jnp.float32)
+    if frames_packed.shape[1] != image_size or frames_packed.shape[2] != image_size * channels:
+        x = resize_bicubic_pil_packed(x, channels, image_size, image_size)
+    mean_packed = jnp.tile(jnp.asarray(mean, jnp.float32), image_size)
+    std_packed = jnp.tile(jnp.asarray(std, jnp.float32), image_size)
+    x = (x / 255.0 - mean_packed) / std_packed
+    b = x.shape[0]
+    p = patch_size
+    n_side = image_size // p
+    # (B, n_h, p_row, n_w, p_col*C) -> (B, n_h, n_w, p_row, p_col*C) -> (B, N, P*P*C)
+    x = x.reshape(b, n_side, p, n_side, p * channels)
+    x = x.transpose(0, 1, 3, 2, 4)
+    return x.reshape(b, n_side * n_side, p * p * channels)
+
+
 def resize_bicubic_fast(images: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     """Float bicubic + antialias resize (XLA-fused).  Returns float32 0..255."""
     x = images.astype(jnp.float32)

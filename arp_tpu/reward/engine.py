@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models import clip as clip_models
-from ..ops.preprocess import clip_preprocess
+from ..ops.preprocess import clip_preprocess, clip_preprocess_packed_patches
 
 
 class ClipRewardEngine:
@@ -69,18 +69,37 @@ class ClipRewardEngine:
 
         model = self.model
         img_size = self.image_size
+        # ViT towers use the packed-layout pipeline: the host hands frames as
+        # (B, H, W*C) so no minor-dim-3 array ever exists on device (those
+        # layouts pad 3 -> 128 lanes and dominate runtime), and the bit-exact
+        # resize runs as MXU matmuls instead of gathers.
+        self._packed = (
+            resize_mode == "pil"
+            and not use_crop
+            and getattr(model, "vision_patch_size", None) is not None
+        )
+        patch_size = getattr(model, "vision_patch_size", None)
 
-        @jax.jit
-        def _encode_images(variables, frames, normalize):
-            x = clip_preprocess(
-                frames, image_size=img_size, resize_mode=resize_mode, crop_half=use_crop
-            )
+        def _cast(variables, x):
             if compute_dtype != jnp.float32:
                 x = x.astype(compute_dtype)
                 variables = jax.tree_util.tree_map(
                     lambda p: p.astype(compute_dtype) if jnp.issubdtype(p.dtype, jnp.floating) else p,
                     variables,
                 )
+            return variables, x
+
+        @jax.jit
+        def _encode_images(variables, frames, normalize):
+            if self._packed:
+                x = clip_preprocess_packed_patches(
+                    frames, channels=3, image_size=img_size, patch_size=patch_size
+                )
+            else:
+                x = clip_preprocess(
+                    frames, image_size=img_size, resize_mode=resize_mode, crop_half=use_crop
+                )
+            variables, x = _cast(variables, x)
             feat = model.apply(variables, x, normalize=False, method=model.encode_image)
             feat = feat.astype(jnp.float32)
             norm_feat = feat / jnp.linalg.norm(feat, axis=-1, keepdims=True)
@@ -121,6 +140,9 @@ class ClipRewardEngine:
             if chunk.shape[0] < bs:
                 pad = np.repeat(chunk[-1:], bs - chunk.shape[0], axis=0)
                 chunk = np.concatenate([chunk, pad], axis=0)
+            if self._packed:
+                # free host-side view: (B, H, W, C) -> (B, H, W*C)
+                chunk = np.ascontiguousarray(chunk).reshape(bs, chunk.shape[1], -1)
             outputs.append(self._encode_images_jit(self.variables, chunk, normalize))
         feats = np.concatenate([np.asarray(o) for o in outputs], axis=0)
         return feats[:n]

@@ -71,3 +71,32 @@ def test_clip_preprocess_crop_half():
         r = np.asarray(Image.fromarray(img).resize((224, 224), Image.BICUBIC), np.float32)
         expected.append((r / 255.0 - mean) / std)
     np.testing.assert_allclose(got, np.stack(expected), atol=1e-6)
+
+
+def test_packed_resize_bit_exact():
+    from arp_tpu.ops.preprocess import resize_bicubic_pil_packed
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    imgs = rng.integers(0, 256, size=(3, 256, 256, 3), dtype=np.uint8)
+    packed = jnp.asarray(imgs.reshape(3, 256, -1).astype(np.float32))
+    got = np.asarray(resize_bicubic_pil_packed(packed, 3, 224, 224)).reshape(3, 224, 224, 3)
+    for i in range(3):
+        expected = np.asarray(Image.fromarray(imgs[i]).resize((224, 224), Image.BICUBIC))
+        np.testing.assert_array_equal(got[i].astype(np.uint8), expected)
+
+
+def test_packed_patches_match_standard_pipeline():
+    from arp_tpu.ops.preprocess import clip_preprocess_packed_patches
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(12)
+    imgs = rng.integers(0, 256, size=(2, 256, 256, 3), dtype=np.uint8)
+    std_out = np.asarray(clip_preprocess(imgs, resize_mode="pil"))  # (B,224,224,3)
+    # manual patchify in (p_row, p_col, channel) order
+    p = 16
+    b = 2
+    ref = std_out.reshape(b, 14, p, 14, p, 3).transpose(0, 1, 3, 2, 4, 5).reshape(b, 196, p * p * 3)
+    packed = jnp.asarray(imgs.reshape(b, 256, -1))
+    got = np.asarray(clip_preprocess_packed_patches(packed, 3, 224, p))
+    np.testing.assert_allclose(got, ref, atol=1e-6)
