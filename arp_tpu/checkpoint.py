@@ -1,0 +1,99 @@
+"""Checkpointing via Orbax.
+
+Replaces the reference's cloudpickle-of-replicated-TrainState
+(main_procgen.py:815-829, utils.py:182-190): async-capable, sharded-aware
+save/restore of {step, epoch, variant, state} plus best-model tracking.
+RNG and data-loader epoch state are saved too — the reference loses them on
+resume (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    """Thin orbax wrapper with the framework's checkpoint layout."""
+
+    def __init__(self, directory: str, max_to_keep: int = 5):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._mngr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True),
+        )
+        self.best_score = -np.inf
+
+    def save(self, step: int, state, metadata: Optional[dict] = None, wait: bool = False):
+        """Save train state + json-able metadata at `step` (async by default)."""
+        args = ocp.args.Composite(
+            state=ocp.args.StandardSave(state),
+            metadata=ocp.args.JsonSave(metadata or {}),
+        )
+        self._mngr.save(step, args=args)
+        if wait:
+            self._mngr.wait_until_finished()
+
+    def save_best(self, step: int, state, score: float, metadata: Optional[dict] = None):
+        """Track the best eval score; saves under a 'best' subdir when improved."""
+        if score <= self.best_score:
+            return False
+        self.best_score = score
+        best_dir = os.path.join(self.directory, "best")
+        ckptr = ocp.Checkpointer(ocp.StandardCheckpointHandler())
+        ckptr.save(os.path.join(best_dir, "state"), state, force=True)
+        meta = dict(metadata or {}, step=step, score=float(score))
+        ocp.Checkpointer(ocp.JsonCheckpointHandler()).save(
+            os.path.join(best_dir, "metadata"), meta, force=True
+        )
+        return True
+
+    def latest_step(self) -> Optional[int]:
+        return self._mngr.latest_step()
+
+    def restore(self, state_template, step: Optional[int] = None):
+        """Restore (state, metadata); state_template provides structure/sharding."""
+        step = step if step is not None else self.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints in {self.directory}")
+        restored = self._mngr.restore(
+            step,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardRestore(state_template),
+                metadata=ocp.args.JsonRestore(),
+            ),
+        )
+        return restored["state"], restored["metadata"]
+
+    def wait(self):
+        self._mngr.wait_until_finished()
+
+    def close(self):
+        self._mngr.close()
+
+
+def save_pickle(obj: Any, path: str) -> None:
+    """Legacy-compatible pickle save (reference checkpoints are cloudpickle)."""
+    import cloudpickle
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        cloudpickle.dump(obj, f)
+
+
+def load_pickle(path: str) -> Any:
+    import cloudpickle
+
+    with open(path, "rb") as f:
+        return cloudpickle.load(f)
+
+
+def load_reference_checkpoint(path: str):
+    """Load a reference-format pickle checkpoint ({step, epoch, variant, state})."""
+    data = load_pickle(path)
+    return data

@@ -1,0 +1,119 @@
+"""End-to-end trainer CLI test: synthetic demos -> label -> train -> eval rollout.
+
+Exercises the full pipeline through the real command-line surface in a
+subprocess on the virtual 8-device CPU mesh.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import h5py
+import numpy as np
+import pytest
+
+DATASET = "coinrun_hard_level0to500_num20_frame8"
+
+
+def make_labeled_dataset(root, n=48, num_frames=8, img=32):
+    ddir = os.path.join(root, DATASET)
+    os.makedirs(ddir, exist_ok=True)
+    rng = np.random.default_rng(0)
+    for split, count in (("train", n), ("val", 16)):
+        path = os.path.join(ddir, f"data_{split}.hdf5")
+        with h5py.File(path, "w") as g:
+            g.create_dataset(
+                "ob", data=rng.integers(0, 256, size=(count, num_frames, img, img, 3), dtype=np.uint8)
+            )
+            g.create_dataset("act", data=rng.integers(0, 15, size=(count, num_frames)).astype(np.int64))
+            done = np.zeros((count, num_frames), bool)
+            for end in range(count // 8, count + 1, count // 4):
+                done[min(end, count) - 1, -1] = True
+            done[count - 1, -1] = True
+            g.create_dataset("done", data=done)
+            # synthetic labeled rewards (as the labeler would write)
+            rewards = rng.normal(size=(count,)).astype(np.float32) * 10 + 200
+            rows = np.repeat(rewards[:, None], num_frames, axis=1)
+            g.create_dataset("ob_clip_reward", data=rows)
+            g.create_dataset("ob_clip_pos_rtg", data=rows)
+    return ddir
+
+
+@pytest.mark.parametrize("vl", ["arpdt"])
+def test_trainer_cli_end_to_end(tmp_path, vl):
+    data_root = str(tmp_path / "demos")
+    make_labeled_dataset(data_root)
+    out_dir = str(tmp_path / "out")
+    ckpt_dir = str(tmp_path / "ckpt")
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    env["PYTHONPATH"] = "/root/repo"
+
+    cmd = [
+        sys.executable,
+        "-m",
+        "arp_tpu.train.main",
+        "--seed=1",
+        "--epochs=2",
+        "--warmup_epochs=0",
+        "--batch_size=8",
+        "--dataloader_n_workers=0",
+        "--log_freq=2",
+        "--lr=1e-3",
+        "--lr_schedule=cos",
+        "--window_size=4",
+        "--use_vl=True",
+        "--vl_type=clip",
+        "--use_crop=False",
+        "--game_name=coinrun",
+        "--val_every_epochs=1",
+        "--test_every_epochs=2",
+        "--num_test_episodes=1",
+        "--episode_length=4",
+        "--eval_env=fake",
+        f"--checkpoint_dir={ckpt_dir}",
+        # model
+        "--model.model_type=vit_debug",
+        "--model.transfer_type=none",
+        "--model.emb_dim=32",
+        "--model.depth=2",
+        "--model.num_heads=4",
+        "--model.mlp_ratio=2",
+        "--model.num_ensembles=2",
+        # data
+        f"--data.path={data_root}",
+        "--data.image_size=32",
+        "--data.num_frames=8",
+        "--data.window_size=4",
+        "--data.num_demonstrations=20",
+        "--data.use_vl=True",
+        "--data.augmentations=random_crop,color_jitter",
+        # logging
+        f"--logging.output_dir={out_dir}",
+        "--logging.online=False",
+    ]
+    # NOTE: jax may be preimported by sitecustomize; the env vars above still
+    # apply because the subprocess starts fresh BUT sitecustomize preimport
+    # happens before user code — JAX_PLATFORMS in the environment is read at
+    # jax import, which happens inside sitecustomize with the env already set.
+    proc = subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, f"stdout:\n{proc.stdout[-3000:]}\nstderr:\n{proc.stderr[-5000:]}"
+
+    # metrics got logged
+    exp_dirs = [d for d in os.listdir(out_dir)]
+    assert exp_dirs
+    metrics_path = os.path.join(out_dir, exp_dirs[0], "metrics.jsonl")
+    records = [json.loads(line) for line in open(metrics_path)]
+    train_losses = [r["train_loss"] for r in records if "train_loss" in r]
+    assert train_losses, "no train metrics logged"
+    assert all(np.isfinite(v) for v in train_losses)
+    val_recs = [r for r in records if "val_loss" in r]
+    assert val_recs, "no val metrics logged"
+    test_recs = [r for r in records if "test/return" in r]
+    assert test_recs, "no rollout eval logged"
+
+    # checkpoint written
+    assert os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir)
