@@ -143,7 +143,10 @@ class ClipRewardEngine:
             if self._packed:
                 # free host-side view: (B, H, W, C) -> (B, H, W*C)
                 chunk = np.ascontiguousarray(chunk).reshape(bs, chunk.shape[1], -1)
-            outputs.append(self._encode_images_jit(self.variables, chunk, normalize))
+            # explicit async device_put: implicit dispatch-time transfers of
+            # >2-D arrays are ~6x slower on some backends, and this overlaps
+            # the next chunk's host read with this chunk's compute.
+            outputs.append(self._encode_images_jit(self.variables, jax.device_put(chunk), normalize))
         feats = np.concatenate([np.asarray(o) for o in outputs], axis=0)
         return feats[:n]
 

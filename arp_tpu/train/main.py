@@ -32,7 +32,19 @@ from ..data.loader import DataLoader
 from ..data.procgen_dataset import ProcgenDataset, dataset_dirname
 from ..data.instructions import get_clip_instruct, get_clip_special_instruct, get_m3ae_instruct
 from ..logging_utils import MetricsLogger
-from ..models.policy import ARPDT, BC, GCBC, get_policy_default_config
+from ..models.policy import get_policy_default_config
+from .common import (
+    _host_batch_to_arrays,
+    _mean_metrics,
+    build_lr_schedule,
+    build_model,
+    build_optimizer,
+    build_test_step,
+    flops_analysis,
+    get_dummy_input,
+    make_eval_loss_fn,
+    make_loss_fn,
+)
 from ..ops.augment import make_augment_fn, make_eval_transform
 from ..parallel import MeshConfig, create_mesh, make_train_step, shard_batch
 from ..parallel.mesh import partition_params
@@ -91,166 +103,6 @@ FLAGS_DEF = define_flags_with_default(
 )
 
 FLAGS = flags.FLAGS
-
-
-def build_model(flags_obj, num_actions: int):
-    if flags_obj.use_vl or flags_obj.data.use_task_reward:
-        cls = ARPDT
-    elif "GCBC" in flags_obj.vl_type:
-        cls = GCBC
-    else:
-        cls = BC
-    return cls(
-        config_updates=flags_obj.model,
-        num_actions=num_actions,
-        patch_dim=flags_obj.patch_dim,
-        normalize_quterion=False,
-    )
-
-
-def build_lr_schedule(flags_obj, steps_per_epoch: int, total_steps: int, lr_scale: float = 1.0):
-    if flags_obj.lr_schedule == "fixed":
-        return optax.linear_schedule(flags_obj.lr, flags_obj.lr, total_steps)
-    if flags_obj.lr_schedule == "cos":
-        return optax.warmup_cosine_decay_schedule(
-            init_value=0.0,
-            peak_value=flags_obj.lr * lr_scale,
-            warmup_steps=int(flags_obj.warmup_epochs * steps_per_epoch),
-            decay_steps=total_steps,
-            end_value=0.0,
-        )
-    if flags_obj.lr_schedule == "cos_decay":
-        return optax.cosine_decay_schedule(flags_obj.lr, total_steps)
-    raise ValueError(f"Unsupported lr schedule {flags_obj.lr_schedule!r}")
-
-
-def build_optimizer(flags_obj, learning_rate, model):
-    """clip_by_global_norm + adamw with no-decay mask (main_procgen.py:490-507)."""
-
-    def weight_decay_mask(params):
-        import flax
-
-        flat = flax.traverse_util.flatten_dict(flax.core.unfreeze(params))
-
-        def decay(path):
-            return not any(nd in k for nd in model.no_decay_list() for k in path)
-
-        return flax.traverse_util.unflatten_dict({p: decay(p) for p in flat})
-
-    return optax.chain(
-        optax.clip_by_global_norm(flags_obj.clip_gradient),
-        optax.adamw(
-            learning_rate=learning_rate,
-            weight_decay=flags_obj.weight_decay,
-            b1=0.9,
-            b2=0.999,
-            mask=weight_decay_mask,
-        ),
-    )
-
-
-def get_dummy_input(flags_obj, dataset):
-    window = flags_obj.window_size
-    transfer = flags_obj.model.transfer_type
-    image_size = 224 if transfer.startswith("clip") else 256
-    if transfer == "none":
-        image_size = flags_obj.data.image_size
-    dummy = {
-        "action": jnp.ones((1, window), jnp.int32),
-        "image": {},
-        "goal": {},
-        "rtg": {},
-        "instruct": None,
-        "text_padding_mask": None,
-    }
-    for k in dataset.obs_shape["image"]:
-        dummy["image"][k] = jnp.ones((1, window, image_size, image_size, 3), jnp.float32)
-        dummy["goal"][k] = jnp.ones((1, window, image_size, image_size, 3), jnp.float32)
-        dummy["rtg"][k] = jnp.ones((1, window, 1), jnp.float32)
-    if dataset.config.state_key != "":
-        dummy["state"] = jnp.ones((1, window, dataset.config.state_dim), jnp.float32)
-    if flags_obj.use_text:
-        dummy["instruct"] = jnp.zeros((1, flags_obj.data.tokenizer_max_length), jnp.int32)
-        dummy["text_padding_mask"] = jnp.ones((1, flags_obj.data.tokenizer_max_length), jnp.float32)
-    return dummy
-
-
-def flops_analysis(jitted, *args):
-    try:
-        lowered = jitted.lower(*args)
-        compiled = lowered.compile()
-        cost = compiled.cost_analysis()
-        if isinstance(cost, list):
-            cost = cost[0]
-        return float(cost.get("flops", -1.0))
-    except Exception:
-        return -1.0
-
-
-def make_loss_fn(model, augment_fn, image_size: int, use_goal: bool):
-    """Loss with on-device augmentation fused into the step."""
-
-    def loss_fn(params, batch, rng):
-        rng, aug_rng = jax.random.split(rng)
-        batch = dict(batch)
-        if augment_fn is not None:
-            def aug_tree(images, rng):
-                out = {}
-                for i, (k, v) in enumerate(sorted(images.items())):
-                    b, w = v.shape[:2]
-                    flat = v.reshape((b * w,) + v.shape[2:])
-                    auged, _ = augment_fn(flat, jax.random.fold_in(rng, i))
-                    out[k] = auged.reshape((b, w) + auged.shape[1:])
-                return out
-
-            batch["image"] = aug_tree(batch["image"], aug_rng)
-            if use_goal and batch.get("goal") is not None:
-                batch["goal"] = aug_tree(batch["goal"], jax.random.fold_in(aug_rng, 977))
-        output = model.apply(
-            {"params": params},
-            batch,
-            rngs={"dropout": rng, "noise": jax.random.fold_in(rng, 1)},
-            deterministic=False,
-        )
-        aux = {
-            "loss": output["loss"],
-            "acc": output["acc"] * 100,
-            "trans_loss": output.get("trans_loss", 0.0),
-            "return_loss": output.get("return_loss", 0.0),
-        }
-        return output["loss"], aux
-
-    return loss_fn
-
-
-def make_eval_loss_fn(model, eval_transform, use_goal: bool):
-    def loss_fn(params, batch, rng):
-        batch = dict(batch)
-        if eval_transform is not None:
-            def tr(images):
-                out = {}
-                for k, v in images.items():
-                    b, w = v.shape[:2]
-                    flat = v.reshape((b * w,) + v.shape[2:])
-                    t = eval_transform(flat)
-                    out[k] = t.reshape((b, w) + t.shape[1:])
-                return out
-
-            batch["image"] = tr(batch["image"])
-            if use_goal and batch.get("goal") is not None:
-                batch["goal"] = tr(batch["goal"])
-        output = model.apply(
-            {"params": params}, batch, rngs={"dropout": rng}, deterministic=True
-        )
-        aux = {
-            "loss": output["loss"],
-            "acc": output["acc"] * 100,
-            "trans_loss": output.get("trans_loss", 0.0),
-            "return_loss": output.get("return_loss", 0.0),
-        }
-        return output["loss"], aux
-
-    return loss_fn
 
 
 def main(argv):
@@ -457,119 +309,6 @@ def main(argv):
             ckpt.wait()
     logger.log({"final_step": total_steps, "best_eval_score": float(best_eval_score)})
     logger.close()
-
-
-def _host_batch_to_arrays(batch, use_text: bool, use_goal: bool = False):
-    """Strip unused entries so no dead bytes cross the host->HBM link."""
-    out = dict(batch)
-    if not use_text:
-        out["instruct"] = None
-        out["text_padding_mask"] = None
-    if not use_goal:
-        out["goal"] = None
-    return out
-
-
-def _mean_metrics(metric_list, prefix=""):
-    stacked = {}
-    for k in metric_list[0]:
-        vals = [np.asarray(jax.device_get(m[k])).mean() for m in metric_list]
-        stacked[f"{prefix}{k}"] = float(np.mean(vals))
-    return stacked
-
-
-def build_test_step(flags_obj, model, train_dataset, eval_transform, use_text):
-    """Rollout-eval step factory (reference create_test_step, main_procgen.py:171-229)."""
-    from ..envs.fake import FakeProcgen
-    from ..envs.rollout import batch_rollout
-
-    env_conf = {
-        "episode_length": flags_obj.episode_length,
-        "eval_env_type": flags_obj.env_eval_env_type,
-        "distribution_mode": flags_obj.env_distribution_mode,
-        "num_levels": flags_obj.env_num_levels,
-        "start_level": flags_obj.env_start_level,
-    }
-    if flags_obj.eval_env == "fake":
-        environment = FakeProcgen(flags_obj.game_name, {"episode_length": flags_obj.episode_length})
-    else:
-        from ..envs.procgen import Procgen
-
-        environment = Procgen(flags_obj.game_name, env_conf)
-
-    instruct_info = {"instruct": None, "text_padding_mask": None}
-    if use_text:
-        ids, pad = train_dataset.tokenizer(get_m3ae_instruct(flags_obj.game_name) or "")
-        instruct_info = {"instruct": ids[None], "text_padding_mask": pad[None]}
-
-    reward_engine = None
-    text = None
-    if flags_obj.use_vl:
-        game = (
-            flags_obj.game_name
-            if flags_obj.env_eval_env_type == "none"
-            else f"{flags_obj.game_name}_{flags_obj.env_eval_env_type}"
-        )
-        if flags_obj.data.inst_type != "none":
-            text = get_clip_special_instruct(game, flags_obj.data.inst_type)
-        else:
-            text = get_clip_instruct(game)
-        try:
-            from ..reward.engine import ClipRewardEngine
-
-            reward_engine = ClipRewardEngine(
-                batch_size=64,
-                resize_mode="pil",
-                use_crop=flags_obj.use_crop,
-                compute_dtype=jnp.bfloat16 if flags_obj.reward_bf16 else jnp.float32,
-            )
-        except FileNotFoundError:
-            absl_logging.warning("no CLIP checkpoint for eval rewards; rtg stays constant")
-            reward_engine = None
-
-    @jax.jit
-    def policy_fn_jit(params, inputs):
-        merged = dict(inputs)
-        merged.update(instruct_info)
-        return model.apply({"params": params}, merged, method=model.greedy_action)
-
-    return_to_go = (
-        getattr(train_dataset, "return_to_go", 1000.0)
-        if flags_obj.return_to_go == 0
-        else flags_obj.return_to_go
-    )
-    scale = getattr(train_dataset, "scale", 100.0)
-
-    def transform_obs(val):
-        return eval_transform(np.asarray(val))
-
-    def test_step_fn(gstate, rng):
-        params = jax.device_get(gstate.params)
-
-        def policy(inputs, rngs):
-            return policy_fn_jit(params, inputs)
-
-        return batch_rollout(
-            rng=rng,
-            data_aug_rng=rng,
-            env=environment,
-            policy_fn=policy,
-            transform_obs_fn=transform_obs,
-            episode_length=flags_obj.episode_length,
-            window_size=flags_obj.window_size,
-            num_episodes=flags_obj.num_test_episodes,
-            return_to_go=return_to_go,
-            scale=scale,
-            reward_engine=reward_engine,
-            vl_type=flags_obj.vl_type,
-            text=text,
-            reward_min=getattr(train_dataset, "reward_min", 0.0),
-            use_normalize=flags_obj.data.use_normalize,
-            use_crop=flags_obj.use_crop,
-            eval_data_path=flags_obj.eval_data_path or None,
-        )
-
-    return test_step_fn
 
 
 if __name__ == "__main__":

@@ -117,3 +117,43 @@ def test_trainer_cli_end_to_end(tmp_path, vl):
 
     # checkpoint written
     assert os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir)
+
+
+def test_eval_cli(tmp_path):
+    """Train briefly with checkpointing, then run the standalone eval driver."""
+    data_root = str(tmp_path / "demos")
+    make_labeled_dataset(data_root)
+    out_dir = str(tmp_path / "out")
+    ckpt_dir = str(tmp_path / "ckpt")
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    env["PYTHONPATH"] = "/root/repo"
+
+    common = [
+        "--window_size=4", "--use_vl=True", "--vl_type=clip", "--use_crop=False",
+        "--game_name=coinrun", "--episode_length=4", "--eval_env=fake",
+        "--model.model_type=vit_debug", "--model.transfer_type=none",
+        "--model.emb_dim=32", "--model.depth=2", "--model.num_heads=4",
+        "--model.mlp_ratio=2", "--model.num_ensembles=2",
+        f"--data.path={data_root}", "--data.image_size=32", "--data.num_frames=8",
+        "--data.window_size=4", "--data.num_demonstrations=20", "--data.use_vl=True",
+        f"--logging.output_dir={out_dir}",
+    ]
+    train_cmd = [
+        sys.executable, "-m", "arp_tpu.train.main",
+        "--epochs=1", "--warmup_epochs=0", "--batch_size=8", "--dataloader_n_workers=0",
+        "--val_every_epochs=0", "--test_every_epochs=0", "--log_freq=2",
+        f"--checkpoint_dir={ckpt_dir}", "--save_model_freq=4",
+    ] + common
+    proc = subprocess.run(train_cmd, env=env, capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+
+    eval_cmd = [
+        sys.executable, "-m", "arp_tpu.train.eval",
+        f"--checkpoint_dir={ckpt_dir}", "--num_test_episodes=1",
+    ] + common
+    proc = subprocess.run(eval_cmd, env=env, capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "return" in proc.stdout
