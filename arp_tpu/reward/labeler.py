@@ -168,17 +168,23 @@ def main():
 
     import jax.numpy as jnp
 
-    variables = None
-    if args.model_ckpt_dir is not None and args.model_type.startswith("clip_ft"):
-        raise NotImplementedError("clip_ft labeling flows through arp_tpu.finetune (see stage 6)")
+    if args.model_type.startswith("clip_ft"):
+        assert args.model_ckpt_dir is not None, "specify --model_ckpt_dir (adapter checkpoint)"
+        from ..finetune.reward import ClipFtRewardEngine, load_adapter_params
 
-    engine = ClipRewardEngine(
-        batch_size=args.batch_size,
-        resize_mode=args.resize_mode,
-        use_crop=args.use_crop,
-        compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
-        variables=variables,
-    )
+        adapter_params = load_adapter_params(args.model_ckpt_dir)
+        engine = ClipFtRewardEngine(
+            adapter_params=adapter_params,
+            batch_size=args.batch_size,
+            use_crop=args.use_crop,
+        )
+    else:
+        engine = ClipRewardEngine(
+            batch_size=args.batch_size,
+            resize_mode=args.resize_mode,
+            use_crop=args.use_crop,
+            compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        )
     stats = label_rewards(
         data_path,
         text,

@@ -1,0 +1,164 @@
+"""CLIP multiscale adapter fine-tuning tests (tiny CLIP, synthetic quadruples)."""
+
+import h5py
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from flax.training.train_state import TrainState
+
+from arp_tpu.finetune.adapter_model import ClipMultiscaleAdapter
+from arp_tpu.finetune.dataset import ProcgenActionDataset
+from arp_tpu.models.clip import CLIP
+
+TINY_CFG = dict(
+    embed_dim=16,
+    vocab_size=97,
+    vision_num_layers=2,
+    vision_features=64,
+    vision_patch_size=8,
+    text_features=16,
+    text_num_heads=4,
+    text_num_layers=2,
+)
+IMG = 32
+
+
+class TinyAdapter(ClipMultiscaleAdapter):
+    """Adapter wired to the tiny CLIP config."""
+
+    def setup(self):
+        self.clip_model = CLIP(**TINY_CFG)
+        self.num_clip_layers = TINY_CFG["text_num_layers"]
+        self.visual_dim = TINY_CFG["vision_features"]
+        self.text_dim = TINY_CFG["text_features"]
+        L = self.num_clip_layers
+        import flax.linen as nn
+
+        self.image_intermediate_linear = nn.Dense(self.text_dim * L, use_bias=False)
+        self.text_intermediate_linear = nn.Dense(self.text_dim * L, use_bias=False)
+        from arp_tpu.models.layers import AdapterMLP
+
+        self.image_adapter = AdapterMLP(hidden_dim=16 * (L + 1), output_dim=16 * (L + 1), num_layers=2)
+        self.text_adapter = AdapterMLP(hidden_dim=16 * (L + 1), output_dim=16 * (L + 1), num_layers=2)
+        self.inverse_layer = AdapterMLP(hidden_dim=16, output_dim=self.action_dim, num_layers=2)
+        self.image_residual_weight = self.param("image_residual_weight", nn.initializers.constant(4.0), ())
+        self.text_residual_weight = self.param("text_residual_weight", nn.initializers.constant(4.0), ())
+        self.lambda_id = self.param("lambda_id", nn.initializers.constant(float(np.log(1 / 0.07))), ())
+
+
+def tiny_tokens(batch=2):
+    t = np.zeros((batch, 77), np.int32)
+    t[:, 0] = 90
+    t[:, 1] = 5
+    t[:, 2] = 96
+    return t
+
+
+@pytest.fixture(scope="module")
+def adapter_setup():
+    clip_model = CLIP(**TINY_CFG)
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.normal(size=(1, 224, 224, 3)).astype(np.float32))
+    clip_vars = clip_model.init(jax.random.PRNGKey(0), img, jnp.asarray(tiny_tokens(1)))
+    model = TinyAdapter(action_dim=15)
+    batch = make_batch(rng)
+    params = model.init(
+        {"params": jax.random.PRNGKey(1), "aug": jax.random.PRNGKey(2)},
+        clip_vars, batch, train=False,
+    )["params"]
+    return model, clip_vars, params
+
+
+def make_batch(rng, b=2):
+    batch = {}
+    for i in range(4):
+        batch[f"image{i}"] = {"ob": jnp.asarray(rng.integers(0, 256, size=(b, IMG, IMG, 3), dtype=np.uint8))}
+    batch["r"] = jnp.asarray(rng.integers(0, 2, size=(b, 1)).astype(np.int32))
+    batch["instruct"] = jnp.asarray(tiny_tokens(b))
+    batch["action"] = jnp.asarray(rng.integers(0, 15, size=(b,)).astype(np.int32))
+    return batch
+
+
+def test_adapter_losses_finite(adapter_setup):
+    model, clip_vars, params = adapter_setup
+    rng = np.random.default_rng(1)
+    batch = make_batch(rng)
+    loss, metrics = model.apply(
+        {"params": params}, clip_vars, batch, train=True, rngs={"aug": jax.random.PRNGKey(3)}
+    )
+    assert np.isfinite(float(loss))
+    assert np.isfinite(float(metrics["ob_vip_loss"]))
+    assert np.isfinite(float(metrics["ob_id_loss"]))
+
+
+def test_adapter_trains_and_clip_frozen(adapter_setup):
+    """Gradient steps reduce the loss; CLIP variables are untouched by design."""
+    model, clip_vars, params = adapter_setup
+    rng = np.random.default_rng(2)
+    batch = make_batch(rng, b=4)
+    state = TrainState.create(apply_fn=model.apply, params=params, tx=optax.adam(1e-3))
+
+    @jax.jit
+    def step(state, batch, rng):
+        def loss_fn(p):
+            loss, m = model.apply({"params": p}, clip_vars, batch, train=False)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads=grads), loss
+
+    losses = []
+    for i in range(6):
+        state, loss = step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    # only adapter params are in the trainable tree
+    flat = jax.tree_util.tree_leaves_with_path(state.params)
+    names = {"/".join(str(getattr(k, "key", k)) for k in path) for path, _ in flat}
+    assert not any("clip_model" in n for n in names)
+
+
+def test_encode_features_normalized(adapter_setup):
+    model, clip_vars, params = adapter_setup
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.normal(size=(2, 224, 224, 3)).astype(np.float32))
+    feat = model.apply({"params": params}, clip_vars, img, method=model.encode_image)
+    L = TINY_CFG["text_num_layers"]
+    assert feat.shape == (2, 16 * (L + 1))
+    np.testing.assert_allclose(np.asarray(jnp.linalg.norm(feat, axis=-1)), 1.0, atol=1e-5)
+    tfeat = model.apply({"params": params}, clip_vars, jnp.asarray(tiny_tokens(2)), method=model.encode_text)
+    np.testing.assert_allclose(np.asarray(jnp.linalg.norm(tfeat, axis=-1)), 1.0, atol=1e-5)
+
+
+def test_quadruple_dataset(tmp_path):
+    root = tmp_path / "demos" / "coinrun_hard"
+    root.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    n, f = 20, 4
+    with h5py.File(root / "data_train.hdf5", "w") as g:
+        g.create_dataset("ob", data=rng.integers(0, 256, size=(n, f, 16, 16, 3), dtype=np.uint8))
+        g.create_dataset("act", data=rng.integers(0, 15, size=(n, f)).astype(np.int64))
+        done = np.zeros((n, f), bool)
+        done[9, -1] = done[n - 1, -1] = True
+        g.create_dataset("done", data=done)
+
+    class Tok:
+        def __call__(self, text):
+            return np.zeros((1, 77), np.int32)
+
+    cfg = {"path": str(tmp_path / "demos"), "image_key": "ob"}
+    ds = ProcgenActionDataset(cfg, dataset_name="coinrun_hard", split="train", tokenizer=Tok())
+    item = ds[3]
+    assert set(item) >= {"image0", "image1", "image2", "image3", "r", "instruct", "action"}
+    assert item["image0"]["ob"].shape == (16, 16, 3)
+    assert item["r"][0] in (0, 1)
+    # index 9 is the last of traj 0 -> t+1 clamps to end -> r=1
+    assert ds[9]["r"][0] == 1
+    assert ds[3]["r"][0] == 0
+    # reference-parity action indexing
+    cfg2 = dict(cfg, action_at="traj_start")
+    ds2 = ProcgenActionDataset(cfg2, dataset_name="coinrun_hard", split="train", tokenizer=Tok())
+    with h5py.File(root / "data_train.hdf5", "r") as g:
+        assert ds2[3]["action"] == g["act"][0][-1]
