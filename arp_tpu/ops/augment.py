@@ -163,3 +163,43 @@ def make_eval_transform(image_size: int = 224, mean=PROCGEN_MEAN, std=PROCGEN_ST
         return x[0] if squeeze else x
 
     return transform
+
+
+def mixup_cutmix(rng, images, labels, num_classes, mixup_alpha=0.8, cutmix_alpha=1.0, switch_prob=0.5):
+    """Batch mixup/cutmix (reference: m3ae/jax_utils.py:139-203).
+
+    images: (B, H, W, C) float; labels: (B,) int -> returns mixed images and
+    soft labels (B, num_classes).
+    """
+    b, h, w, _ = images.shape
+    onehot = jax.nn.one_hot(labels, num_classes)
+    perm_rng, lam_rng, switch_rng, box_rng = jax.random.split(rng, 4)
+    perm = jax.random.permutation(perm_rng, b)
+    use_cutmix = jax.random.uniform(switch_rng, ()) < switch_prob
+
+    lam_mix = jax.random.beta(lam_rng, mixup_alpha, mixup_alpha, ())
+    lam_cut = jax.random.beta(lam_rng, cutmix_alpha, cutmix_alpha, ())
+
+    # mixup branch
+    mixed_up = lam_mix * images + (1 - lam_mix) * images[perm]
+
+    # cutmix branch: paste a random box from the permuted batch
+    ratio = jnp.sqrt(1.0 - lam_cut)
+    cut_h = (h * ratio).astype(jnp.int32)
+    cut_w = (w * ratio).astype(jnp.int32)
+    cy = jax.random.randint(box_rng, (), 0, h)
+    cx = jax.random.randint(jax.random.fold_in(box_rng, 1), (), 0, w)
+    y0 = jnp.clip(cy - cut_h // 2, 0, h)
+    y1 = jnp.clip(cy + cut_h // 2, 0, h)
+    x0 = jnp.clip(cx - cut_w // 2, 0, w)
+    x1 = jnp.clip(cx + cut_w // 2, 0, w)
+    yy = jnp.arange(h)[None, :, None, None]
+    xx = jnp.arange(w)[None, None, :, None]
+    in_box = ((yy >= y0) & (yy < y1) & (xx >= x0) & (xx < x1)).astype(images.dtype)
+    cut = images * (1 - in_box) + images[perm] * in_box
+    lam_cut_eff = 1.0 - ((y1 - y0) * (x1 - x0)) / (h * w)
+
+    images_out = jnp.where(use_cutmix, cut, mixed_up)
+    lam = jnp.where(use_cutmix, lam_cut_eff, lam_mix)
+    labels_out = lam * onehot + (1 - lam) * onehot[perm]
+    return images_out, labels_out

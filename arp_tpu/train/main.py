@@ -50,6 +50,8 @@ from ..parallel import MeshConfig, create_mesh, make_train_step, shard_batch
 from ..parallel.mesh import partition_params
 from ..parallel.prefetch import ThreadedPrefetch
 from ..parallel.step import make_eval_step, shard_train_state
+from ..profiling import StepTimer
+from ..resilience import FaultDetector, PreemptionHandler
 from ..rng import next_rng, set_random_seed
 
 FLAGS_DEF = define_flags_with_default(
@@ -256,6 +258,9 @@ def main(argv):
             capacity=2,
         )
         rng = jax.random.PRNGKey(FLAGS.seed)
+        preemption = PreemptionHandler()
+        faults = FaultDetector()
+        step_timer = StepTimer()
 
         best_eval_score = -np.inf
         train_metrics = []
@@ -265,10 +270,21 @@ def main(argv):
             rng, step_rng = jax.random.split(rng)
             gstate, aux = train_step(gstate, batch, step_rng)
             train_metrics.append(aux)
+            step_timer.tick()
+
+            if preemption.should_stop:
+                absl_logging.warning("preemption signal: checkpointing and exiting at step %d", step)
+                if ckpt is not None:
+                    ckpt.save(step, jax.device_get(gstate), metadata={"step": step, "epoch": epoch}, wait=True)
+                break
 
             if step and step % FLAGS.log_freq == 0:
                 logged = _mean_metrics(train_metrics, prefix="train_")
-                logged.update(step=step, epoch=epoch)
+                status = faults.check(logged["train_loss"])
+                if status != "ok":
+                    absl_logging.error("fault detector: %s at step %d (loss=%s)", status, step, logged["train_loss"])
+                    logged["fault"] = status
+                logged.update(step=step, epoch=epoch, **step_timer.metrics(FLAGS.batch_size))
                 logger.log(logged)
                 train_metrics = []
 
