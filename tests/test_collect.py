@@ -113,3 +113,46 @@ def test_ppg_learn_runs_and_improves():
         for k, v in rec.items():
             assert np.isfinite(v), (k, v)
     assert "kl" in history[-1] or "kl" in history[1]  # aux phase ran
+
+
+def test_reward_normalizer():
+    from arp_tpu.collect.reward_normalizer import RewardNormalizer
+
+    norm = RewardNormalizer(num_envs=2, gamma=0.99)
+    rng = np.random.default_rng(0)
+    out = None
+    for _ in range(50):
+        r = rng.normal(size=2) * 5
+        d = rng.uniform(size=2) < 0.1
+        out = norm(r, d)
+    assert np.all(np.abs(out) <= 10.0)
+    assert norm.rms.var > 0
+
+
+def test_downsize_by_resize(tmp_path):
+    from arp_tpu.collect.downsize import downsize_by_resize
+
+    rng = np.random.default_rng(0)
+    src = str(tmp_path / "d.hdf5")
+    with h5py.File(src, "w") as g:
+        g.create_dataset("ob", data=rng.integers(0, 256, size=(6, 2, 32, 32, 3), dtype=np.uint8))
+        g.create_dataset("act", data=np.zeros((6, 2), np.int64))
+    out = str(tmp_path / "small.hdf5")
+    downsize_by_resize(src, out, out_size=16)
+    with h5py.File(out, "r") as g:
+        assert g["ob"].shape == (6, 2, 16, 16, 3)
+        assert "act" in g
+
+
+def test_ppg_eval():
+    from arp_tpu.collect.eval_ppg import evaluate
+    from arp_tpu.collect.ppg import PhasicValueModel
+    import jax
+    import jax.numpy as jnp
+
+    envs = [FakeProcgen("coinrun", {"episode_length": 8, "image_size": 16, "grid": 3}) for _ in range(2)]
+    model = PhasicValueModel(num_actions=15)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))["params"]
+    metrics = evaluate(params, envs, num_episodes=3)
+    assert metrics["num_episodes"] >= 3
+    assert 0 <= metrics["success_rate"] <= 1
