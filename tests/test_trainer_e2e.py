@@ -157,3 +157,36 @@ def test_eval_cli(tmp_path):
     proc = subprocess.run(eval_cmd, env=env, capture_output=True, text=True, timeout=900)
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "return" in proc.stdout
+
+
+@pytest.mark.parametrize("vl_type,use_vl", [("BC", False), ("GCBC", False)])
+def test_trainer_cli_baselines(tmp_path, vl_type, use_vl):
+    """BC (InstructRL) and GCBC baseline paths through the CLI."""
+    data_root = str(tmp_path / "demos")
+    make_labeled_dataset(data_root)
+    out_dir = str(tmp_path / "out")
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    env["PYTHONPATH"] = "/root/repo"
+
+    cmd = [
+        sys.executable, "-m", "arp_tpu.train.main",
+        "--epochs=1", "--warmup_epochs=0", "--batch_size=8", "--dataloader_n_workers=0",
+        "--log_freq=2", "--lr=1e-3", "--window_size=4",
+        f"--use_vl={use_vl}", f"--vl_type={vl_type}", "--use_crop=False",
+        "--game_name=coinrun", "--val_every_epochs=0", "--test_every_epochs=0",
+        "--eval_env=none",
+        "--model.model_type=vit_debug", "--model.transfer_type=none",
+        "--model.emb_dim=32", "--model.depth=2", "--model.num_heads=4",
+        "--model.mlp_ratio=2", "--model.num_ensembles=2",
+        f"--data.path={data_root}", "--data.image_size=32", "--data.num_frames=8",
+        "--data.window_size=4", "--data.num_demonstrations=20",
+        f"--logging.output_dir={out_dir}",
+    ]
+    proc = subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, f"stderr:\n{proc.stderr[-4000:]}"
+    exp_dirs = os.listdir(out_dir)
+    records = [json.loads(line) for line in open(os.path.join(out_dir, exp_dirs[0], "metrics.jsonl"))]
+    assert any("train_loss" in r for r in records)
