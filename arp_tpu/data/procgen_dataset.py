@@ -112,6 +112,9 @@ class ProcgenDataset:
         config.use_vl = False
         config.vl_type = "clip"
         config.inst_type = "none"
+        # native data path: read image records through ARPS shards
+        # (auto-converted once next to the HDF5; C++ thread-pool decompression)
+        config.use_arps = False
         return update_config(config, updates)
 
     def __init__(self, update, dataset_name="reach_target", start_offset_ratio=None, split="train"):
@@ -145,11 +148,29 @@ class ProcgenDataset:
         )
         self.h5_file_traj_idx = self.get_traj_idx()
         self.idx_to_traj = self.index_to_traj()
+        self._arps = {}
+        if self.config.use_arps:
+            self._init_arps(path)
         if self.config.use_vl:
             self.rtgs = self.preprocess_rtgs()
         # tokenized instruction is constant per dataset — compute once.
         instruct = get_m3ae_instruct(self.env_name) or ""
         self._instruct_ids, self._instruct_pad = self.tokenizer(instruct)
+
+    def _init_arps(self, h5_path: str):
+        from .arps import ArpsReader, convert_hdf5
+
+        shard_dir = h5_path + ".arps"
+        keys = self.config.image_key.split(", ")
+        if not all(os.path.exists(os.path.join(shard_dir, f"{k}.arps")) for k in keys):
+            convert_hdf5(h5_path, shard_dir, keys=keys)
+        for k in keys:
+            self._arps[k] = ArpsReader(os.path.join(shard_dir, f"{k}.arps"))
+
+    def _read_frames(self, key: str, index: int):
+        if key in self._arps:
+            return self._arps[key].read_batch([index])[0]
+        return self.h5_file[key][index]
 
     def __len__(self):
         if self.split == "train" and self.config.num_subset != -1:
@@ -229,11 +250,11 @@ class ProcgenDataset:
         res = {"image": {}, "rtg": {}, "goal": {}}
         traj_end = self.h5_file_traj_idx[self.idx_to_traj[index] + 1]
         for key in self.config.image_key.split(", "):
-            res["image"][key] = self.h5_file[key][index][-self.window_size :]
+            res["image"][key] = self._read_frames(key, index)[-self.window_size :]
             # hindsight goal: uniform over the future of the same trajectory
             goal_index = int(rng.randint(index, traj_end))
             goal_index = min(goal_index, self.h5_file["ob"].shape[0] - 1)
-            res["goal"][key] = self.h5_file[key][goal_index][-self.window_size :]
+            res["goal"][key] = self._read_frames(key, goal_index)[-self.window_size :]
             if self.config.use_vl:
                 if self.config.use_task_reward:
                     rtg = (

@@ -80,7 +80,7 @@ def _flash_kernel(
         k_idx = j * block_k + lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
         allowed = mask_allowed(spec, q_idx, k_idx) & (k_idx < seq_len)
         if kvmask_ref is not None:
-            pad = kvmask_ref[0, pl.ds(j * block_k, block_k)].reshape(1, block_k)
+            pad = kvmask_ref[0, 0, pl.ds(j * block_k, block_k)].reshape(1, block_k)
             allowed = allowed & (pad == 0)
         s = jnp.where(allowed, s, _BIG_NEG)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
@@ -121,7 +121,9 @@ def _pallas_attention(q, k, v, spec: MaskSpec, kv_padding, scale, block_q=128, b
     args = [qf, kf, vf]
     if kv_padding is not None:
         kvm = jnp.pad(kv_padding.astype(jnp.int32), ((0, 0), (0, n_pad - n)), constant_values=1)
-        in_specs.append(pl.BlockSpec((1, n_pad), lambda i, j, _h=h: (i // _h, 0)))
+        # 3-D so the block's last two dims equal the array's (mosaic tiling rule)
+        kvm = kvm[:, None, :]
+        in_specs.append(pl.BlockSpec((1, 1, n_pad), lambda i, j, _h=h: (i // _h, 0, 0)))
         args.append(kvm)
         kernel = functools.partial(
             _flash_kernel, spec=spec, scale=scale, block_q=block_q, block_k=block_k,

@@ -144,3 +144,17 @@ def test_instruction_tokenizer_fallback():
     clip_tok = build_instruction_tokenizer(use_bert=False, max_length=77)
     ids, pad = clip_tok("collect the coin.")
     assert ids.shape == (77,)
+
+
+def test_dataset_arps_backend(tmp_path):
+    """ARPS-backed image reads return the same data as h5py."""
+    make_file(tmp_path)
+    cfg = {"path": str(tmp_path), "image_size": 8, "num_frames": 8, "window_size": 4}
+    ds_h5 = ProcgenDataset(cfg, dataset_name=NAME, split="train")
+    ds_arps = ProcgenDataset({**cfg, "use_arps": True}, dataset_name=NAME, split="train")
+    np.random.seed(0)
+    a = ds_h5[5]
+    np.random.seed(0)
+    b = ds_arps[5]
+    np.testing.assert_array_equal(a["image"]["ob"], b["image"]["ob"])
+    np.testing.assert_array_equal(a["goal"]["ob"], b["goal"]["ob"])
