@@ -18,8 +18,7 @@ Re-design of the reference's torch+MPI PPG stack
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Callable, Optional
+from typing import Callable
 
 import flax.linen as nn
 import jax

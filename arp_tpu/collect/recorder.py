@@ -12,8 +12,6 @@ per-episode engine-state .npy files for goal-conditioned evaluation.
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 import h5py
 import numpy as np
 

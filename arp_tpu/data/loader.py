@@ -9,12 +9,10 @@ sharder through a bounded queue, so host IO overlaps device steps.
 from __future__ import annotations
 
 import concurrent.futures
-import threading
-from typing import Iterator, Optional
+from typing import Iterator
 
 import numpy as np
 
-from ..parallel.prefetch import ThreadedPrefetch
 
 
 def _collate(items):

@@ -21,8 +21,6 @@ orientation of the policy adapters (ARPDT.py:345). Preserved exactly.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

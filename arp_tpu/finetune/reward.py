@@ -11,7 +11,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.clip import CONFIGS, load_model_vars
+from ..models.clip import load_model_vars
 from ..ops.preprocess import clip_preprocess
 from ..reward.engine import ClipRewardEngine
 from .adapter_model import ClipMultiscaleAdapter

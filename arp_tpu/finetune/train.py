@@ -11,19 +11,18 @@ from __future__ import annotations
 import os
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import optax
-from absl import app, flags, logging as absl_logging
+from absl import app, flags
 from flax.training.train_state import TrainState
 
 from ..config import define_flags_with_default, get_user_flags
 from ..checkpoint import CheckpointManager
 from ..data.loader import DataLoader
 from ..logging_utils import MetricsLogger
-from ..models.clip import CONFIGS, load_model_vars
+from ..models.clip import load_model_vars
 from ..parallel import MeshConfig, create_mesh, shard_batch
-from ..parallel.step import shard_train_state, state_shardings
+from ..parallel.step import shard_train_state
 from ..rng import next_rng, set_random_seed
 from .adapter_model import ClipMultiscaleAdapter
 from .dataset import ProcgenActionDataset

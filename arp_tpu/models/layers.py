@@ -19,7 +19,7 @@ TPU notes:
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional
+from typing import Callable
 
 import flax.linen as nn
 import jax.numpy as jnp

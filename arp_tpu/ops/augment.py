@@ -12,9 +12,6 @@ All ops take/return float32 HWC in [0, 1] until the final normalize.
 
 from __future__ import annotations
 
-import functools
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 

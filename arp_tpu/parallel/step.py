@@ -14,14 +14,13 @@ first-class option.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from .mesh import batch_spec, partition_params
+from .mesh import partition_params
 
 
 def l2_weight_penalty(params) -> jnp.ndarray:

@@ -19,8 +19,7 @@ reads overlap device compute, and both reward families:
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, Optional, Sequence, Union
+from typing import Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp

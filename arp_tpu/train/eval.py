@@ -11,13 +11,11 @@ from __future__ import annotations
 import os
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from absl import app, flags, logging as absl_logging
 from flax.training.train_state import TrainState
 
 from ..config import define_flags_with_default, get_user_flags
-from ..data.instructions import get_clip_instruct, get_clip_special_instruct, get_m3ae_instruct
 from ..data.procgen_dataset import ProcgenDataset, dataset_dirname
 from ..logging_utils import MetricsLogger
 from ..models.policy import get_policy_default_config

@@ -22,7 +22,6 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 from absl import app, flags, logging as absl_logging
 from flax.training.train_state import TrainState
 
@@ -30,7 +29,7 @@ from ..config import define_flags_with_default, get_user_flags
 from ..checkpoint import CheckpointManager
 from ..data.loader import DataLoader
 from ..data.procgen_dataset import ProcgenDataset, dataset_dirname
-from ..data.instructions import get_clip_instruct, get_clip_special_instruct, get_m3ae_instruct
+from ..data.instructions import get_m3ae_instruct
 from ..logging_utils import MetricsLogger
 from ..models.policy import get_policy_default_config
 from .common import (
@@ -47,7 +46,6 @@ from .common import (
 )
 from ..ops.augment import make_augment_fn, make_eval_transform
 from ..parallel import MeshConfig, create_mesh, make_train_step, shard_batch
-from ..parallel.mesh import partition_params
 from ..parallel.prefetch import ThreadedPrefetch
 from ..parallel.step import make_eval_step, shard_train_state
 from ..profiling import StepTimer
