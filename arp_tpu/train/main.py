@@ -163,7 +163,10 @@ def main(argv):
         num_workers=FLAGS.dataloader_n_workers,
         seed=FLAGS.seed,
     )
+    n_dev = jax.device_count()
     val_batch_size = max(1, min(process_batch_size, len(val_dataset) // max(process_count, 1)))
+    # batches shard over the mesh: keep them a multiple of the device count
+    val_batch_size = max(n_dev, (val_batch_size // n_dev) * n_dev)
     val_loader = DataLoader(
         val_dataset,
         batch_size=val_batch_size,
@@ -295,9 +298,10 @@ def main(argv):
                 for _, vb in zip(range(val_steps), val_loader):
                     vb = shard_batch(_host_batch_to_arrays(vb, use_text, use_goal), mesh)
                     val_metrics.append(eval_step(gstate, vb, step_rng))
-                logged = _mean_metrics(val_metrics, prefix="val_")
-                logged.update(step=step, epoch=epoch)
-                logger.log(logged)
+                if val_metrics:
+                    logged = _mean_metrics(val_metrics, prefix="val_")
+                    logged.update(step=step, epoch=epoch)
+                    logger.log(logged)
 
             if (
                 test_step_fn is not None
@@ -318,6 +322,11 @@ def main(argv):
 
             if ckpt is not None and step and (step % save_model_freq == 0 or step == total_steps - 1):
                 ckpt.save(step, jax.device_get(gstate), metadata={"step": step, "epoch": epoch})
+
+        if train_metrics:  # flush whatever the log cadence left over
+            logged = _mean_metrics(train_metrics, prefix="train_")
+            logged.update(step=total_steps - 1, **step_timer.metrics(FLAGS.batch_size))
+            logger.log(logged)
 
         if ckpt is not None:
             ckpt.wait()

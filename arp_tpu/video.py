@@ -15,10 +15,16 @@ def save_video(frames: np.ndarray, path: str, fps: int = 20) -> str:
     frames = np.asarray(frames)
     if frames.dtype != np.uint8:
         frames = np.clip(frames, 0, 255).astype(np.uint8)
-    with imageio.get_writer(path, fps=fps) as writer:
-        for frame in frames:
-            writer.append_data(frame)
-    return path
+    try:
+        with imageio.get_writer(path, fps=fps) as writer:
+            for frame in frames:
+                writer.append_data(frame)
+        return path
+    except (ValueError, ImportError):
+        # no ffmpeg backend: fall back to GIF (always encodable via PIL)
+        gif_path = os.path.splitext(path)[0] + ".gif"
+        imageio.mimsave(gif_path, list(frames), duration=1.0 / fps)
+        return gif_path
 
 
 class VideoRecorder:
