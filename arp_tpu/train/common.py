@@ -34,7 +34,9 @@ def build_lr_schedule(flags_obj, steps_per_epoch: int, total_steps: int, lr_scal
         return optax.warmup_cosine_decay_schedule(
             init_value=0.0,
             peak_value=flags_obj.lr * lr_scale,
-            warmup_steps=int(flags_obj.warmup_epochs * steps_per_epoch),
+            # never let warmup consume all of total_steps (optax requires
+            # positive post-warmup decay steps)
+            warmup_steps=min(int(flags_obj.warmup_epochs * steps_per_epoch), max(total_steps - 1, 0)),
             decay_steps=total_steps,
             end_value=0.0,
         )

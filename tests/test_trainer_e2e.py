@@ -190,3 +190,35 @@ def test_trainer_cli_baselines(tmp_path, vl_type, use_vl):
     exp_dirs = os.listdir(out_dir)
     records = [json.loads(line) for line in open(os.path.join(out_dir, exp_dirs[0], "metrics.jsonl"))]
     assert any("train_loss" in r for r in records)
+
+
+def test_pretrain_m3ae_cli(tmp_path):
+    """M3AE pretraining CLI runs end-to-end on tiny demos."""
+    data_root = str(tmp_path / "demos")
+    make_labeled_dataset(data_root)
+    out_dir = str(tmp_path / "out")
+    ckpt_dir = str(tmp_path / "ckpt")
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    env["PYTHONPATH"] = "/root/repo"
+
+    cmd = [
+        sys.executable, "-m", "arp_tpu.train.pretrain_m3ae",
+        "--epochs=1", "--batch_size=8", "--log_freq=1", "--lr=1e-4",
+        f"--dataset_name={DATASET}",
+        "--patch_size=8", "--image_size=32", "--text_length=16",
+        f"--checkpoint_dir={ckpt_dir}",
+        "--model.model_type=debug", "--model.emb_dim=32", "--model.dec_emb_dim=16",
+        "--model.depth=2", "--model.dec_depth=1", "--model.num_heads=4",
+        "--model.dec_num_heads=4", "--model.mlp_ratio=2",
+        f"--data.path={data_root}", "--data.image_size=32", "--data.num_frames=8",
+        "--data.window_size=4",
+        f"--logging.output_dir={out_dir}",
+    ]
+    proc = subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    records = [json.loads(l) for l in open(os.path.join(out_dir, os.listdir(out_dir)[0], "metrics.jsonl"))]
+    assert any("image_loss" in r for r in records)
+    assert os.listdir(ckpt_dir)
