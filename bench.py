@@ -39,7 +39,7 @@ def main():
     txt = jnp.zeros((1, 77), jnp.int32)
     variables = jax.jit(model.init)(rng, img, txt)
 
-    batch_size = 512
+    batch_size = 256  # sweep-validated optimum on the tunnel backend
     engine = ClipRewardEngine(
         model=model,
         variables=variables,

@@ -10,4 +10,4 @@ python3 -m arp_tpu.reward.labeler \
     --env_type="$ENV_TYPE" \
     --data_path="$DATA_PATH" \
     --model_type="$MODEL_TYPE" \
-    --batch_size=512 --bf16
+    --batch_size=256 --bf16
