@@ -115,6 +115,10 @@ class ProcgenDataset:
         # native data path: read image records through ARPS shards
         # (auto-converted once next to the HDF5; C++ thread-pool decompression)
         config.use_arps = False
+        # consume precomputed frozen-encoder embeddings ({key}_{name}_emb,
+        # written by arp_tpu.data.cache_embeddings) instead of raw frames
+        config.use_cached_embeddings = False
+        config.embedding_name = "clip"
         return update_config(config, updates)
 
     def __init__(self, update, dataset_name="reach_target", start_offset_ratio=None, split="train"):
@@ -248,7 +252,18 @@ class ProcgenDataset:
         index = self.process_index(index)
         rng = np.random  # module-level rng, seeded by the loader per-worker
         res = {"image": {}, "rtg": {}, "goal": {}}
-        traj_end = self.h5_file_traj_idx[self.idx_to_traj[index] + 1]
+        traj = self.idx_to_traj[index]
+        traj_start = self.h5_file_traj_idx[traj]
+        traj_end = self.h5_file_traj_idx[traj + 1]
+        if self.config.use_cached_embeddings:
+            res["image_emb"] = {}
+            # per-timestep embedding window (frame-stack back-fill semantics:
+            # indices before the trajectory start clamp to it)
+            w = self.window_size
+            idx = np.clip(np.arange(index - w + 1, index + 1), traj_start, index)
+            for key in self.config.image_key.split(", "):
+                emb_key = f"{key}_{self.config.embedding_name}_emb"
+                res["image_emb"][key] = self.h5_file[emb_key][:][idx].astype(np.float32)
         for key in self.config.image_key.split(", "):
             res["image"][key] = self._read_frames(key, index)[-self.window_size :]
             # hindsight goal: uniform over the future of the same trajectory

@@ -212,7 +212,17 @@ class BasePolicy(nn.Module):
             self.rtg_input = nn.Dense(cfg.emb_dim, use_bias=False)
 
         transfer_type = cfg.transfer_type
-        if transfer_type == "none":
+        if transfer_type.endswith("_cached"):
+            # precomputed frozen-encoder embeddings (data/cache_embeddings.py):
+            # no encoder lives in the model; text conditioning still loads the
+            # CLIP text tower when use_text is set.
+            if cfg.use_text and transfer_type.startswith("clip"):
+                model_name = transfer_type[len("clip_"):-len("_cached")]
+                self.pt_model = clip_lib.MODELS[model_name]()
+                if not cfg.use_from_scratch:
+                    self.pt_params = clip_lib.load_model_vars(model_name)
+            self.image_text_input = nn.Dense(cfg.emb_dim)
+        elif transfer_type == "none":
             self.patch_emb = nn.Dense(cfg.emb_dim)
         elif transfer_type.startswith("clip"):
             model_name = transfer_type.split("_", 1)[1]
@@ -263,9 +273,14 @@ class BasePolicy(nn.Module):
         # instruct the batch carries (BC.py:208, GCBC.py:366).
         text = batch.get("instruct", None) if (cfg.use_text or not self.use_rtg) else None
 
-        image_batch = batch["image"]
-        image = jnp.asarray(list(image_batch.values()))
-        num_image, batch_size, num_timestep = image.shape[:3]
+        if cfg.transfer_type.endswith("_cached"):
+            image_batch = batch["image_emb"]
+            num_image, batch_size, num_timestep = jnp.asarray(list(image_batch.values())).shape[:3]
+            image = None
+        else:
+            image_batch = batch["image"]
+            image = jnp.asarray(list(image_batch.values()))
+            num_image, batch_size, num_timestep = image.shape[:3]
 
         state_batch = batch.get("state", None)
         state_emb = self.state_input(state_batch) if state_batch is not None else None
@@ -289,6 +304,24 @@ class BasePolicy(nn.Module):
         def concat_multiple_image_emb(img_emb):
             img_emb = jnp.reshape(img_emb, (batch_size * num_image, num_timestep, -1))
             return jnp.concatenate(jnp.split(img_emb, num_image, axis=0), -1)
+
+        if transfer_type.endswith("_cached"):
+            # (num_image, B, T, D) precomputed embeddings -> same downstream
+            # flow as the live clip path (adapter / text concat / tanh proj)
+            emb = jnp.asarray(list(batch["image_emb"].values())).astype(jnp.float32)
+            img_emb = emb.reshape((-1, emb.shape[-1]))
+            if cfg.use_adapter:
+                img_emb = self._apply_adapter(img_emb)
+            img_emb = concat_multiple_image_emb(img_emb)
+            if text is not None:
+                text_emb = self.pt_model.apply(self.pt_params, text, method=self.pt_model.encode_text)
+                text_emb = jnp.tile(jnp.expand_dims(text_emb, axis=1), (1, img_emb.shape[1], 1))
+                image_text_emb = jnp.concatenate([img_emb, text_emb], axis=-1)
+            else:
+                image_text_emb = img_emb
+            image_text_emb = nn.tanh(self.image_text_input(image_text_emb))
+            image_text_emb = image_text_emb + get_1d_sincos_pos_embed(image_text_emb.shape[-1], num_timestep)
+            return 1, image_text_emb, action_emb, state_emb, rtg_emb
 
         if transfer_type == "none":
             image = jnp.concatenate(list(image_batch.values()), axis=-1)
