@@ -104,7 +104,8 @@ def get_transformer_by_config(model_type: str, config: ConfigDict) -> None:
         "debug": dict(emb_dim=1024, depth=2, num_heads=16),
     }
     if model_type not in presets:
-        raise ValueError(f"Unsupported model type {model_type!r}")
+        # unknown/custom names keep the explicitly configured dims
+        return
     for k, v in presets[model_type].items():
         setattr(config, k, v)
     config.dec_emb_dim = 512

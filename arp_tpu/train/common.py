@@ -76,6 +76,8 @@ def get_dummy_input(flags_obj, dataset):
     image_size = 224 if transfer.startswith("clip") else 256
     if transfer == "none":
         image_size = flags_obj.data.image_size
+    if getattr(flags_obj, "encode_image_size", 0) > 0:
+        image_size = flags_obj.encode_image_size
     dummy = {
         "action": jnp.ones((1, window), jnp.int32),
         "image": {},

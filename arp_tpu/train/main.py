@@ -100,6 +100,7 @@ FLAGS_DEF = define_flags_with_default(
     env_start_level=0,
     reward_bf16=False,
     patch_dim=16,
+    encode_image_size=0,
 )
 
 FLAGS = flags.FLAGS
@@ -224,6 +225,8 @@ def main(argv):
     image_size = 224 if transfer.startswith("clip") else 256
     if transfer == "none":
         image_size = FLAGS.data.image_size
+    if FLAGS.encode_image_size > 0:
+        image_size = FLAGS.encode_image_size
     augment_fn = make_augment_fn(
         FLAGS.data.augmentations, image_size=image_size, source_size=FLAGS.data.image_size
     )

@@ -84,10 +84,9 @@ def test_five_stage_pipeline(tmp_path):
     # --- stage 4: train ARPDT on the labeled demos (real CLI) ---
     out_dir = str(tmp_path / "out")
     ckpt_dir = str(tmp_path / "ckpt")
-    env_vars = dict(os.environ)
-    env_vars["JAX_PLATFORMS"] = "cpu"
-    env_vars["XLA_FLAGS"] = env_vars.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
-    env_vars["PYTHONPATH"] = "/root/repo"
+    from tests.cli_env import make_cli_env
+
+    env_vars = make_cli_env()
     cmd = [
         sys.executable, "-m", "arp_tpu.train.main",
         "--epochs=2", "--warmup_epochs=0", "--batch_size=8", "--dataloader_n_workers=0",

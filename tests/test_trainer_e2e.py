@@ -47,10 +47,9 @@ def test_trainer_cli_end_to_end(tmp_path, vl):
     out_dir = str(tmp_path / "out")
     ckpt_dir = str(tmp_path / "ckpt")
 
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
-    env["PYTHONPATH"] = "/root/repo"
+    from tests.cli_env import make_cli_env
+
+    env = make_cli_env()
 
     cmd = [
         sys.executable,
@@ -126,10 +125,9 @@ def test_eval_cli(tmp_path):
     out_dir = str(tmp_path / "out")
     ckpt_dir = str(tmp_path / "ckpt")
 
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
-    env["PYTHONPATH"] = "/root/repo"
+    from tests.cli_env import make_cli_env
+
+    env = make_cli_env()
 
     common = [
         "--window_size=4", "--use_vl=True", "--vl_type=clip", "--use_crop=False",
@@ -166,10 +164,9 @@ def test_trainer_cli_baselines(tmp_path, vl_type, use_vl):
     make_labeled_dataset(data_root)
     out_dir = str(tmp_path / "out")
 
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
-    env["PYTHONPATH"] = "/root/repo"
+    from tests.cli_env import make_cli_env
+
+    env = make_cli_env()
 
     cmd = [
         sys.executable, "-m", "arp_tpu.train.main",
@@ -199,10 +196,9 @@ def test_pretrain_m3ae_cli(tmp_path):
     out_dir = str(tmp_path / "out")
     ckpt_dir = str(tmp_path / "ckpt")
 
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
-    env["PYTHONPATH"] = "/root/repo"
+    from tests.cli_env import make_cli_env
+
+    env = make_cli_env()
 
     cmd = [
         sys.executable, "-m", "arp_tpu.train.pretrain_m3ae",
@@ -222,3 +218,36 @@ def test_pretrain_m3ae_cli(tmp_path):
     records = [json.loads(l) for l in open(os.path.join(out_dir, os.listdir(out_dir)[0], "metrics.jsonl"))]
     assert any("image_loss" in r for r in records)
     assert os.listdir(ckpt_dir)
+
+
+def test_trainer_cli_m3ae_from_scratch(tmp_path):
+    """ARPDT with a from-scratch M3AE encoder trained jointly (no checkpoint)."""
+    data_root = str(tmp_path / "demos")
+    make_labeled_dataset(data_root)
+    out_dir = str(tmp_path / "out")
+
+    from tests.cli_env import make_cli_env
+
+    env = make_cli_env()
+    cmd = [
+        sys.executable, "-m", "arp_tpu.train.main",
+        "--epochs=1", "--warmup_epochs=0", "--batch_size=8", "--dataloader_n_workers=0",
+        "--log_freq=1", "--lr=1e-3", "--window_size=4",
+        "--use_vl=True", "--vl_type=clip", "--use_crop=False", "--game_name=coinrun",
+        "--val_every_epochs=0", "--test_every_epochs=0", "--eval_env=none",
+        "--patch_dim=8", "--encode_image_size=32",
+        "--model.model_type=vit_debug", "--model.transfer_type=m3ae_vit_b16",
+        "--model.use_from_scratch=True",
+        "--model.emb_dim=32", "--model.depth=2", "--model.num_heads=4",
+        "--model.mlp_ratio=2", "--model.num_ensembles=2",
+        "--model.m3ae.model_type=custom", "--model.m3ae.emb_dim=32", "--model.m3ae.depth=2",
+        "--model.m3ae.num_heads=4", "--model.m3ae.mlp_ratio=2",
+        "--model.m3ae.dec_emb_dim=16", "--model.m3ae.dec_depth=1", "--model.m3ae.dec_num_heads=4",
+        f"--data.path={data_root}", "--data.image_size=32", "--data.num_frames=8",
+        "--data.window_size=4", "--data.num_demonstrations=20", "--data.use_vl=True",
+        f"--logging.output_dir={out_dir}",
+    ]
+    proc = subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    records = [json.loads(l) for l in open(os.path.join(out_dir, os.listdir(out_dir)[0], "metrics.jsonl"))]
+    assert any("train_loss" in r for r in records)
