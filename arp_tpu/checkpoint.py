@@ -97,6 +97,29 @@ def load_pickle(path: str) -> Any:
 
 
 def load_reference_checkpoint(path: str):
-    """Load a reference-format pickle checkpoint ({step, epoch, variant, state})."""
+    """Load a reference-format pickle checkpoint ({step, epoch, variant, state}).
+
+    Reference policy param trees (auto-named: policy/Block_i/..., single
+    deduped ensemble head) are converted to the arp_tpu tree automatically.
+    """
     data = load_pickle(path)
+    state = data.get("state") if isinstance(data, dict) else None
+    params = getattr(state, "params", None) if state is not None else None
+    if params is not None and _looks_like_reference_policy(params):
+        from .models.policy.convert import convert_reference_policy_params
+
+        converted = convert_reference_policy_params(params)
+        import flax
+
+        data["state"] = state.replace(params=flax.core.unfreeze(converted)["params"])
     return data
+
+
+def _looks_like_reference_policy(params) -> bool:
+    try:
+        keys = set(params.keys())
+    except AttributeError:
+        return False
+    return "action_outputs_0" in keys or (
+        "policy" in keys and any(k.startswith("Block_") for k in params["policy"].keys())
+    )
