@@ -206,7 +206,7 @@ def test_pretrain_m3ae_cli(tmp_path):
         f"--dataset_name={DATASET}",
         "--patch_size=8", "--image_size=32", "--text_length=16",
         f"--checkpoint_dir={ckpt_dir}",
-        "--model.model_type=debug", "--model.emb_dim=32", "--model.dec_emb_dim=16",
+        "--model.model_type=custom", "--model.emb_dim=32", "--model.dec_emb_dim=16",
         "--model.depth=2", "--model.dec_depth=1", "--model.num_heads=4",
         "--model.dec_num_heads=4", "--model.mlp_ratio=2",
         f"--data.path={data_root}", "--data.image_size=32", "--data.num_frames=8",
