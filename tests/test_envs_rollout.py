@@ -170,3 +170,40 @@ def test_parallel_rollout():
     )
     assert set(metric) == {"return", "episode_length", "success_rate"}
     assert 0.0 <= float(metric["success_rate"]) <= 1.0
+
+
+def test_batch_rollout_goal_conditioned_state_restore(tmp_path):
+    """eval_with_goal path: restore saved engine states, attach goal images."""
+    from arp_tpu.collect.recorder import collect_demonstrations
+
+    env = FakeProcgen("coinrun", {"episode_length": 20, "image_size": 16, "grid": 3})
+    rng = np.random.default_rng(0)
+    data_path = str(tmp_path / "data_test.hdf5")
+    rec = collect_demonstrations(
+        env, lambda obs: int(rng.integers(0, 4)), data_path,
+        num_episodes=2, game_name="coinrun", num_frames=4, seed=0,
+    )
+    assert rec.num_recorded == 2
+
+    goals_seen = []
+
+    def policy_fn(inputs, rngs):
+        assert "goal" in inputs, "goal image must be part of the inputs"
+        goals_seen.append(np.asarray(inputs["goal"]["ob"])[0, -1])
+        return jnp.zeros((1,), jnp.int32)
+
+    env2 = FakeProcgen("coinrun", {"episode_length": 20, "image_size": 16, "grid": 3})
+    metric, info, videos = batch_rollout(
+        rng=jax.random.PRNGKey(0), data_aug_rng=jax.random.PRNGKey(1),
+        env=env2, policy_fn=policy_fn, episode_length=3, window_size=4,
+        num_episodes=2, return_to_go=10.0, scale=10.0,
+        eval_data_path=str(tmp_path), data_name="data_test.hdf5",
+    )
+    assert len(goals_seen) > 0
+    # the goal image equals the recorded last frame of each eval trajectory
+    import h5py
+
+    with h5py.File(data_path, "r") as g:
+        idx = list(np.nonzero(g["done"][:, -1])[0] + 1)
+        expected_goal = g["ob"][idx[0] - 1, -1]
+    np.testing.assert_array_equal(goals_seen[0], expected_goal)

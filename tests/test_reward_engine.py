@@ -178,3 +178,22 @@ def test_discount_cumsum_gamma():
     x = np.array([1.0, 2.0, 3.0], np.float32)
     np.testing.assert_allclose(discount_cumsum(x, 1.0), [6, 5, 3])
     np.testing.assert_allclose(discount_cumsum(x, 0.5), [1 + 0.5 * (2 + 0.5 * 3), 2 + 1.5, 3])
+
+
+def test_labeler_time_keyed_boundaries(tiny_engine, tmp_path):
+    """Files without done/rewards use the `time` dataset for traj boundaries."""
+    path = str(tmp_path / "data.hdf5")
+    rng = np.random.default_rng(8)
+    n, f = 12, 4
+    with h5py.File(path, "w") as g:
+        g.create_dataset("ob", data=rng.integers(0, 256, size=(n, f, 32, 32, 3), dtype=np.uint8))
+        time = np.zeros((n, f, 1), np.float32)
+        time[0, -1, 0] = 1.0  # trajectory starts at 0 and 6
+        time[6, -1, 0] = 1.0
+        g.create_dataset("time", data=time)
+    stats = label_rewards(path, "collect the coin.", engine=tiny_engine, progress=False)
+    assert stats["frames"] == 12
+    with h5py.File(path, "r") as g:
+        rtg = g["ob_clip_pos_rtg"][:, -1]
+        # cumsum resets at index 6: rtg[5] is the tail of traj 0
+        assert rtg.shape == (12,)
