@@ -121,8 +121,6 @@ class TrajectoryRecorder:
             ob=stacked, act=actions_stacked, reward=rewards_stacked, done=done_stacked
         )
         if self.save_states and self._states:
-            base, _ = os.path.splitext(self.data_path)
-            split = os.path.basename(base).replace("data_", "").replace("data", "train")
             state_path = os.path.join(
                 os.path.dirname(self.data_path), f"traj_state_{self.num_recorded}.npy"
             )

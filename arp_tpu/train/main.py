@@ -101,6 +101,7 @@ FLAGS_DEF = define_flags_with_default(
     reward_bf16=False,
     patch_dim=16,
     encode_image_size=0,
+    explicit_l2_penalty=False,
 )
 
 FLAGS = flags.FLAGS
@@ -239,8 +240,10 @@ def main(argv):
         train_step = make_train_step(
             loss_fn,
             mesh,
-            weight_decay=0.0,  # decoupled adamw handles wd (reference also adds
-            # an explicit L2 penalty; enable via weight_decay= to match exactly)
+            # decoupled adamw already applies weight decay; the reference ALSO
+            # adds an explicit 0.5*wd*||W||^2 loss penalty on top
+            # (main_procgen.py:114-117) — enable for exact parity.
+            weight_decay=FLAGS.weight_decay if FLAGS.explicit_l2_penalty else 0.0,
             learning_rate_fn=learning_rate,
             accum_steps=FLAGS.accum_steps,
         )
