@@ -162,3 +162,32 @@ def test_quadruple_dataset(tmp_path):
     ds2 = ProcgenActionDataset(cfg2, dataset_name="coinrun_hard", split="train", tokenizer=Tok())
     with h5py.File(root / "data_train.hdf5", "r") as g:
         assert ds2[3]["action"] == g["act"][0][-1]
+
+
+def test_latent_image_decoder():
+    import optax
+    from flax.training.train_state import TrainState
+
+    from arp_tpu.finetune.decoder import LatentImageDecoder, reconstruction_loss
+
+    decoder = LatentImageDecoder(out_hw=28, base_channels=32, start_hw=7)
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.normal(size=(4, 48)).astype(np.float32))
+    images = jnp.asarray(rng.uniform(size=(4, 28, 28, 3)).astype(np.float32))
+    params = decoder.init(jax.random.PRNGKey(0), feats)["params"]
+    recon = decoder.apply({"params": params}, feats)
+    assert recon.shape == (4, 28, 28, 3)
+    assert float(recon.min()) >= 0 and float(recon.max()) <= 1
+
+    state = TrainState.create(apply_fn=decoder.apply, params=params, tx=optax.adam(1e-3))
+
+    @jax.jit
+    def step(state):
+        loss, grads = jax.value_and_grad(reconstruction_loss)(state.params, decoder, feats, images)
+        return state.apply_gradients(grads=grads), loss
+
+    losses = []
+    for _ in range(5):
+        state, loss = step(state)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
