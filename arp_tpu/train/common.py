@@ -73,6 +73,20 @@ def build_optimizer(flags_obj, learning_rate, model):
 def get_dummy_input(flags_obj, dataset):
     window = flags_obj.window_size
     transfer = flags_obj.model.transfer_type
+    if transfer.endswith("_cached"):
+        emb_dim = dataset[0]["image_emb"][dataset.config.image_key.split(", ")[0]].shape[-1]
+        dummy = {
+            "action": jnp.ones((1, window), jnp.int32),
+            "image_emb": {
+                k: jnp.ones((1, window, emb_dim), jnp.float32)
+                for k in dataset.obs_shape["image"]
+            },
+            "rtg": {k: jnp.ones((1, window, 1), jnp.float32) for k in dataset.obs_shape["rtg"]},
+            "goal": None,
+            "instruct": None,
+            "text_padding_mask": None,
+        }
+        return dummy
     image_size = 224 if transfer.startswith("clip") else 256
     if transfer == "none":
         image_size = flags_obj.data.image_size
@@ -116,7 +130,7 @@ def make_loss_fn(model, augment_fn, image_size: int, use_goal: bool):
     def loss_fn(params, batch, rng):
         rng, aug_rng = jax.random.split(rng)
         batch = dict(batch)
-        if augment_fn is not None:
+        if augment_fn is not None and batch.get("image") is not None:
             def aug_tree(images, rng):
                 out = {}
                 for i, (k, v) in enumerate(sorted(images.items())):
@@ -149,7 +163,7 @@ def make_loss_fn(model, augment_fn, image_size: int, use_goal: bool):
 def make_eval_loss_fn(model, eval_transform, use_goal: bool):
     def loss_fn(params, batch, rng):
         batch = dict(batch)
-        if eval_transform is not None:
+        if eval_transform is not None and batch.get("image") is not None:
             def tr(images):
                 out = {}
                 for k, v in images.items():
@@ -186,6 +200,9 @@ def _host_batch_to_arrays(batch, use_text: bool, use_goal: bool = False):
         out["text_padding_mask"] = None
     if not use_goal:
         out["goal"] = None
+    if "image_emb" in out:
+        # cached-embedding training: raw frames never leave the host
+        out["image"] = None
     return out
 
 

@@ -228,9 +228,12 @@ def main(argv):
         image_size = FLAGS.data.image_size
     if FLAGS.encode_image_size > 0:
         image_size = FLAGS.encode_image_size
-    augment_fn = make_augment_fn(
-        FLAGS.data.augmentations, image_size=image_size, source_size=FLAGS.data.image_size
-    )
+    if transfer.endswith("_cached"):
+        augment_fn = None  # embeddings are precomputed from un-augmented frames
+    else:
+        augment_fn = make_augment_fn(
+            FLAGS.data.augmentations, image_size=image_size, source_size=FLAGS.data.image_size
+        )
     eval_transform = make_eval_transform(image_size=image_size)
 
     loss_fn = make_loss_fn(model, augment_fn, image_size, use_goal)

@@ -57,3 +57,29 @@ def test_convert_hdf5(tmp_path):
     assert r.read_batch([0]).shape == (1, 2, 4, 4, 3)
     rd = ArpsReader(written["done"])
     assert rd.dtype == np.uint8  # bool stored as u8
+
+
+def test_native_concurrent_reads(tmp_path):
+    """Thread-safety: concurrent read_batch calls on one reader."""
+    import threading
+
+    if _native_lib() is None:
+        pytest.skip("native lib unavailable")
+    data = np.random.default_rng(5).integers(0, 256, size=(64, 32, 32), dtype=np.uint8)
+    path = str(tmp_path / "c.arps")
+    write_arps(path, data)
+    reader = ArpsReader(path)
+    errors = []
+
+    def worker(seed):
+        rng = np.random.default_rng(seed)
+        for _ in range(10):
+            idx = rng.integers(0, 64, size=16)
+            out = reader.read_batch(idx)
+            if not np.array_equal(out, data[idx]):
+                errors.append(seed)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    [t.start() for t in threads]
+    [t.join() for t in threads]
+    assert not errors

@@ -251,3 +251,74 @@ def test_trainer_cli_m3ae_from_scratch(tmp_path):
     assert proc.returncode == 0, proc.stderr[-4000:]
     records = [json.loads(l) for l in open(os.path.join(out_dir, os.listdir(out_dir)[0], "metrics.jsonl"))]
     assert any("train_loss" in r for r in records)
+
+
+def test_trainer_cli_cached_embeddings(tmp_path):
+    """Cached-embedding training through the CLI (no encoder, no frames on device)."""
+    data_root = str(tmp_path / "demos")
+    make_labeled_dataset(data_root)
+    # write synthetic cached embeddings for both splits
+    for split in ("train", "val"):
+        path = os.path.join(data_root, DATASET, f"data_{split}.hdf5")
+        with h5py.File(path, "a") as g:
+            n = g["ob"].shape[0]
+            emb = np.random.default_rng(1).normal(size=(n, 24)).astype(np.float32)
+            emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+            g.create_dataset("ob_clip_emb", data=emb)
+
+    out_dir = str(tmp_path / "out")
+    from tests.cli_env import make_cli_env
+
+    env = make_cli_env()
+    cmd = [
+        sys.executable, "-m", "arp_tpu.train.main",
+        "--epochs=1", "--warmup_epochs=0", "--batch_size=8", "--dataloader_n_workers=0",
+        "--log_freq=1", "--lr=1e-3", "--window_size=4",
+        "--use_vl=True", "--vl_type=clip", "--use_crop=False", "--game_name=coinrun",
+        "--val_every_epochs=0", "--test_every_epochs=0", "--eval_env=none",
+        "--model.model_type=vit_debug", "--model.transfer_type=clip_vit_b16_cached",
+        "--model.emb_dim=32", "--model.depth=2", "--model.num_heads=4",
+        "--model.mlp_ratio=2", "--model.num_ensembles=2", "--model.use_adapter=True",
+        f"--data.path={data_root}", "--data.image_size=32", "--data.num_frames=8",
+        "--data.window_size=4", "--data.num_demonstrations=20", "--data.use_vl=True",
+        "--data.use_cached_embeddings=True",
+        f"--logging.output_dir={out_dir}",
+    ]
+    proc = subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    records = [json.loads(l) for l in open(os.path.join(out_dir, os.listdir(out_dir)[0], "metrics.jsonl"))]
+    assert any("train_loss" in r for r in records)
+
+
+def test_trainer_resume_from_checkpoint(tmp_path):
+    """Orbax resume: a second run continues from the saved step."""
+    data_root = str(tmp_path / "demos")
+    make_labeled_dataset(data_root)
+    out_dir = str(tmp_path / "out")
+    ckpt_dir = str(tmp_path / "ckpt")
+
+    from tests.cli_env import make_cli_env
+
+    env = make_cli_env()
+    base = [
+        sys.executable, "-m", "arp_tpu.train.main",
+        "--warmup_epochs=0", "--batch_size=8", "--dataloader_n_workers=0",
+        "--log_freq=1", "--lr=1e-3", "--window_size=4",
+        "--use_vl=True", "--vl_type=clip", "--use_crop=False", "--game_name=coinrun",
+        "--val_every_epochs=0", "--test_every_epochs=0", "--eval_env=none",
+        "--save_model_freq=3",
+        f"--checkpoint_dir={ckpt_dir}",
+        "--model.model_type=vit_debug", "--model.transfer_type=none",
+        "--model.emb_dim=32", "--model.depth=2", "--model.num_heads=4",
+        "--model.mlp_ratio=2", "--model.num_ensembles=2",
+        f"--data.path={data_root}", "--data.image_size=32", "--data.num_frames=8",
+        "--data.window_size=4", "--data.num_demonstrations=20", "--data.use_vl=True",
+        f"--logging.output_dir={out_dir}",
+    ]
+    p1 = subprocess.run(base + ["--epochs=1"], env=env, capture_output=True, text=True, timeout=900)
+    assert p1.returncode == 0, p1.stderr[-3000:]
+    assert os.listdir(ckpt_dir)
+
+    p2 = subprocess.run(base + ["--epochs=2"], env=env, capture_output=True, text=True, timeout=900)
+    assert p2.returncode == 0, p2.stderr[-3000:]
+    assert "resumed from orbax step" in (p2.stderr + p2.stdout)
