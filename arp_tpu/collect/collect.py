@@ -1,0 +1,117 @@
+"""Demo collection CLI — ``python -m arp_tpu.collect.collect``.
+
+Equivalent of the reference's ``python -m collect_procgen_data``
+(data/PPG/collect_procgen_data.py): roll a trained PPG policy, record
+high-resolution frames + engine states into the framework's HDF5 demo
+schema, with per-game expert filtering and optional random-action
+corruption.  The dual-resolution state-sync trick is available for the real
+engine (policy on low-res obs, recorder on high-res) via --dual_res.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from absl import app, flags
+
+from ..config import define_flags_with_default
+from .ppg import PhasicValueModel
+from .recorder import collect_demonstrations
+
+FLAGS_DEF = define_flags_with_default(
+    seed=42,
+    game_name="coinrun",
+    model_path="",
+    num_episodes=500,
+    num_frames=8,
+    split="train",
+    out_dir="./demonstrations",
+    distribution_mode="hard",
+    num_levels=500,
+    start_level=0,
+    env_type="none",
+    random_action_prob=0.0,
+    enable_filter=True,
+    fake_env=False,
+    dual_res=True,
+    episode_length=1000,
+)
+
+FLAGS = flags.FLAGS
+
+
+def main(argv):
+    del argv
+    dirname = (
+        f"{FLAGS.game_name}_{FLAGS.distribution_mode}_level{FLAGS.start_level}to"
+        f"{FLAGS.num_levels}_num{FLAGS.num_episodes}_frame{FLAGS.num_frames}"
+    )
+    if not FLAGS.enable_filter:
+        dirname += "_unfiltered"
+    if FLAGS.env_type != "none":
+        dirname += f"_{FLAGS.env_type}"
+    data_path = os.path.join(FLAGS.out_dir, dirname, f"data_{FLAGS.split}.hdf5")
+
+    # policy: trained PPG params, or a random policy when none given
+    if FLAGS.model_path:
+        from ..checkpoint import load_pickle
+
+        data = load_pickle(FLAGS.model_path)
+        params = data["params"] if isinstance(data, dict) and "params" in data else data
+        model = PhasicValueModel(num_actions=15)
+
+        @jax.jit
+        def act(frames):
+            logits, _, _ = model.apply({"params": params}, frames)
+            return logits.argmax(-1)
+
+        image_key = "ob"
+
+        def policy_fn(obs):
+            frame = np.asarray(obs["image"][image_key], np.float32)[None] / 255.0
+            return int(np.asarray(act(jnp.asarray(frame)))[0])
+    else:
+        rng = np.random.default_rng(FLAGS.seed)
+
+        def policy_fn(obs):
+            return int(rng.integers(0, 15))
+
+    env_conf = {
+        "episode_length": FLAGS.episode_length,
+        "distribution_mode": FLAGS.distribution_mode,
+        "num_levels": FLAGS.num_levels,
+        "start_level": FLAGS.start_level,
+        "use_train_levels": True,
+    }
+    paired = None
+    if FLAGS.fake_env:
+        from ..envs.fake import FakeProcgen
+
+        env = FakeProcgen(FLAGS.game_name, {"episode_length": FLAGS.episode_length})
+    else:
+        from ..envs.procgen import Procgen
+
+        env = Procgen(FLAGS.game_name, env_conf, image_resolution="high")
+        if FLAGS.dual_res:
+            paired = Procgen(FLAGS.game_name, env_conf, image_resolution="low")
+
+    rec = collect_demonstrations(
+        env,
+        policy_fn,
+        data_path,
+        num_episodes=FLAGS.num_episodes,
+        game_name=FLAGS.game_name,
+        num_frames=FLAGS.num_frames,
+        success_filter=FLAGS.enable_filter,
+        seed=FLAGS.seed,
+        random_action_prob=FLAGS.random_action_prob,
+        paired_policy_env=paired,
+    )
+    print(f"[DONE] recorded {rec.num_recorded} episodes ({rec.num_filtered} filtered) -> {data_path}")
+
+
+if __name__ == "__main__":
+    app.run(main)

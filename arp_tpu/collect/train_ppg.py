@@ -1,0 +1,88 @@
+"""PPG expert training CLI — ``python -m arp_tpu.collect.train_ppg``.
+
+Equivalent of the reference's ``python -m phasic_policy_gradient.train``
+(data/PPG/phasic_policy_gradient/train.py), on JAX instead of torch+MPI.
+"""
+
+from __future__ import annotations
+
+from absl import app, flags
+
+from ..config import define_flags_with_default, get_user_flags
+from ..logging_utils import MetricsLogger
+from .ppg import PPGConfig, learn
+
+FLAGS_DEF = define_flags_with_default(
+    seed=42,
+    game_name="coinrun",
+    num_envs=8,
+    segment_length=256,
+    total_iterations=1000,
+    n_epoch_pi=1,
+    n_epoch_vf=1,
+    n_aux_epochs=6,
+    n_pi=32,
+    lr=5e-4,
+    clip_eps=0.2,
+    entropy_coef=0.01,
+    gamma=0.999,
+    lam=0.95,
+    beta_clone=1.0,
+    arch="dual",
+    fake_env=False,
+    episode_length=1000,
+    checkpoint_path="",
+    logging=MetricsLogger.get_default_config(),
+)
+
+FLAGS = flags.FLAGS
+
+
+def main(argv):
+    del argv
+    logger = MetricsLogger(config=FLAGS.logging, variant=get_user_flags(FLAGS, FLAGS_DEF))
+
+    if FLAGS.fake_env:
+        from ..envs.fake import FakeProcgen
+
+        def env_fn():
+            return FakeProcgen(FLAGS.game_name, {"episode_length": FLAGS.episode_length})
+    else:
+        from ..envs.procgen import Procgen
+
+        def env_fn():
+            return Procgen(
+                FLAGS.game_name,
+                {"episode_length": FLAGS.episode_length, "use_train_levels": True},
+                image_resolution="low",
+            )
+
+    config = PPGConfig(
+        num_envs=FLAGS.num_envs,
+        segment_length=FLAGS.segment_length,
+        gamma=FLAGS.gamma,
+        lam=FLAGS.lam,
+        clip_eps=FLAGS.clip_eps,
+        entropy_coef=FLAGS.entropy_coef,
+        lr=FLAGS.lr,
+        ppo_epochs=FLAGS.n_epoch_pi,
+        vf_epochs=FLAGS.n_epoch_vf,
+        n_pi=FLAGS.n_pi,
+        aux_epochs=FLAGS.n_aux_epochs,
+        beta_clone=FLAGS.beta_clone,
+        arch=FLAGS.arch,
+    )
+    state, history = learn(
+        env_fn, config, total_iterations=FLAGS.total_iterations, seed=FLAGS.seed, logger=logger
+    )
+    if FLAGS.checkpoint_path:
+        import jax
+
+        from ..checkpoint import save_pickle
+
+        save_pickle({"params": jax.device_get(state.params), "history": history}, FLAGS.checkpoint_path)
+    logger.close()
+
+
+if __name__ == "__main__":
+    app.run(main)

@@ -156,3 +156,42 @@ def test_ppg_eval():
     metrics = evaluate(params, envs, num_episodes=3)
     assert metrics["num_episodes"] >= 3
     assert 0 <= metrics["success_rate"] <= 1
+
+
+def test_train_ppg_and_collect_clis(tmp_path):
+    """PPG training CLI -> checkpoint -> collection CLI with the trained policy."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from tests.cli_env import make_cli_env
+
+    env = make_cli_env()
+    ckpt = str(tmp_path / "ppg.pkl")
+    out = str(tmp_path / "log")
+    p1 = subprocess.run(
+        [
+            sys.executable, "-m", "arp_tpu.collect.train_ppg",
+            "--fake_env=True", "--num_envs=2", "--segment_length=8",
+            "--total_iterations=2", "--n_pi=2", "--n_aux_epochs=1",
+            "--episode_length=10", f"--checkpoint_path={ckpt}",
+            f"--logging.output_dir={out}",
+        ],
+        env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert p1.returncode == 0, p1.stderr[-3000:]
+    assert os.path.exists(ckpt)
+
+    p2 = subprocess.run(
+        [
+            sys.executable, "-m", "arp_tpu.collect.collect",
+            "--fake_env=True", "--game_name=coinrun", "--num_episodes=2",
+            "--num_frames=4", "--episode_length=40", "--enable_filter=False",
+            f"--model_path={ckpt}", f"--out_dir={tmp_path / 'demos'}",
+            "--num_levels=10", "--start_level=0",
+        ],
+        env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert p2.returncode == 0, p2.stderr[-3000:]
+    assert "recorded 2 episodes" in p2.stdout
