@@ -40,123 +40,6 @@ def make_labeled_dataset(root, n=48, num_frames=8, img=32):
     return ddir
 
 
-@pytest.mark.parametrize("vl", ["arpdt"])
-def test_trainer_cli_end_to_end(tmp_path, vl):
-    data_root = str(tmp_path / "demos")
-    make_labeled_dataset(data_root)
-    out_dir = str(tmp_path / "out")
-    ckpt_dir = str(tmp_path / "ckpt")
-
-    from tests.cli_env import make_cli_env
-
-    env = make_cli_env()
-
-    cmd = [
-        sys.executable,
-        "-m",
-        "arp_tpu.train.main",
-        "--seed=1",
-        "--epochs=2",
-        "--warmup_epochs=0",
-        "--batch_size=8",
-        "--dataloader_n_workers=0",
-        "--log_freq=2",
-        "--lr=1e-3",
-        "--lr_schedule=cos",
-        "--window_size=4",
-        "--use_vl=True",
-        "--vl_type=clip",
-        "--use_crop=False",
-        "--game_name=coinrun",
-        "--val_every_epochs=1",
-        "--test_every_epochs=2",
-        "--num_test_episodes=1",
-        "--episode_length=4",
-        "--eval_env=fake",
-        f"--checkpoint_dir={ckpt_dir}",
-        # model
-        "--model.model_type=vit_debug",
-        "--model.transfer_type=none",
-        "--model.emb_dim=32",
-        "--model.depth=2",
-        "--model.num_heads=4",
-        "--model.mlp_ratio=2",
-        "--model.num_ensembles=2",
-        # data
-        f"--data.path={data_root}",
-        "--data.image_size=32",
-        "--data.num_frames=8",
-        "--data.window_size=4",
-        "--data.num_demonstrations=20",
-        "--data.use_vl=True",
-        "--data.augmentations=random_crop,color_jitter",
-        # logging
-        f"--logging.output_dir={out_dir}",
-        "--logging.online=False",
-    ]
-    # NOTE: jax may be preimported by sitecustomize; the env vars above still
-    # apply because the subprocess starts fresh BUT sitecustomize preimport
-    # happens before user code — JAX_PLATFORMS in the environment is read at
-    # jax import, which happens inside sitecustomize with the env already set.
-    proc = subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=900)
-    assert proc.returncode == 0, f"stdout:\n{proc.stdout[-3000:]}\nstderr:\n{proc.stderr[-5000:]}"
-
-    # metrics got logged
-    exp_dirs = [d for d in os.listdir(out_dir)]
-    assert exp_dirs
-    metrics_path = os.path.join(out_dir, exp_dirs[0], "metrics.jsonl")
-    records = [json.loads(line) for line in open(metrics_path)]
-    train_losses = [r["train_loss"] for r in records if "train_loss" in r]
-    assert train_losses, "no train metrics logged"
-    assert all(np.isfinite(v) for v in train_losses)
-    val_recs = [r for r in records if "val_loss" in r]
-    assert val_recs, "no val metrics logged"
-    test_recs = [r for r in records if "test/return" in r]
-    assert test_recs, "no rollout eval logged"
-
-    # checkpoint written
-    assert os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir)
-
-
-def test_eval_cli(tmp_path):
-    """Train briefly with checkpointing, then run the standalone eval driver."""
-    data_root = str(tmp_path / "demos")
-    make_labeled_dataset(data_root)
-    out_dir = str(tmp_path / "out")
-    ckpt_dir = str(tmp_path / "ckpt")
-
-    from tests.cli_env import make_cli_env
-
-    env = make_cli_env()
-
-    common = [
-        "--window_size=4", "--use_vl=True", "--vl_type=clip", "--use_crop=False",
-        "--game_name=coinrun", "--episode_length=4", "--eval_env=fake",
-        "--model.model_type=vit_debug", "--model.transfer_type=none",
-        "--model.emb_dim=32", "--model.depth=2", "--model.num_heads=4",
-        "--model.mlp_ratio=2", "--model.num_ensembles=2",
-        f"--data.path={data_root}", "--data.image_size=32", "--data.num_frames=8",
-        "--data.window_size=4", "--data.num_demonstrations=20", "--data.use_vl=True",
-        f"--logging.output_dir={out_dir}",
-    ]
-    train_cmd = [
-        sys.executable, "-m", "arp_tpu.train.main",
-        "--epochs=1", "--warmup_epochs=0", "--batch_size=8", "--dataloader_n_workers=0",
-        "--val_every_epochs=0", "--test_every_epochs=0", "--log_freq=2",
-        f"--checkpoint_dir={ckpt_dir}", "--save_model_freq=4",
-    ] + common
-    proc = subprocess.run(train_cmd, env=env, capture_output=True, text=True, timeout=900)
-    assert proc.returncode == 0, proc.stderr[-3000:]
-
-    eval_cmd = [
-        sys.executable, "-m", "arp_tpu.train.eval",
-        f"--checkpoint_dir={ckpt_dir}", "--num_test_episodes=1",
-    ] + common
-    proc = subprocess.run(eval_cmd, env=env, capture_output=True, text=True, timeout=900)
-    assert proc.returncode == 0, proc.stderr[-3000:]
-    assert "return" in proc.stdout
-
-
 @pytest.mark.parametrize("vl_type,use_vl", [("BC", False), ("GCBC", False)])
 def test_trainer_cli_baselines(tmp_path, vl_type, use_vl):
     """BC (InstructRL) and GCBC baseline paths through the CLI."""
