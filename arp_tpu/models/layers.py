@@ -22,6 +22,7 @@ import math
 from typing import Callable
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -101,12 +102,30 @@ class Attention(nn.Module):
             bias = jnp.broadcast_to(bias, (1, self.num_heads, n, n))
             impl = "xla"
 
-        out = dot_product_attention(q, k, v, spec=mask_spec, kv_padding=kv_padding, bias=bias, impl=impl)
+        use_prob_dropout = self.att_drop > 0 and not deterministic
+        if use_prob_dropout:
+            # exact reference semantics (layers.py:88): dropout on the
+            # attention *probabilities*.  Incompatible with the fused kernel,
+            # so compute attention explicitly on the XLA path for this case
+            # (training-only; defaults never hit it).
+            from ..ops.masks import combine_padding, materialize_mask
+
+            scale = head_dim**-0.5
+            s = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+            if bias is not None:
+                s = s + bias
+            mask = materialize_mask(mask_spec, n)[None, None]
+            if kv_padding is not None:
+                mask = combine_padding(mask, kv_padding)
+            s = jnp.where(mask, s, jnp.finfo(s.dtype).min)
+            p = jax.nn.softmax(s, axis=-1)
+            p = nn.Dropout(self.att_drop)(p, deterministic)
+            out = jnp.einsum("bhqk,bkhd->bqhd", p.astype(v.dtype), v)
+        else:
+            out = dot_product_attention(
+                q, k, v, spec=mask_spec, kv_padding=kv_padding, bias=bias, impl=impl
+            )
         out = out.reshape(b, n, self.dim)
-        if self.att_drop > 0:
-            # att-prob dropout is incompatible with the fused kernel; apply an
-            # equivalent-rate dropout on the attention output instead.
-            out = nn.Dropout(self.att_drop)(out, deterministic)
         out = nn.Dense(self.dim, use_bias=self.use_bias, kernel_init=self.kernel_init, name="attn_out")(out)
         out = nn.Dropout(self.proj_drop)(out, deterministic)
         return out

@@ -170,3 +170,30 @@ def test_policy_transformer_parity(ref_layers):
         mask_spec=MaskSpec("dt", num_obs_token=num_obs, num_token_per_step=per_step),
     )
     np.testing.assert_allclose(np.asarray(got_dt), np.asarray(expected_dt), atol=1e-4)
+
+
+def test_attention_prob_dropout_training_path():
+    """att_drop>0 in training uses exact probability dropout (reference parity)."""
+    import jax
+
+    from arp_tpu.models.layers import Attention
+
+    attn = Attention(dim=32, num_heads=4, use_bias=True, att_drop=0.5)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 6, 32)).astype(np.float32))
+    params = attn.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x, deterministic=True, mask_spec=MaskSpec("causal"),
+    )["params"]
+    det = attn.apply({"params": params}, x, deterministic=True, mask_spec=MaskSpec("causal"))
+    tr1 = attn.apply(
+        {"params": params}, x, deterministic=False, mask_spec=MaskSpec("causal"),
+        rngs={"dropout": jax.random.PRNGKey(2)},
+    )
+    tr2 = attn.apply(
+        {"params": params}, x, deterministic=False, mask_spec=MaskSpec("causal"),
+        rngs={"dropout": jax.random.PRNGKey(3)},
+    )
+    # stochastic in training, deterministic otherwise, all finite
+    assert not np.allclose(np.asarray(tr1), np.asarray(tr2))
+    assert not np.allclose(np.asarray(tr1), np.asarray(det))
+    assert np.isfinite(np.asarray(tr1)).all() and np.isfinite(np.asarray(det)).all()
