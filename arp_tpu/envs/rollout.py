@@ -208,6 +208,7 @@ def parallel_rollout(
     reward_min=0.0,
     use_normalize: bool = False,
     use_crop: bool = False,
+    goal_images=None,
 ):
     """Lockstep rollout over N host envs with batched device inference.
 
@@ -226,8 +227,17 @@ def parallel_rollout(
     ep_lens = np.zeros(n, np.int64)
 
     text_feat = None
+    goal_feats = None
     if reward_engine is not None and vl_type in ("clip", "clip_ft"):
         text_feat = reward_engine.encode_text_features(text)
+    elif reward_engine is not None and "goal_conditioned" in vl_type:
+        assert goal_images is not None, "goal-conditioned rollout needs goal_images (N, H, W, C)"
+        goals = np.asarray(goal_images)
+        if use_crop:
+            h = goals.shape[1]
+            sidx = h // 4
+            goals = goals[:, sidx : sidx + h // 2, sidx : sidx + h // 2, :]
+        goal_feats = reward_engine._batched_image_features(goals, normalize=False)
 
     def transform(frames):
         if transform_obs_fn is None:
@@ -291,6 +301,9 @@ def parallel_rollout(
                     )
                     logits = logit_scale * (text_feat @ feats.T)
                     rewards = logits.mean(axis=0) if logits.shape[0] > 1 else logits[0]
+                elif "goal_conditioned" in vl_type:
+                    feats = reward_engine._batched_image_features(frames, normalize=False)
+                    rewards = -np.linalg.norm(feats - goal_feats, axis=-1)
                 else:
                     raise ValueError(f"parallel_rollout: unsupported vl_type {vl_type}")
                 if use_normalize:

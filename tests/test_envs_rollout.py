@@ -207,3 +207,33 @@ def test_batch_rollout_goal_conditioned_state_restore(tmp_path):
         idx = list(np.nonzero(g["done"][:, -1])[0] + 1)
         expected_goal = g["ob"][idx[0] - 1, -1]
     np.testing.assert_array_equal(goals_seen[0], expected_goal)
+
+
+def test_parallel_rollout_goal_conditioned():
+    from arp_tpu.models.clip import CLIP
+    from arp_tpu.reward.engine import ClipRewardEngine
+    from tests.test_reward_engine import IMG_SIZE, TINY_CFG, TinyTokenizer
+
+    model = CLIP(**TINY_CFG)
+    rng = np.random.default_rng(0)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(rng.normal(size=(1, IMG_SIZE, IMG_SIZE, 3)).astype(np.float32)),
+        jnp.asarray(TinyTokenizer()("x")),
+    )
+    engine = ClipRewardEngine(
+        model=model, variables=variables, batch_size=4, resize_mode="pil",
+        image_size=IMG_SIZE, tokenizer=TinyTokenizer(),
+    )
+    envs = [FakeProcgen("coinrun", {"episode_length": 4, "image_size": 32, "grid": 3}) for _ in range(2)]
+    goals = rng.integers(0, 256, size=(2, 32, 32, 3), dtype=np.uint8)
+
+    def policy_fn(inputs, rngs):
+        return jnp.zeros((inputs["action"].shape[0],), jnp.int32)
+
+    metric = parallel_rollout(
+        rng=jax.random.PRNGKey(0), envs=envs, policy_fn=policy_fn,
+        episode_length=4, window_size=2, return_to_go=10.0, scale=10.0,
+        reward_engine=engine, vl_type="clip_goal_conditioned", goal_images=goals,
+    )
+    assert np.isfinite(float(metric["return"]))
