@@ -1,14 +1,14 @@
 """Procgen environment wrapper (real C++ engine via gym, when installed).
 
-Same interface and level-split semantics as the reference wrapper
-(arp_dt/envs/procgen.py): eval runs on *unseen* levels by shifting
-start_level += num_levels and doubling num_levels unless use_train_levels;
-a fresh env is created per reset with the given seed; frames are recorded
-for every `record_every`-th episode.
+Behavioral parity with arp_dt/envs/procgen.py: the unseen-level evaluation
+split (start_level shifted past the training block, num_levels doubled unless
+``use_train_levels``), fresh env per reset with an explicit seed, frame
+recording on every ``record_every``-th episode, and an episode-length cap
+folded into ``done``.
 
 The procgen pip forks (procgen / procgenAISC / procgen_highres*) are not
-available in every environment — construction raises a clear error then;
-use arp_tpu.envs.FakeProcgen for engine-free testing.
+available in every environment — construction raises a clear error then; use
+arp_tpu.envs.FakeProcgen for engine-free testing.
 """
 
 from __future__ import annotations
@@ -19,6 +19,14 @@ import numpy as np
 from ml_collections import ConfigDict
 
 from ..config import update_config
+
+_ENV_ID_TEMPLATES = {
+    # (eval_env_type == none, high resolution) -> gym id template
+    (True, True): "procgen-highres-{game}-v0",
+    (True, False): "procgen-{game}-v0",
+    (False, True): "procgen-highres-aisc-{game}_{env_type}-v0",
+    (False, False): "procgen-aisc-{game}-v0",
+}
 
 
 class Procgen:
@@ -41,15 +49,32 @@ class Procgen:
 
     def __init__(self, game_name: str, update, image_resolution: str = "high"):
         self.config = self.get_default_config(update)
+        self.game_name = game_name
+        self._image_resolution = image_resolution
         self._episode_index = 0
         self._record_current_episode = True
         self._recorded_images: list = []
-        self._i = 0
-        self._image_resolution = image_resolution
-        self.game_name = game_name
+        self._step_count = 0
         self._create_env()
 
-    def _gym(self):
+    # -- engine management -----------------------------------------------------
+
+    def _level_range(self) -> tuple[int, int]:
+        """Train levels, or the disjoint eval block shifted past them."""
+        if self.config.use_train_levels:
+            return self.config.start_level, self.config.num_levels
+        return (
+            self.config.start_level + self.config.num_levels,
+            self.config.num_levels * 2,
+        )
+
+    def _env_id(self) -> str:
+        template = _ENV_ID_TEMPLATES[
+            (self.config.eval_env_type == "none", self._image_resolution == "high")
+        ]
+        return template.format(game=self.game_name, env_type=self.config.eval_env_type)
+
+    def _create_env(self, rand_seed: int = 42):
         try:
             import gym
         except ImportError as e:  # pragma: no cover
@@ -58,37 +83,16 @@ class Procgen:
                 "Install procgen/procgenAISC/procgen_highres, or use "
                 "arp_tpu.envs.FakeProcgen for engine-free rollouts."
             ) from e
-        return gym
-
-    def _create_env(self, rand_seed: int = 42):
-        gym = self._gym()
-        # eval on unseen levels: shift start past the train block, double range
-        if self.config.use_train_levels:
-            num_levels = self.config.num_levels
-            start_level = self.config.start_level
-        else:
-            num_levels = self.config.num_levels * 2
-            start_level = self.config.start_level + self.config.num_levels
-
-        kwargs = dict(
+        start_level, num_levels = self._level_range()
+        self._env = gym.make(
+            id=self._env_id(),
             distribution_mode=self.config.distribution_mode,
             num_levels=num_levels,
             start_level=start_level,
             rand_seed=rand_seed,
         )
-        if self.config.eval_env_type == "none":
-            env_id = (
-                f"procgen-highres-{self.game_name}-v0"
-                if self._image_resolution == "high"
-                else f"procgen-{self.game_name}-v0"
-            )
-        else:
-            env_id = (
-                f"procgen-highres-aisc-{self.game_name}_{self.config.eval_env_type}-v0"
-                if self._image_resolution == "high"
-                else f"procgen-aisc-{self.game_name}-v0"
-            )
-        self._env = gym.make(id=env_id, **kwargs)
+
+    # -- gym surface -----------------------------------------------------------
 
     @property
     def observation_space(self):
@@ -99,47 +103,39 @@ class Procgen:
         return self._env.action_space
 
     def reset(self, rand_seed: int = 42):
+        # a fresh engine per episode keeps level sampling reproducible per seed
         self._create_env(rand_seed=rand_seed)
         obs = self._env.reset()
-        self._prev_obs = obs
-        res = self.get_image_state(obs)
-        self._i = 0
+        self._step_count = 0
         self._episode_index += 1
         self._record_current_episode = (
             self.config.record_video and self._episode_index % self.config.record_every == 0
         )
-        self._recorded_images.clear()
-        self.record(obs)
-        return res
-
-    def record(self, obs):
-        self._recorded_images.append(obs)
+        self._recorded_images = [obs]
+        return self.get_image_state(obs)
 
     def step(self, action: Union[int, np.ndarray]):
         obs, reward, terminal, _ = self._env.step(action)
-        self.record(obs)
-        self._prev_obs = obs
-        res = self.get_image_state(obs)
-        self._i += 1
+        self._recorded_images.append(obs)
+        self._step_count += 1
 
-        if terminal or self._i == self.config.episode_length:
-            done = True
-            vid = np.array(self._recorded_images) if self._record_current_episode else None
-        else:
-            done = False
-            vid = None
-        info = {"vid": vid, "episode_len": self._i, "terminal": terminal}
-        return res, reward, done, info
+        done = bool(terminal) or self._step_count == self.config.episode_length
+        vid = None
+        if done and self._record_current_episode:
+            vid = np.array(self._recorded_images)
+        info = {"vid": vid, "episode_len": self._step_count, "terminal": terminal}
+        return self.get_image_state(obs), reward, done, info
 
     def get_image_state(self, obs):
-        res = {"image": {}}
-        for k in self.config.image_key.split(", "):
-            res["image"][k] = obs
+        res = {"image": {key: obs for key in self.config.image_key.split(", ")}}
         if self.config.state_key != "":
-            res["state"] = np.concatenate([obs[k] for k in self.config.state_key.split(", ")])
+            res["state"] = np.concatenate(
+                [obs[k] for k in self.config.state_key.split(", ")]
+            )
         return res
 
-    # engine save-state access (gym3 wrappers expose get_state/set_state)
+    # -- engine save-state access (gym3 wrappers expose get/set_state) ---------
+
     def _inner_env(self):
         env = self._env
         for _ in range(8):

@@ -1,7 +1,13 @@
-"""Impala CNN visual backbone (reference: arp_dt/models/impala/model.py).
+"""Impala CNN visual backbone.
 
-Small 3-stack residual CNN -> 256-d features; the from-scratch visual
-backbone option for policies (``use_impala_backbone``).
+The small residual CNN used as the from-scratch visual option for policies
+(``use_impala_backbone``) and as the PPG encoder — functional parity with
+arp_dt/models/impala/model.py (3 down-stacks of 16/32/32 channels, 2 residual
+blocks each, max-pool downsampling, flatten -> 256-d with final relu).
+
+Implemented as a single flax module: the stack/block structure is driven by
+loops over the channel spec rather than nested module classes, which keeps
+the param tree flat and the whole forward one fused XLA region.
 """
 
 from __future__ import annotations
@@ -9,54 +15,29 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
-import jax.numpy as jnp
-
-
-class CnnBasicBlock(nn.Module):
-    inchan: int = 16
-    padding: str = "SAME"
-
-    @nn.compact
-    def __call__(self, observation: jnp.ndarray) -> jnp.ndarray:
-        x = nn.relu(observation)
-        x = nn.Conv(self.inchan, kernel_size=(3, 3), padding=self.padding, name="conv0")(x)
-        x = nn.relu(x)
-        x = nn.Conv(self.inchan, kernel_size=(3, 3), padding=self.padding, name="conv1")(x)
-        return observation + x
-
-
-class CnnDownStack(nn.Module):
-    outchan: int = 16
-    pool: bool = True
-    padding: str = "SAME"
-    nblock: int = 2
-
-    @nn.compact
-    def __call__(self, observation: jnp.ndarray) -> jnp.ndarray:
-        x = nn.Conv(self.outchan, kernel_size=(3, 3), padding=self.padding, name="firstconv")(observation)
-        if self.pool:
-            x = nn.max_pool(x, window_shape=(3, 3), strides=(2, 2), padding=self.padding)
-        for i in range(self.nblock):
-            x = CnnBasicBlock(self.outchan, name=f"block{i}")(x)
-        return x
 
 
 class ImpalaCNN(nn.Module):
     chans: Sequence[int] = (16, 32, 32)
     outsize: int = 256
-    padding: str = "SAME"
-    final_relu: bool = True
     nblock: int = 2
+    final_relu: bool = True
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        # x: (batch * timestep, h, w, c), scaled to [0, 1]
-        for i, outchan in enumerate(self.chans):
-            x = CnnDownStack(outchan=outchan, nblock=self.nblock, name=f"stack{i}")(x)
-        b = x.shape[0]
-        x = x.reshape(b, -1)
-        x = nn.relu(x)
+    def __call__(self, x):
+        # x: (batch [* timestep], h, w, c), scaled to [0, 1]
+        for s, out_ch in enumerate(self.chans):
+            x = nn.Conv(out_ch, (3, 3), padding="SAME", name=f"stack{s}_firstconv")(x)
+            x = nn.max_pool(x, window_shape=(3, 3), strides=(2, 2), padding="SAME")
+            for b in range(self.nblock):
+                residual = x
+                y = nn.Conv(out_ch, (3, 3), padding="SAME", name=f"stack{s}_block{b}_conv0")(
+                    nn.relu(x)
+                )
+                y = nn.Conv(out_ch, (3, 3), padding="SAME", name=f"stack{s}_block{b}_conv1")(
+                    nn.relu(y)
+                )
+                x = residual + y
+        x = nn.relu(x.reshape(x.shape[0], -1))
         x = nn.Dense(self.outsize, name="dense")(x)
-        if self.final_relu:
-            x = nn.relu(x)
-        return x
+        return nn.relu(x) if self.final_relu else x
