@@ -35,7 +35,7 @@ TINY = dict(
 TINY_RN = dict(
     embed_dim=32,
     vocab_size=97,
-    vision_num_layers=(2, 2, 2, 2),
+    vision_num_layers=(1, 1, 1, 1),
     vision_features=8,
     text_features=32,
     text_num_heads=4,

@@ -117,14 +117,20 @@ def test_arpdt_trains():
     assert losses[-1] < losses[0]
 
 
-def test_clip_from_scratch_path():
+def test_clip_from_scratch_path(monkeypatch):
     """transfer_type=clip_* with use_from_scratch trains CLIP jointly (no ckpt)."""
+    from arp_tpu.models.clip import CLIP
+    from arp_tpu.models.clip import model as clip_model_mod
+
+    tiny = dict(embed_dim=16, vocab_size=97, vision_num_layers=1, vision_features=64,
+                vision_patch_size=16, text_features=16, text_num_heads=4, text_num_layers=1)
+    monkeypatch.setitem(clip_model_mod.MODELS, "tiny_test", lambda: CLIP(**tiny))
+
     rng = np.random.default_rng(4)
     batch = make_batch(rng, with_text=True)
-    cfg = base_config(transfer_type="clip_vit_b32", use_from_scratch=True, use_text=True)
-    batch["image"] = {"ob": jnp.asarray(rng.normal(size=(2, WINDOW, 224, 224, 3)).astype(np.float32))}
+    cfg = base_config(transfer_type="clip_tiny_test", use_from_scratch=True, use_text=True)
+    batch["image"] = {"ob": jnp.asarray(rng.normal(size=(2, WINDOW, 64, 64, 3)).astype(np.float32))}
     model = ARPDT(config_updates=cfg, num_actions=15, patch_dim=PATCH)
-    # keep it cheap: only check init traces & forward output shape on 1 sample
     small = jax.tree_util.tree_map(lambda x: x[:1] if hasattr(x, "shape") else x, batch)
     params, out = _init_and_forward(model, small)
     assert out["action_pred"].shape == (1, WINDOW, 15)
@@ -151,13 +157,20 @@ def test_m3ae_from_scratch_path_and_gcbc_goal():
     assert out["action_pred"].shape == (2, WINDOW, 15)
 
 
-def test_adapter_gate():
+def test_adapter_gate(monkeypatch):
+    from arp_tpu.models.clip import CLIP
+    from arp_tpu.models.clip import model as clip_model_mod
+
+    tiny = dict(embed_dim=16, vocab_size=97, vision_num_layers=1, vision_features=64,
+                vision_patch_size=16, text_features=16, text_num_heads=4, text_num_layers=1)
+    monkeypatch.setitem(clip_model_mod.MODELS, "tiny_test", lambda: CLIP(**tiny))
+
     rng = np.random.default_rng(7)
     batch = make_batch(rng)
-    cfg = base_config(transfer_type="clip_vit_b32", use_from_scratch=True, use_adapter=True)
+    cfg = base_config(transfer_type="clip_tiny_test", use_from_scratch=True, use_adapter=True)
     model = ARPDT(config_updates=cfg, num_actions=15, patch_dim=PATCH)
     small = jax.tree_util.tree_map(lambda x: x[:1] if hasattr(x, "shape") else x, batch)
-    small["image"] = {"ob": jnp.asarray(rng.normal(size=(1, WINDOW, 224, 224, 3)).astype(np.float32))}
+    small["image"] = {"ob": jnp.asarray(rng.normal(size=(1, WINDOW, 64, 64, 3)).astype(np.float32))}
     params, out = _init_and_forward(model, small)
     assert "residual_weight" in params
 
