@@ -89,7 +89,7 @@ def test_five_stage_pipeline(tmp_path):
     env_vars = make_cli_env()
     cmd = [
         sys.executable, "-m", "arp_tpu.train.main",
-        "--epochs=1", "--warmup_epochs=0", "--batch_size=8", "--dataloader_n_workers=0",
+        "--epochs=2", "--warmup_epochs=0", "--batch_size=8", "--dataloader_n_workers=0",
         "--log_freq=2", "--lr=1e-3", "--window_size=4",
         "--use_vl=True", "--vl_type=clip", "--use_crop=False", "--game_name=coinrun",
         "--val_every_epochs=0", "--test_every_epochs=1", "--num_test_episodes=1",
