@@ -111,7 +111,34 @@ class DataLoader:
     def __iter__(self):
         return self._iter_epoch()
 
-    def epochs(self) -> Iterator[dict]:
-        """Endless stream over epochs (reference generate_batch semantics)."""
+    def epochs(self, skip_batches: int = 0) -> Iterator[dict]:
+        """Endless stream over epochs (reference generate_batch semantics).
+
+        ``skip_batches`` fast-forwards without loading data (index-only), so a
+        resumed run continues with exactly the batches it would have seen —
+        the reference loses dataloader position on restart (SURVEY.md §5).
+        """
+        per_epoch = len(self)
+        if skip_batches:
+            self._epoch += skip_batches // per_epoch
+            skip_batches = skip_batches % per_epoch
+        first = True
         while True:
+            if first and skip_batches:
+                idx = self._epoch_indices()
+                self._epoch += 1
+                batches = [
+                    idx[i : i + self.batch_size] for i in range(0, len(idx), self.batch_size)
+                ][skip_batches:]
+                for b in batches:
+                    yield _collate([self.dataset[int(i)] for i in b])
+                first = False
+                continue
+            first = False
             yield from self._iter_epoch()
+
+    def state(self) -> dict:
+        return {"epoch": self._epoch}
+
+    def set_state(self, state: dict) -> None:
+        self._epoch = int(state["epoch"])

@@ -263,8 +263,12 @@ def main(argv):
         if FLAGS.eval_env != "none":
             test_step_fn = build_test_step(FLAGS, model, train_dataset, eval_transform, use_text)
 
+        # exact-resume: fast-forward the loader to the batch after start_step
         train_iter = ThreadedPrefetch(
-            (shard_batch(_host_batch_to_arrays(b, use_text, use_goal), mesh) for b in train_loader.epochs()),
+            (
+                shard_batch(_host_batch_to_arrays(b, use_text, use_goal), mesh)
+                for b in train_loader.epochs(skip_batches=start_step)
+            ),
             capacity=2,
         )
         rng = jax.random.PRNGKey(FLAGS.seed)

@@ -158,3 +158,20 @@ def test_dataset_arps_backend(tmp_path):
     b = ds_arps[5]
     np.testing.assert_array_equal(a["image"]["ob"], b["image"]["ob"])
     np.testing.assert_array_equal(a["goal"]["ob"], b["goal"]["ob"])
+
+
+def test_loader_skip_batches_resume(tmp_path):
+    """epochs(skip_batches=k) yields exactly the batches a fresh run would
+    produce after k steps — exact dataloader resume."""
+    make_file(tmp_path)
+    cfg = {"path": str(tmp_path), "image_size": 8, "num_frames": 8, "window_size": 4}
+    ds = ProcgenDataset(cfg, dataset_name=NAME, split="train")
+
+    fresh = DataLoader(ds, batch_size=8, num_workers=0, seed=7)
+    stream = fresh.epochs()
+    reference_batches = [next(stream)["action"] for _ in range(7)]
+
+    resumed_loader = DataLoader(ds, batch_size=8, num_workers=0, seed=7)
+    resumed = resumed_loader.epochs(skip_batches=4)
+    for k in range(4, 7):
+        np.testing.assert_array_equal(next(resumed)["action"], reference_batches[k])
