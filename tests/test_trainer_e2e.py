@@ -205,3 +205,37 @@ def test_trainer_resume_from_checkpoint(tmp_path):
     p2 = subprocess.run(base + ["--epochs=2"], env=env, capture_output=True, text=True, timeout=900)
     assert p2.returncode == 0, p2.stderr[-3000:]
     assert "resumed from orbax step" in (p2.stderr + p2.stdout)
+
+
+def test_trainer_cli_instructrl_text(tmp_path):
+    """InstructRL: BC + use_text with a from-scratch M3AE over image+text."""
+    data_root = str(tmp_path / "demos")
+    make_labeled_dataset(data_root)
+    out_dir = str(tmp_path / "out")
+
+    from tests.cli_env import make_cli_env
+
+    env = make_cli_env()
+    cmd = [
+        sys.executable, "-m", "arp_tpu.train.main",
+        "--epochs=1", "--warmup_epochs=0", "--batch_size=8", "--dataloader_n_workers=0",
+        "--log_freq=1", "--lr=1e-3", "--window_size=4",
+        "--use_vl=False", "--vl_type=BC", "--use_crop=False", "--game_name=coinrun",
+        "--val_every_epochs=0", "--test_every_epochs=0", "--eval_env=none",
+        "--patch_dim=8", "--encode_image_size=32",
+        "--model.model_type=vit_debug", "--model.transfer_type=m3ae_vit_b16",
+        "--model.use_from_scratch=True", "--model.use_text=True",
+        "--model.emb_dim=32", "--model.depth=2", "--model.num_heads=4",
+        "--model.mlp_ratio=2", "--model.num_ensembles=2",
+        "--model.m3ae.model_type=custom", "--model.m3ae.emb_dim=32", "--model.m3ae.depth=2",
+        "--model.m3ae.num_heads=4", "--model.m3ae.mlp_ratio=2",
+        "--model.m3ae.dec_emb_dim=16", "--model.m3ae.dec_depth=1", "--model.m3ae.dec_num_heads=4",
+        "--data.tokenizer_max_length=16",
+        f"--data.path={data_root}", "--data.image_size=32", "--data.num_frames=8",
+        "--data.window_size=4", "--data.num_demonstrations=20",
+        f"--logging.output_dir={out_dir}",
+    ]
+    proc = subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    records = [json.loads(l) for l in open(os.path.join(out_dir, os.listdir(out_dir)[0], "metrics.jsonl"))]
+    assert any("train_loss" in r for r in records)
