@@ -54,10 +54,19 @@ class ClipRewardEngine:
         compute_dtype=jnp.float32,
         tokenizer=None,
         model=None,
+        quantize_weights=False,
     ):
         self.model = model if model is not None else clip_models.MODELS[model_name]()
         if variables is None:
             variables = clip_models.load_model_vars(model_name)
+        self._dequantize = None
+        if quantize_weights:
+            # int8 weight-only storage: kernels live in HBM as int8 + scales
+            # (4x less weight traffic / transfer than f32) and dequantize
+            # inside the jitted program.
+            from ..ops.quantization import quantize_tree
+
+            variables, self._dequantize = quantize_tree(variables)
         self.variables = variables
         self.batch_size = batch_size
         self.resize_mode = resize_mode
@@ -88,8 +97,12 @@ class ClipRewardEngine:
                 )
             return variables, x
 
+        dequantize = self._dequantize
+
         @jax.jit
         def _encode_images(variables, frames, normalize):
+            if dequantize is not None:
+                variables = dequantize(variables)
             if self._packed:
                 x = clip_preprocess_packed_patches(
                     frames, channels=3, image_size=img_size, patch_size=patch_size
@@ -106,6 +119,8 @@ class ClipRewardEngine:
 
         @jax.jit
         def _encode_text(variables, tokens):
+            if dequantize is not None:
+                variables = dequantize(variables)
             return model.apply(variables, tokens, normalize=True, method=model.encode_text)
 
         self._encode_images_jit = _encode_images

@@ -147,6 +147,7 @@ def main():
     parser.add_argument("--batch_size", type=int, default=256)
     parser.add_argument("--resize_mode", type=str, default="pil", choices=["pil", "fast"])
     parser.add_argument("--bf16", action="store_true", help="run the encoder in bfloat16")
+    parser.add_argument("--int8", action="store_true", help="int8 weight-only quantization")
     args = parser.parse_args()
 
     env_name = args.env_name if args.env_type == "none" else f"{args.env_name}_{args.env_type}"
@@ -184,6 +185,7 @@ def main():
             resize_mode=args.resize_mode,
             use_crop=args.use_crop,
             compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+            quantize_weights=args.int8,
         )
     stats = label_rewards(
         data_path,

@@ -84,3 +84,28 @@ def test_quantize_tree_and_clip_accuracy():
         return sum(np.asarray(l).nbytes for l in jax.tree_util.tree_leaves(tree))
 
     assert nbytes(qtree) < 0.45 * nbytes(variables)
+
+
+def test_quantized_reward_engine():
+    """quantize_weights=True engine: rewards track the fp32 engine closely."""
+    from arp_tpu.models.clip import CLIP
+    from arp_tpu.reward.engine import ClipRewardEngine
+    from tests.test_reward_engine import IMG_SIZE, TINY_CFG, TinyTokenizer
+
+    model = CLIP(**TINY_CFG)
+    rng = np.random.default_rng(5)
+    img = jnp.asarray(rng.normal(size=(1, IMG_SIZE, IMG_SIZE, 3)).astype(np.float32))
+    text = jnp.asarray(TinyTokenizer()("x"))
+    variables = model.init(jax.random.PRNGKey(0), img, text)
+
+    kwargs = dict(model=model, batch_size=8, resize_mode="pil", image_size=IMG_SIZE,
+                  tokenizer=TinyTokenizer())
+    full = ClipRewardEngine(variables=variables, **kwargs)
+    quant = ClipRewardEngine(variables=variables, quantize_weights=True, **kwargs)
+
+    frames = rng.integers(0, 256, size=(6, IMG_SIZE, IMG_SIZE, 3), dtype=np.uint8)
+    r_full = full.text_rewards(frames, "collect the coin.")
+    r_quant = quant.text_rewards(frames, "collect the coin.")
+    np.testing.assert_allclose(r_quant, r_full, atol=0.15)
+    # reward ordering preserved
+    assert (np.argsort(r_quant) == np.argsort(r_full)).mean() > 0.5
