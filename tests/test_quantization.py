@@ -109,3 +109,24 @@ def test_quantized_reward_engine():
     np.testing.assert_allclose(r_quant, r_full, atol=0.15)
     # reward ordering preserved
     assert (np.argsort(r_quant) == np.argsort(r_full)).mean() > 0.5
+
+
+def test_bf16_engine_reward_mae():
+    """bf16 engine rewards stay within the reference's fp16-GPU noise regime."""
+    from arp_tpu.models.clip import CLIP
+    from arp_tpu.reward.engine import ClipRewardEngine
+    from tests.test_reward_engine import IMG_SIZE, TINY_CFG, TinyTokenizer
+
+    model = CLIP(**TINY_CFG)
+    rng = np.random.default_rng(6)
+    img = jnp.asarray(rng.normal(size=(1, IMG_SIZE, IMG_SIZE, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), img, jnp.asarray(TinyTokenizer()("x")))
+    kwargs = dict(model=model, batch_size=8, resize_mode="pil", image_size=IMG_SIZE,
+                  tokenizer=TinyTokenizer(), variables=variables)
+    full = ClipRewardEngine(**kwargs)
+    bf16 = ClipRewardEngine(compute_dtype=jnp.bfloat16, **kwargs)
+    frames = rng.integers(0, 256, size=(6, IMG_SIZE, IMG_SIZE, 3), dtype=np.uint8)
+    r_full = full.text_rewards(frames, "collect the coin.")
+    r_bf16 = bf16.text_rewards(frames, "collect the coin.")
+    mae = np.abs(r_full - r_bf16).mean()
+    assert mae < 0.05, mae
