@@ -29,28 +29,39 @@ TARGET_MULTIPLIER = 5.0
 
 
 def main():
+    import os
+
     from arp_tpu.models.clip import CLIP, CONFIGS
     from arp_tpu.reward.engine import ClipRewardEngine
 
+    smoke = os.environ.get("ARP_BENCH_SMOKE") == "1"  # CI contract check only
+
     # Random-init ViT-B/16 (throughput is weight-independent).
-    model = CLIP(**CONFIGS["vit_b16"])
+    cfg = dict(CONFIGS["vit_b16"])
+    image_size = 224
+    if smoke:
+        cfg.update(vision_num_layers=1, vision_features=64, vision_patch_size=8,
+                   text_num_layers=1, text_features=64, embed_dim=32, text_num_heads=4)
+        image_size = 32
+    model = CLIP(**cfg)
     rng = jax.random.PRNGKey(0)
-    img = jnp.zeros((1, 224, 224, 3), jnp.float32)
+    img = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
     txt = jnp.zeros((1, 77), jnp.int32)
     variables = jax.jit(model.init)(rng, img, txt)
 
-    batch_size = 256  # sweep-validated optimum on the tunnel backend
+    batch_size = 8 if smoke else 256  # sweep-validated optimum on the tunnel backend
     engine = ClipRewardEngine(
         model=model,
         variables=variables,
         batch_size=batch_size,
         resize_mode="pil",          # bit-exact reference preprocessing, on device
         compute_dtype=jnp.bfloat16,  # encoder on the MXU in bf16 (ref: fp16 GPU)
-        image_size=224,
+        image_size=image_size,
     )
 
-    n_frames = 2048
-    frames = np.random.default_rng(0).integers(0, 256, size=(n_frames, 256, 256, 3), dtype=np.uint8)
+    n_frames = 32 if smoke else 2048
+    src = 64 if smoke else 256
+    frames = np.random.default_rng(0).integers(0, 256, size=(n_frames, src, src, 3), dtype=np.uint8)
     tokens = np.zeros((1, 77), np.int32)
     tokens[0, :3] = [49406, 320, 49407]
 
