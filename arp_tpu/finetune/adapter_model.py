@@ -34,9 +34,11 @@ from ..ops.preprocess import clip_preprocess
 
 class ClipMultiscaleAdapter(nn.Module):
     clip_model_name: str = "vit_b16"
-    input_dim: int = 512
-    hidden_dim: int = 1024
-    output_dim: int = 512
+    # adapter dims default to the CLIP embed dim (512 for ViT-B/16, matching
+    # the reference's hardcoded defaults) and scale with other backbones
+    input_dim: int = 0   # 0 -> embed_dim
+    hidden_dim: int = 0  # 0 -> 2 * embed_dim
+    output_dim: int = 0  # 0 -> embed_dim
     action_dim: int = 15
     num_layers: int = 2
     use_discrete_action: bool = True
@@ -53,20 +55,26 @@ class ClipMultiscaleAdapter(nn.Module):
         self.text_dim = cfg["text_features"]
         L = self.num_clip_layers
 
+        embed_dim = cfg["embed_dim"]
+        out_dim = self.output_dim or embed_dim
+        hid_dim = self.hidden_dim or 2 * embed_dim
+        # multiscale feature = L intermediate projections (text_dim each) +
+        # the final embedding; the gated adapter must preserve that width
+        feat_dim = self.text_dim * L + embed_dim
         self.image_intermediate_linear = nn.Dense(self.text_dim * L, use_bias=False)
         self.text_intermediate_linear = nn.Dense(self.text_dim * L, use_bias=False)
         self.image_adapter = AdapterMLP(
-            hidden_dim=self.hidden_dim * (L + 1),
-            output_dim=self.output_dim * (L + 1),
+            hidden_dim=hid_dim * (L + 1),
+            output_dim=feat_dim,
             num_layers=self.num_layers,
         )
         self.text_adapter = AdapterMLP(
-            hidden_dim=self.hidden_dim * (L + 1),
-            output_dim=self.output_dim * (L + 1),
+            hidden_dim=hid_dim * (L + 1),
+            output_dim=feat_dim,
             num_layers=self.num_layers,
         )
         self.inverse_layer = AdapterMLP(
-            hidden_dim=self.hidden_dim,
+            hidden_dim=hid_dim,
             output_dim=self.action_dim,
             num_layers=self.num_layers,
         )

@@ -61,6 +61,18 @@ def main(argv):
     train_loader = DataLoader(train_dataset, FLAGS.batch_size, shuffle=True, seed=FLAGS.seed)
     val_loader = DataLoader(val_dataset, FLAGS.batch_size, shuffle=False, seed=FLAGS.seed)
 
+    import os as _os
+
+    if _os.environ.get("ARP_TPU_TINY_CLIP") == "1":
+        # test/smoke hook: register a tiny CLIP config so the CLI can run
+        # end-to-end without full-size weights
+        from ..models.clip.model import CONFIGS as _CONFIGS
+
+        _CONFIGS["tiny_test"] = dict(
+            embed_dim=16, vocab_size=97, vision_num_layers=2, vision_features=64,
+            vision_patch_size=8, text_features=16, text_num_heads=4, text_num_layers=2,
+        )
+
     model = ClipMultiscaleAdapter(
         clip_model_name=FLAGS.clip_model,
         action_dim=train_dataset.num_actions,
@@ -68,9 +80,21 @@ def main(argv):
         use_id_loss=FLAGS.use_id_loss,
         goal_conditioned=FLAGS.goal_conditioned,
     )
-    clip_variables = load_model_vars(
-        FLAGS.clip_model, checkpoint_path=FLAGS.clip_checkpoint or None
-    )
+    if FLAGS.clip_checkpoint == "random":
+        # random-init backbone (smoke runs / training-dynamics checks)
+        from ..models.clip.model import CLIP, CONFIGS as _CONFIGS
+
+        _clip = CLIP(**_CONFIGS[FLAGS.clip_model])
+        import jax.numpy as jnp
+
+        # the adapter's preprocess always feeds 224x224 into the backbone
+        clip_variables = jax.jit(_clip.init)(
+            next_rng(), jnp.zeros((1, 224, 224, 3)), jnp.zeros((1, 77), jnp.int32)
+        )
+    else:
+        clip_variables = load_model_vars(
+            FLAGS.clip_model, checkpoint_path=FLAGS.clip_checkpoint or None
+        )
 
     sample = next(iter(train_loader))
     params = jax.jit(lambda r, cv, b: model.init(r, cv, b, train=False))(

@@ -191,3 +191,47 @@ def test_latent_image_decoder():
         state, loss = step(state)
         losses.append(float(loss))
     assert losses[-1] < losses[0]
+
+
+def test_finetune_cli_e2e(tmp_path):
+    """ARP-DT+ fine-tuning CLI end-to-end with a tiny random-init CLIP."""
+    import os
+    import subprocess
+    import sys
+
+    from tests.cli_env import make_cli_env
+
+    # quadruple source data
+    root = tmp_path / "demos" / "coinrun_tiny"
+    root.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    n, f = 24, 4
+    for split in ("train", "val"):
+        with h5py.File(root / f"data_{split}.hdf5", "w") as g:
+            g.create_dataset("ob", data=rng.integers(0, 256, size=(n, f, 32, 32, 3), dtype=np.uint8))
+            g.create_dataset("act", data=rng.integers(0, 15, size=(n, f)).astype(np.int64))
+            done = np.zeros((n, f), bool)
+            done[n // 2 - 1, -1] = done[n - 1, -1] = True
+            g.create_dataset("done", data=done)
+
+    env = make_cli_env()
+    env["ARP_TPU_TINY_CLIP"] = "1"
+    out = str(tmp_path / "log")
+    ckpt = str(tmp_path / "ckpt")
+    cmd = [
+        sys.executable, "-m", "arp_tpu.finetune.train",
+        "--epochs=1", "--batch_size=8", "--lr=1e-4", "--log_freq=1",
+        "--dataset_name=coinrun_tiny", "--clip_model=tiny_test",
+        "--clip_checkpoint=random", "--image_size=32",
+        f"--checkpoint_dir={ckpt}",
+        f"--data.path={tmp_path / 'demos'}", "--data.image_key=ob",
+        f"--logging.output_dir={out}",
+    ]
+    proc = subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    import json
+
+    records = [json.loads(l) for l in open(os.path.join(out, os.listdir(out)[0], "metrics.jsonl"))]
+    assert any("train_loss" in r for r in records)
+    assert any("val_loss" in r for r in records)
+    assert os.listdir(ckpt)
