@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from typing import Optional
 
+import einops
+
 import flax
 import flax.linen as nn
 import jax
@@ -28,71 +30,77 @@ from ..ops.masks import MaskSpec
 
 
 def extract_patches(inputs, patch_size: int):
-    batch, height, width, channels = inputs.shape
-    height, width = height // patch_size, width // patch_size
-    x = jnp.reshape(inputs, (batch, height, patch_size, width, patch_size, channels))
-    x = jnp.swapaxes(x, 2, 3)
-    return jnp.reshape(x, (batch, height * width, patch_size**2 * channels))
+    """(B, H, W, C) images -> (B, N, P*P*C) patch vectors.
+
+    Patch ordering is row-major over the patch grid, with each vector laid out
+    (p_row, p_col, channel) — the layout the reference's patchify produces
+    (m3ae/model.py extract_patches), which converted checkpoints assume.
+    """
+    return einops.rearrange(
+        inputs, "b (gh p) (gw q) c -> b (gh gw) (p q c)", p=patch_size, q=patch_size
+    )
 
 
 def merge_patches(inputs, patch_size: int):
-    batch, length, _ = inputs.shape
-    height = width = int(length**0.5)
-    x = jnp.reshape(inputs, (batch, height, width, patch_size, patch_size, -1))
-    x = jnp.swapaxes(x, 2, 3)
-    return jnp.reshape(x, (batch, height * patch_size, width * patch_size, -1))
-
-
-def index_sequence(x, ids):
-    return x[:, ids, ...]
+    """Inverse of :func:`extract_patches` for square patch grids."""
+    side = int(inputs.shape[1] ** 0.5)
+    return einops.rearrange(
+        inputs, "b (gh gw) (p q c) -> b (gh p) (gw q) c", gh=side, gw=side, p=patch_size, q=patch_size
+    )
 
 
 def random_masking(x, rng, keep_len, padding_mask=None):
-    """Batch-shared random shuffle masking (reference: m3ae/model.py:143-157)."""
-    batch, length, _ = x.shape
-    noise = jax.random.uniform(rng, (length,), dtype=jnp.float32)
-    ids_shuffle = jnp.argsort(noise, axis=0)
-    ids_restore = jnp.argsort(ids_shuffle, axis=0)
-    kept = index_sequence(x, ids_shuffle[:keep_len])
-    mask = jnp.ones([batch, length], dtype=jnp.float32)
-    mask = mask.at[:, :keep_len].set(0.0)
-    mask = index_sequence(mask, ids_restore)
+    """MAE-style random token drop, one shared permutation per batch.
+
+    Semantics (and the exact permutation, for checkpoint-parity with
+    m3ae/model.py:143-157): positions are ranked by an argsort over a uniform
+    draw of length ``seq_len``; the ``keep_len`` best-ranked survive.
+
+    Returns ``(kept_tokens, drop_mask, unshuffle_ids[, kept_padding_mask])``
+    where ``drop_mask[b, j] = 1.0`` iff position ``j`` was dropped, and
+    ``unshuffle_ids`` restores decoder outputs to original order.
+    """
+    seq_len = x.shape[1]
+    rank = jnp.argsort(jax.random.uniform(rng, (seq_len,), dtype=jnp.float32))
+    unshuffle = jnp.argsort(rank)
+    keep_ids = rank[:keep_len]
+    kept = x[:, keep_ids]
+    # position j survives iff its rank index is < keep_len
+    dropped = (unshuffle >= keep_len).astype(jnp.float32)
+    drop_mask = jnp.broadcast_to(dropped, (x.shape[0], seq_len))
     if padding_mask is None:
-        return kept, mask, ids_restore
-    padding_mask_kept = index_sequence(padding_mask, ids_shuffle[:keep_len])
-    return kept, mask, ids_restore, padding_mask_kept
+        return kept, drop_mask, unshuffle
+    return kept, drop_mask, unshuffle, padding_mask[:, keep_ids]
 
 
 def cross_entropy_loss_and_accuracy(logits, tokens, valid=None):
+    """Per-sequence-normalized masked CE + accuracy (m3ae loss semantics).
+
+    Each sequence's token losses are summed and divided by its own valid
+    count before averaging over the batch, so short sequences are not
+    down-weighted.
+    """
     if valid is None:
         valid = jnp.ones(tokens.shape[:2])
-    valid_text_length = jnp.maximum(jnp.sum(valid, axis=-1), 1e-5)
-    token_log_prob = jnp.squeeze(
-        jnp.take_along_axis(jax.nn.log_softmax(logits, axis=-1), jnp.expand_dims(tokens, -1), axis=-1),
-        -1,
-    )
-    token_log_prob = jnp.where(valid > 0.0, token_log_prob, jnp.array(0.0))
-    loss = -jnp.mean(jnp.sum(token_log_prob, axis=-1) / valid_text_length)
-    correct = jnp.where(valid > 0.0, jnp.argmax(logits, axis=-1) == tokens, jnp.array(False))
-    accuracy = jnp.mean(jnp.sum(correct, axis=-1) / valid_text_length)
+    live = valid > 0.0
+    per_seq = jnp.maximum(valid.sum(axis=-1), 1e-5)
+    token_logp = jnp.take_along_axis(
+        jax.nn.log_softmax(logits, axis=-1), tokens[..., None], axis=-1
+    )[..., 0]
+    loss = -jnp.mean(jnp.where(live, token_logp, 0.0).sum(axis=-1) / per_seq)
+    hits = live & (jnp.argmax(logits, axis=-1) == tokens)
+    accuracy = jnp.mean(hits.sum(axis=-1) / per_seq)
     return loss, accuracy
 
 
 def patch_mse_loss(patch_output, patch_target, valid=None):
+    """Masked MSE over patches, normalized by each sequence's valid fraction."""
     if valid is None:
         valid = jnp.ones(patch_target.shape[:2])
-    valid_ratio = jnp.sum(valid, axis=-1) / valid.shape[-1]
-    return jnp.mean(
-        jnp.mean(
-            jnp.where(
-                valid > 0.0,
-                jnp.mean(jnp.square(patch_target - patch_output), axis=-1),
-                jnp.array(0.0),
-            ),
-            axis=-1,
-        )
-        / valid_ratio
-    )
+    per_patch = jnp.square(patch_target - patch_output).mean(axis=-1)
+    masked = jnp.where(valid > 0.0, per_patch, 0.0).mean(axis=-1)
+    valid_frac = valid.sum(axis=-1) / valid.shape[-1]
+    return jnp.mean(masked / valid_frac)
 
 
 def get_transformer_by_config(model_type: str, config: ConfigDict) -> None:
@@ -309,7 +317,7 @@ class MaskedMultimodalAutoencoder(nn.Module):
                 self.image_mask_embedding,
                 (batch_size, image_ids_restore.shape[0] - image_keep_length, cfg.dec_emb_dim),
             )
-            image_x = index_sequence(jnp.concatenate([image_x, masked], axis=1), image_ids_restore)
+            image_x = jnp.concatenate([image_x, masked], axis=1)[:, image_ids_restore]
             image_x = (
                 image_x
                 + get_2d_sincos_pos_embed(cfg.dec_emb_dim, image_ids_restore.shape[0])
@@ -325,7 +333,7 @@ class MaskedMultimodalAutoencoder(nn.Module):
                 self.text_mask_embedding,
                 (batch_size, text_ids_restore.shape[0] - text_keep_length, cfg.dec_emb_dim),
             )
-            text_x = index_sequence(jnp.concatenate([text_x, masked], axis=1), text_ids_restore)
+            text_x = jnp.concatenate([text_x, masked], axis=1)[:, text_ids_restore]
             text_x = (
                 text_x
                 + get_1d_sincos_pos_embed(cfg.dec_emb_dim, text_ids_restore.shape[0])
@@ -463,7 +471,7 @@ class MaskedAutoencoder(nn.Module):
         masked = jnp.broadcast_to(
             self.image_mask_embedding, (batch_size, ids_restore.shape[0] - keep, cfg.dec_emb_dim)
         )
-        image_x = index_sequence(jnp.concatenate([image_x, masked], axis=1), ids_restore)
+        image_x = jnp.concatenate([image_x, masked], axis=1)[:, ids_restore]
         image_x = (
             image_x
             + get_2d_sincos_pos_embed(cfg.dec_emb_dim, ids_restore.shape[0])
