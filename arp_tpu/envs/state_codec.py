@@ -19,7 +19,6 @@ INT = "i"
 FLOAT = "f"
 BOOL = "b"      # stored as int, exposed as bool
 STRING = "s"    # int length + raw bytes
-RANDGEN = "rg"  # int is_seeded + string state
 VEC_INT = "vi"  # int count + ints
 ENTITIES = "ents"
 
@@ -70,8 +69,12 @@ BODY_SCHEMA: List[Tuple[str, str]] = [
     ("level_seed_high", INT),
     ("game_type", INT),
     ("game_n", INT),
-    ("level_seed_rg", RANDGEN),
-    ("rand_rg", RANDGEN),
+    # randgen state = is_seeded int + serialized-stream string (flat keys,
+    # matching the reference deserializer's dict schema)
+    ("level_seed_is_seeded", INT),
+    ("level_seed_str", STRING),
+    ("rand_is_seeded", INT),
+    ("rand_str", STRING),
     ("step_data_reward", FLOAT),
     ("step_data_done", INT),
     ("step_data_level_complete", INT),
@@ -108,7 +111,8 @@ BODY_SCHEMA: List[Tuple[str, str]] = [
     ("random_agent_start", INT),
     ("has_useful_vel_info", INT),
     ("step_rand_int", INT),
-    ("asset_rand_rg", RANDGEN),
+    ("asset_rand_is_seeded", INT),
+    ("asset_rand_str", STRING),
     ("main_width", INT),
     ("main_height", INT),
     ("out_of_bounds_object", INT),
@@ -160,8 +164,6 @@ class _Reader:
             v = self.buf[self.pos : self.pos + n].decode()
             self.pos += n
             return v
-        if kind == RANDGEN:
-            return {"is_seeded": self.read(INT), "state": self.read(STRING)}
         if kind == VEC_INT:
             n = self.read(INT)
             return [self.read(INT) for _ in range(n)]
@@ -186,9 +188,6 @@ class _Writer:
             raw = value.encode()
             self.write(INT, len(raw))
             self.parts.append(raw)
-        elif kind == RANDGEN:
-            self.write(INT, value["is_seeded"])
-            self.write(STRING, value["state"])
         elif kind == VEC_INT:
             self.write(INT, len(value))
             for v in value:
@@ -217,8 +216,18 @@ def _full_schema(game_name: str, env_type: str) -> List[Tuple[str, str]]:
     return schema
 
 
+# The C++ engine terminates every save-state blob with this sentinel
+# (reference serialize.py writes it; the deserializer stops just before it).
+END_OF_BUFFER = 0xCAFECAFE - (1 << 32)  # as signed int32
+
+
 def decode_state(buf: bytes, env_type: str = "none") -> Dict[str, Any]:
-    """Decode an engine save-state blob to a field dict."""
+    """Decode an engine save-state blob to a field dict.
+
+    The trailing END_OF_BUFFER sentinel, when present, is validated and
+    consumed; blobs without it (e.g. reference-deserializer-era fixtures)
+    still decode.
+    """
     reader = _Reader(bytes(buf))
     data: Dict[str, Any] = {}
     for name, kind in HEADER_SCHEMA:
@@ -226,12 +235,20 @@ def decode_state(buf: bytes, env_type: str = "none") -> Dict[str, Any]:
     remaining = _full_schema(data["game_name"], env_type)[len(HEADER_SCHEMA):]
     for name, kind in remaining:
         data[name] = reader.read(kind)
+    if len(reader.buf) - reader.pos >= 4:
+        sentinel = reader.read(INT)
+        if sentinel != END_OF_BUFFER:
+            raise ValueError(
+                f"bad end-of-buffer sentinel {sentinel & 0xFFFFFFFF:#x} "
+                f"(schema mismatch for {data['game_name']!r}/{env_type!r}?)"
+            )
     return data
 
 
 def encode_state(data: Dict[str, Any], env_type: str = "none") -> bytes:
-    """Encode a field dict back to the engine's wire format."""
+    """Encode a field dict back to the engine's wire format (incl. sentinel)."""
     writer = _Writer()
     for name, kind in _full_schema(data["game_name"], env_type):
         writer.write(kind, data[name])
+    writer.write(INT, END_OF_BUFFER)
     return writer.getvalue()

@@ -12,7 +12,6 @@ from arp_tpu.envs.state_codec import decode_state, encode_state
 def _sample_state(game="coinrun"):
     ent = {name: (1 if kind == "i" else 0.5) for name, kind in
            __import__("arp_tpu.envs.state_codec", fromlist=["ENTITY_SCHEMA"]).ENTITY_SCHEMA}
-    rg = {"is_seeded": 1, "state": "13 37"}
     data = {
         "SERIALIZE_VERSION": 1, "game_name": game,
         "paint_vel_info": 0, "use_generated_assets": 0, "use_monochrome_assets": 0,
@@ -20,7 +19,8 @@ def _sample_state(game="coinrun"):
         "distribution_mode": 2, "use_sequential_levels": 0,
         "use_easy_jump": 0, "plain_assets": 0, "physics_mode": 0,
         "grid_step": 0, "level_seed_low": 0, "level_seed_high": 100, "game_type": 1, "game_n": 2,
-        "level_seed_rg": rg, "rand_rg": rg,
+        "level_seed_is_seeded": 1, "level_seed_str": "13 37",
+        "rand_is_seeded": 1, "rand_str": "4 8 15 16 23 42",
         "step_data_reward": 0.0, "step_data_done": 0, "step_data_level_complete": 0,
         "action": 3, "timeout": 1000, "current_level_seed": 7, "prev_level_seed": 6,
         "episodes_remaining": 1, "episodes_done": 4, "last_reward_timer": 0,
@@ -32,13 +32,14 @@ def _sample_state(game="coinrun"):
         "mixrate": 0.9, "maxspeed": 1.0, "max_jump": 1.5,
         "action_vx": 0.0, "action_vy": 0.0, "action_vrot": 0.0,
         "center_x": 5.0, "center_y": 5.0, "random_agent_start": 0,
-        "has_useful_vel_info": 1, "step_rand_int": 99, "asset_rand_rg": rg,
+        "has_useful_vel_info": 1, "step_rand_int": 99,
+        "asset_rand_is_seeded": 0, "asset_rand_str": "7 7 7",
         "main_width": 64, "main_height": 64, "out_of_bounds_object": 1,
         "unit": 1.0, "view_dim": 10.0, "x_off": 0.0, "y_off": 0.0,
         "visibility": 1.0, "min_visibility": 0.0,
         "grid_w": 2, "grid_h": 2, "grid_data": [1, 2, 3, 4],
     }
-    if game == "coinrun":
+    if "coinrun" in game:
         data.update(last_agent_y=3.0, wall_theme=1, has_support=True,
                     facing_right=False, is_on_crate=True, gravity=0.2, air_control=0.15)
     else:
