@@ -63,6 +63,17 @@ def _native_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_uint8),
         ctypes.c_int,
     ]
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.pil_resize_batch.restype = None
+    lib.pil_resize_batch.argtypes = [
+        u8p, u8p, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32,
+        i32p, i32p, ctypes.c_int32,
+        i32p, i32p, ctypes.c_int32,
+        ctypes.c_int32,
+    ]
     _LIB = lib
     return _LIB
 

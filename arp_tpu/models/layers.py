@@ -19,7 +19,7 @@ TPU notes:
 from __future__ import annotations
 
 import math
-from typing import Callable
+from typing import Any, Callable
 
 import flax.linen as nn
 import jax
@@ -225,6 +225,105 @@ class Transformer(nn.Module):
             if self.sow_intermediates:
                 self.sow("intermediates", f"intermediate_layer_{i}", x)
         return nn.LayerNorm(name="norm")(x)
+
+
+class PipelinedTransformer(nn.Module):
+    """Transformer stack pipelined over the mesh's ``pp`` axis.
+
+    Same math as :class:`Transformer` (verified by stacking its params, see
+    ``stack_transformer_params``), but the blocks live as ONE stacked param
+    tree ``stacked_blocks`` with leading axis (stages, depth // stages, ...):
+    stage s holds its depth/S consecutive blocks on its own pp-mesh slice and
+    microbatches flow stage-to-stage via lax.ppermute
+    (parallel/pipeline.py::pipeline_apply).  Composes with dp/fsdp batch
+    sharding; tp inside stages is unsupported (manual region).
+
+    Dropout/drop-path must be 0 — per-layer rng plumbing through the
+    pipelined region is not implemented, and silently different dropout
+    patterns would break dp==pp update parity.
+    """
+
+    emb_dim: int = 1024
+    depth: int = 24
+    num_heads: int = 16
+    mlp_ratio: int = 4
+    alibi_bias: bool = False
+    mlp_bias: bool = False
+    activation: str = "gelu"
+    stages: int = 2
+    microbatches: int = 2
+    mesh: Any = None
+
+    @nn.compact
+    def __call__(self, x, deterministic=True, mask_spec=MaskSpec("causal"), kv_padding=None):
+        from ..parallel.pipeline import pipeline_apply
+
+        assert self.mesh is not None, "PipelinedTransformer needs the device mesh"
+        assert self.depth % self.stages == 0, (self.depth, self.stages)
+        per_stage = self.depth // self.stages
+        block = Block(
+            self.emb_dim,
+            self.num_heads,
+            self.mlp_ratio,
+            alibi_bias=self.alibi_bias,
+            mlp_bias=self.mlp_bias,
+            activation=self.activation,
+        )
+
+        def init_stacked(rng):
+            probe = jnp.zeros((1, max(x.shape[1], 1), self.emb_dim), x.dtype)
+
+            def one_layer(key):
+                return block.init(key, probe, True, mask_spec, kv_padding)["params"]
+
+            tree = jax.vmap(one_layer)(jax.random.split(rng, self.depth))
+            return jax.tree_util.tree_map(
+                lambda p: p.reshape((self.stages, per_stage) + p.shape[1:]), tree
+            )
+
+        stacked = self.param("stacked_blocks", init_stacked)
+
+        def stage_fn(stage_params, act):
+            def layer(act, layer_params):
+                out = block.apply(
+                    {"params": layer_params}, act, deterministic, mask_spec, kv_padding
+                )
+                return out, None
+
+            act, _ = jax.lax.scan(layer, act, stage_params)
+            return act
+
+        # batch must divide into microbatches; small batches (e.g. the
+        # trainer's batch-1 init probe) degrade gracefully to fewer
+        microbatches = math.gcd(x.shape[0], self.microbatches)
+        x = pipeline_apply(stage_fn, stacked, x, self.mesh, microbatches)
+        return nn.LayerNorm(name="norm")(x)
+
+
+def stack_transformer_params(params: dict, stages: int) -> dict:
+    """Convert a flat :class:`Transformer` param tree (blocks_i/...) to the
+    :class:`PipelinedTransformer` layout (stacked_blocks + norm)."""
+    depth = len([k for k in params if k.startswith("blocks_")])
+    assert depth % stages == 0
+    layers = [params[f"blocks_{i}"] for i in range(depth)]
+    stacked = jax.tree_util.tree_map(lambda *ps: jnp.stack(ps), *layers)
+    stacked = jax.tree_util.tree_map(
+        lambda p: p.reshape((stages, depth // stages) + p.shape[1:]), stacked
+    )
+    return {"stacked_blocks": stacked, "norm": params["norm"]}
+
+
+def unstack_transformer_params(params: dict) -> dict:
+    """Inverse of :func:`stack_transformer_params`."""
+    stacked = params["stacked_blocks"]
+    s, per = jax.tree_util.tree_leaves(stacked)[0].shape[:2]
+    out = {}
+    for i in range(s * per):
+        out[f"blocks_{i}"] = jax.tree_util.tree_map(
+            lambda p: p[i // per, i % per], stacked
+        )
+    out["norm"] = params["norm"]
+    return out
 
 
 class AdapterMLP(nn.Module):

@@ -43,7 +43,7 @@ from ...utils import get_1d_sincos_pos_embed, get_2d_sincos_pos_embed, symexp, s
 from .. import m3ae as m3ae_lib
 from ..clip import model as clip_lib
 from ..impala import ImpalaCNN
-from ..layers import AdapterMLP, Transformer
+from ..layers import AdapterMLP, PipelinedTransformer, Transformer
 
 # text vocab of bert-base-uncased; constant to avoid a tokenizer download
 # (reference queries transformers.BertTokenizer at module init, ARPDT.py:138)
@@ -99,6 +99,11 @@ def get_policy_default_config(updates=None) -> ConfigDict:
 
     config.use_intermediate = False
     config.num_ensembles = 5
+
+    # pipeline parallelism over the policy block stack (parallel/pipeline.py);
+    # >1 requires the model to be built with a mesh carrying a pp axis
+    config.pp_stages = 1
+    config.pp_microbatches = 4
 
     config.lambda_return_pred = 1.0
     config.use_symlog = False
@@ -170,6 +175,7 @@ class BasePolicy(nn.Module):
     use_rtg: bool = False   # ARPDT
     use_goal: bool = False  # GCBC
     resize_clip_input: bool = False  # BC/GCBC resize to 224 in-model (BC.py:259)
+    mesh: Any = None        # required when config.pp_stages > 1
 
     @staticmethod
     @nn.nowrap
@@ -188,16 +194,33 @@ class BasePolicy(nn.Module):
         self.config = self.get_default_config(self.config_updates)
         cfg = self.config
 
-        self.policy = Transformer(
-            emb_dim=cfg.emb_dim,
-            depth=cfg.depth,
-            att_drop=cfg.att_drop,
-            drop=cfg.drop,
-            num_heads=cfg.num_heads,
-            mlp_ratio=cfg.mlp_ratio,
-            alibi_bias=cfg.alibi_bias,
-            name="policy",
-        )
+        if cfg.get("pp_stages", 1) > 1:
+            assert cfg.att_drop == 0.0 and cfg.drop == 0.0, (
+                "pipeline-parallel policy requires dropout disabled (rng "
+                "plumbing through the pp region would change update parity)"
+            )
+            self.policy = PipelinedTransformer(
+                emb_dim=cfg.emb_dim,
+                depth=cfg.depth,
+                num_heads=cfg.num_heads,
+                mlp_ratio=cfg.mlp_ratio,
+                alibi_bias=cfg.alibi_bias,
+                stages=cfg.pp_stages,
+                microbatches=cfg.pp_microbatches,
+                mesh=self.mesh,
+                name="policy",
+            )
+        else:
+            self.policy = Transformer(
+                emb_dim=cfg.emb_dim,
+                depth=cfg.depth,
+                att_drop=cfg.att_drop,
+                drop=cfg.drop,
+                num_heads=cfg.num_heads,
+                mlp_ratio=cfg.mlp_ratio,
+                alibi_bias=cfg.alibi_bias,
+                name="policy",
+            )
         self.action_outputs = EnsembleHeads(cfg.num_ensembles, cfg.emb_dim, self.num_actions)
         if self.use_rtg:
             self.return_outputs = EnsembleHeads(cfg.num_ensembles, cfg.emb_dim, 1)

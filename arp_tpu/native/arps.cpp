@@ -155,4 +155,80 @@ int arps_read_batch(void* handle, const uint64_t* indices, uint64_t n,
   return err.load();
 }
 
+// ---------------------------------------------------------------------------
+// pil_resize_batch — Pillow-bit-exact uint8 bicubic resize, threaded over the
+// batch.  Coefficient tables (gather indices + fixed-point weights, one row
+// per output position, PRECISION_BITS=22 as in Pillow 8bpc) are computed in
+// Python (arp_tpu/ops/preprocess.py::_pil_coeffs — the single source of
+// truth shared with the on-device matmul formulation) and passed in.
+//
+// Two separable passes with per-pass rounding to uint8, matching Pillow's
+// ImagingResampleHorizontal_8bpc / Vertical arithmetic exactly:
+//   acc = sum_k kk[o,k] * src[idx[o,k]];  out = clip((acc + 2^21) >> 22)
+//
+// Layout: src (n, in_h, in_w, c) uint8 -> dst (n, out_h, out_w, c) uint8.
+// Each thread owns a scratch intermediate (in_h, out_w, c).
+
+static inline uint8_t pil_round_clip(int64_t acc) {
+  const int64_t kPrecisionBits = 22;
+  int64_t v = (acc + (1ll << (kPrecisionBits - 1))) >> kPrecisionBits;
+  if (v < 0) v = 0;
+  if (v > 255) v = 255;
+  return (uint8_t)v;
+}
+
+void pil_resize_batch(const uint8_t* src, uint8_t* dst, int64_t n,
+                      int32_t in_h, int32_t in_w, int32_t channels,
+                      int32_t out_h, int32_t out_w,
+                      const int32_t* idx_w, const int32_t* kk_w, int32_t ksize_w,
+                      const int32_t* idx_h, const int32_t* kk_h, int32_t ksize_h,
+                      int32_t nthreads) {
+  if (nthreads < 1) nthreads = 1;
+  const int64_t src_img = (int64_t)in_h * in_w * channels;
+  const int64_t dst_img = (int64_t)out_h * out_w * channels;
+  const int64_t tmp_img = (int64_t)in_h * out_w * channels;
+
+  std::atomic<int64_t> next(0);
+  auto worker = [&]() {
+    std::vector<uint8_t> tmp(tmp_img);
+    for (;;) {
+      int64_t i = next.fetch_add(1);
+      if (i >= n) return;
+      const uint8_t* im = src + i * src_img;
+      uint8_t* out = dst + i * dst_img;
+      // horizontal pass: (in_h, in_w, c) -> tmp (in_h, out_w, c)
+      for (int32_t y = 0; y < in_h; y++) {
+        const uint8_t* row = im + (int64_t)y * in_w * channels;
+        uint8_t* trow = tmp.data() + (int64_t)y * out_w * channels;
+        for (int32_t o = 0; o < out_w; o++) {
+          const int32_t* idx = idx_w + (int64_t)o * ksize_w;
+          const int32_t* kk = kk_w + (int64_t)o * ksize_w;
+          for (int32_t c = 0; c < channels; c++) {
+            int64_t acc = 0;
+            for (int32_t k = 0; k < ksize_w; k++)
+              acc += (int64_t)kk[k] * row[(int64_t)idx[k] * channels + c];
+            trow[(int64_t)o * channels + c] = pil_round_clip(acc);
+          }
+        }
+      }
+      // vertical pass: tmp (in_h, out_w, c) -> out (out_h, out_w, c)
+      const int64_t tstride = (int64_t)out_w * channels;
+      for (int32_t o = 0; o < out_h; o++) {
+        const int32_t* idx = idx_h + (int64_t)o * ksize_h;
+        const int32_t* kk = kk_h + (int64_t)o * ksize_h;
+        uint8_t* orow = out + (int64_t)o * tstride;
+        for (int64_t xc = 0; xc < tstride; xc++) {
+          int64_t acc = 0;
+          for (int32_t k = 0; k < ksize_h; k++)
+            acc += (int64_t)kk[k] * tmp[(int64_t)idx[k] * tstride + xc];
+          orow[xc] = pil_round_clip(acc);
+        }
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 0; t < nthreads; t++) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+}
+
 }  // extern "C"

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -233,10 +234,70 @@ def clip_preprocess_packed_patches(
     return x.reshape(b, n_side * n_side, p * p * channels)
 
 
+def resize_bicubic_pil_host(
+    images: np.ndarray, out_h: int, out_w: int, num_threads: int = 0
+) -> np.ndarray:
+    """Pillow-bit-exact bicubic resize on the HOST (C++ thread pool).
+
+    Same arithmetic (and the same coefficient tables) as the on-device
+    :func:`resize_bicubic_pil`, but runs before the host->device transfer so
+    only ``out_h x out_w`` bytes ever cross the link — the win when the
+    pipeline is transfer-bound (see docs/BENCHMARKS.md bisect).  Falls back
+    to a vectorized numpy implementation when the native library is absent.
+
+    images: (B, H, W, C) uint8 -> (B, out_h, out_w, C) uint8.
+    """
+    import ctypes
+
+    from ..data.arps import _native_lib
+
+    images = np.ascontiguousarray(images, dtype=np.uint8)
+    b, h, w, c = images.shape
+    idx_w, kk_w = _pil_coeffs(w, out_w)
+    idx_h, kk_h = _pil_coeffs(h, out_h)
+    lib = _native_lib()
+    if lib is not None:
+        out = np.empty((b, out_h, out_w, c), np.uint8)
+        if num_threads <= 0:
+            num_threads = min(16, os.cpu_count() or 1)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        as_i32 = lambda a: np.ascontiguousarray(a, np.int32)
+        idx_w, kk_w, idx_h, kk_h = map(as_i32, (idx_w, kk_w, idx_h, kk_h))
+        lib.pil_resize_batch(
+            images.ctypes.data_as(u8p), out.ctypes.data_as(u8p), b,
+            h, w, c, out_h, out_w,
+            idx_w.ctypes.data_as(i32p), kk_w.ctypes.data_as(i32p), idx_w.shape[1],
+            idx_h.ctypes.data_as(i32p), kk_h.ctypes.data_as(i32p), idx_h.shape[1],
+            num_threads,
+        )
+        return out
+    # numpy fallback: same two fixed-point passes, vectorized
+    half = 1 << (PRECISION_BITS - 1)
+
+    def _pass(x, idx, kk):  # x: (B, in, rest) int64 along axis 1
+        acc = np.einsum("bokr,ok->bor", x[:, idx], kk.astype(np.int64))
+        return np.clip((acc + half) >> PRECISION_BITS, 0, 255)
+
+    x = images.astype(np.int64).reshape(b, h, w * c)
+    x = np.swapaxes(x.reshape(b, h, w, c), 1, 2).reshape(b, w, h * c)
+    x = _pass(x, idx_w, kk_w)  # (B, outW, H*C)
+    x = np.swapaxes(x.reshape(b, out_w, h, c), 1, 2).reshape(b, h, out_w * c)
+    x = _pass(x, idx_h, kk_h)  # (B, outH, outW*C)
+    return x.reshape(b, out_h, out_w, c).astype(np.uint8)
+
+
 def resize_bicubic_fast(images: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     """Float bicubic + antialias resize (XLA-fused).  Returns float32 0..255."""
     x = images.astype(jnp.float32)
     return jax.image.resize(x, (x.shape[0], out_h, out_w, x.shape[3]), method="bicubic", antialias=True)
+
+
+def center_crop_np(images: np.ndarray, crop_h: int, crop_w: int) -> np.ndarray:
+    """Host-side center crop with the same arithmetic as :func:`center_crop`."""
+    start_h = int((images.shape[1] - crop_h) / 2)
+    start_w = int((images.shape[2] - crop_w) / 2)
+    return images[:, start_h : start_h + crop_h, start_w : start_w + crop_w, :]
 
 
 def center_crop(images: jnp.ndarray, crop_h: int, crop_w: int) -> jnp.ndarray:

@@ -10,6 +10,10 @@ ICI for gradients, all-gathers for fsdp params, etc.):
   * ``fsdp`` — fully-sharded data parallelism (params/optimizer sharded on
                their largest dim, gathered just-in-time per layer)
   * ``tp``   — tensor parallelism (attention heads & MLP hidden sharded)
+  * ``pp``   — pipeline parallelism (policy transformer block stack split
+               into stages, GPipe microbatching via lax.ppermute —
+               parallel/pipeline.py; stacked block params shard their
+               leading stage axis here)
 
 A 1-D ``dp`` mesh reproduces the reference's behavior; the other axes are
 first-class so larger models / pods are a config change, not a rewrite.
@@ -34,22 +38,28 @@ class MeshConfig:
     dp: int = -1  # -1: use all remaining devices
     fsdp: int = 1
     tp: int = 1
+    pp: int = 1
 
-    def resolve(self, n_devices: Optional[int] = None) -> tuple[int, int, int]:
+    def resolve(self, n_devices: Optional[int] = None) -> tuple[int, int, int, int]:
         n = n_devices if n_devices is not None else len(jax.devices())
-        dp, fsdp, tp = self.dp, self.fsdp, self.tp
+        dp, fsdp, tp, pp = self.dp, self.fsdp, self.tp, self.pp
+        if pp > 1:
+            # the pipelined transformer runs inside a shard_map region where
+            # GSPMD tp propagation is unavailable (manual collectives only)
+            assert tp == 1, "pp composes with dp/fsdp; tp inside pp stages is unsupported"
         if dp == -1:
-            assert n % (fsdp * tp) == 0, f"{n} devices not divisible by fsdp*tp={fsdp * tp}"
-            dp = n // (fsdp * tp)
-        assert dp * fsdp * tp == n, f"mesh {dp}x{fsdp}x{tp} != {n} devices"
-        return dp, fsdp, tp
+            rest = fsdp * tp * pp
+            assert n % rest == 0, f"{n} devices not divisible by fsdp*tp*pp={rest}"
+            dp = n // rest
+        assert dp * fsdp * tp * pp == n, f"mesh {dp}x{fsdp}x{tp}x{pp} != {n} devices"
+        return dp, fsdp, tp, pp
 
 
 def create_mesh(config: MeshConfig = MeshConfig(), devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     shape = config.resolve(len(devices))
     device_array = mesh_utils.create_device_mesh(shape, devices=devices)
-    return Mesh(device_array, axis_names=("dp", "fsdp", "tp"))
+    return Mesh(device_array, axis_names=("dp", "fsdp", "tp", "pp"))
 
 
 def batch_spec(ndim: int = 1) -> P:
@@ -72,6 +82,9 @@ _TP_ROW_RULES = (r".*attn_out/kernel$", r".*fc2/kernel$", r".*/out/kernel$")
 
 
 def _spec_for(path: str, shape: tuple[int, ...], dp: int, fsdp: int, tp: int) -> P:
+    if "stacked_blocks" in path:
+        # pipelined transformer: leading axis is the pp stage axis
+        return P("pp")
     if tp > 1:
         for pat in _TP_COL_RULES:
             if re.match(pat, path) and len(shape) >= 2 and shape[-1] % tp == 0:

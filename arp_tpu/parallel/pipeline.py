@@ -46,7 +46,10 @@ def pipeline_apply(
         of ``stage_params``).
       stage_params: pytree with a leading stage axis of size S on every leaf.
       x: (batch, ...) activations; batch must divide num_microbatches.
-      mesh: a Mesh containing a "pp" axis of size S.
+      mesh: a Mesh containing a "pp" axis of size S.  When the mesh also has
+        dp/fsdp axes (the trainer's 4-axis mesh), the batch stays sharded
+        over them inside the pipeline — each dp slice pipelines its own
+        microbatches and ppermute rides the pp axis only.
 
     Returns activations with the same shape as x, equal to sequentially
     applying all S stages.
@@ -58,12 +61,17 @@ def pipeline_apply(
     x_mb = x.reshape((num_microbatches, mb) + x.shape[1:])
 
     params_spec = jax.tree_util.tree_map(lambda _: P("pp"), stage_params)
+    data_axes = tuple(a for a in ("dp", "fsdp") if a in mesh.shape and mesh.shape[a] > 1)
+    data_size = int(np.prod([mesh.shape[a] for a in data_axes])) if data_axes else 1
+    if mb % data_size != 0:
+        data_axes = ()  # tiny batches (e.g. init probes) run replicated
+    x_spec = P(None, data_axes if data_axes else None, *([None] * (x.ndim - 1)))
 
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(params_spec, P()),
-        out_specs=P(),
+        in_specs=(params_spec, x_spec),
+        out_specs=x_spec,
         check_rep=False,
     )
     def run(local_params, x_mb):

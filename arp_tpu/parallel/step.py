@@ -24,9 +24,20 @@ from .mesh import partition_params
 
 
 def l2_weight_penalty(params) -> jnp.ndarray:
-    """0.5 * sum ||W||^2 over matrices (ndim>1), as in main_procgen.py:114-117."""
-    leaves = jax.tree_util.tree_leaves(params)
-    return sum(jnp.sum(x.astype(jnp.float32) ** 2) for x in leaves if x.ndim > 1)
+    """0.5 * sum ||W||^2 over matrices (ndim>1), as in main_procgen.py:114-117.
+
+    Leaves under ``stacked_blocks`` (the pipelined transformer's param layout)
+    carry two extra stacking dims, so their per-layer rank is ndim-2 — the
+    same weights must be penalized identically in flat and stacked layouts.
+    """
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    total = 0.0
+    for path, x in flat:
+        stacked = any("stacked_blocks" in str(getattr(p, "key", "")) for p in path)
+        rank = x.ndim - 2 if stacked else x.ndim
+        if rank > 1:
+            total += jnp.sum(x.astype(jnp.float32) ** 2)
+    return total
 
 
 def make_train_step(

@@ -39,7 +39,10 @@ class ClipRewardEngine:
         a local checkpoint) — pass explicitly for tests.
       batch_size: fixed device batch; inputs are padded to multiples (one
         compilation, no shape churn).
-      resize_mode: "pil" (bit-exact vs the reference preprocessing) or "fast".
+      resize_mode: "pil" (bit-exact reference preprocessing, on device),
+        "host" (same bit-exact resize on the host C++ thread pool, shipping
+        only image_size^2 bytes over the link — best when transfer-bound),
+        or "fast" (float bicubic, not bit-exact).
       compute_dtype: jnp.bfloat16 runs the encoder in bf16 on the MXU.
     """
 
@@ -77,13 +80,19 @@ class ClipRewardEngine:
 
         model = self.model
         img_size = self.image_size
+        # "host": bit-exact PIL resize runs on the HOST (C++ thread pool,
+        # ops/preprocess.py::resize_bicubic_pil_host) in a producer thread
+        # overlapped with device work, so only image_size^2 bytes cross the
+        # host->device link.  The link is the measured bottleneck of this
+        # pipeline (docs/BENCHMARKS.md bisect), so fewer bytes = more fps
+        # whenever the link is slower than the host resize.
+        self._host_resize = resize_mode == "host"
         # ViT towers use the packed-layout pipeline: the host hands frames as
         # (B, H, W*C) so no minor-dim-3 array ever exists on device (those
         # layouts pad 3 -> 128 lanes and dominate runtime), and the bit-exact
         # resize runs as MXU matmuls instead of gathers.
         self._packed = (
-            resize_mode == "pil"
-            and not use_crop
+            (resize_mode == "pil" and not use_crop or self._host_resize)
             and getattr(model, "vision_patch_size", None) is not None
         )
         patch_size = getattr(model, "vision_patch_size", None)
@@ -108,8 +117,11 @@ class ClipRewardEngine:
                     frames, channels=3, image_size=img_size, patch_size=patch_size
                 )
             else:
+                # host mode arrives pre-resized/cropped: only normalize here
+                dev_mode = "pil" if self._host_resize else resize_mode
+                dev_crop = False if self._host_resize else use_crop
                 x = clip_preprocess(
-                    frames, image_size=img_size, resize_mode=resize_mode, crop_half=use_crop
+                    frames, image_size=img_size, resize_mode=dev_mode, crop_half=dev_crop
                 )
             variables, x = _cast(variables, x)
             feat = model.apply(variables, x, normalize=False, method=model.encode_image)
@@ -146,21 +158,44 @@ class ClipRewardEngine:
         host->device transfer and HDF5 reads of batch k+1 overlap the encode
         of batch k (jax async dispatch).
         """
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        from ..ops.preprocess import center_crop_np, resize_bicubic_pil_host
+
         n = frames.shape[0]
         bs = self.batch_size
-        outputs = []
-        for start in range(0, n, bs):
+
+        def host_stage(start: int) -> np.ndarray:
             chunk = np.asarray(frames[start : start + bs])
             if chunk.shape[0] < bs:
                 pad = np.repeat(chunk[-1:], bs - chunk.shape[0], axis=0)
                 chunk = np.concatenate([chunk, pad], axis=0)
+            if self._host_resize:
+                if self.use_crop:
+                    chunk = center_crop_np(chunk, chunk.shape[1] // 2, chunk.shape[2] // 2)
+                if chunk.shape[1:3] != (self.image_size, self.image_size):
+                    chunk = resize_bicubic_pil_host(chunk, self.image_size, self.image_size)
             if self._packed:
                 # free host-side view: (B, H, W, C) -> (B, H, W*C)
                 chunk = np.ascontiguousarray(chunk).reshape(bs, chunk.shape[1], -1)
-            # explicit async device_put: implicit dispatch-time transfers of
-            # >2-D arrays are ~6x slower on some backends, and this overlaps
-            # the next chunk's host read with this chunk's compute.
-            outputs.append(self._encode_images_jit(self.variables, jax.device_put(chunk), normalize))
+            return chunk
+
+        # Producer thread prepares chunk k+1/k+2 (HDF5 slice + optional C++
+        # resize, GIL-free) while chunk k transfers and encodes; explicit
+        # async device_put because implicit dispatch-time transfers of >2-D
+        # arrays are ~6x slower on some backends.
+        outputs = []
+        starts = list(range(0, n, bs))
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            pending = deque(pool.submit(host_stage, s) for s in starts[:2])
+            for k in range(len(starts)):
+                if k + 2 < len(starts):
+                    pending.append(pool.submit(host_stage, starts[k + 2]))
+                chunk = pending.popleft().result()
+                outputs.append(
+                    self._encode_images_jit(self.variables, jax.device_put(chunk), normalize)
+                )
         feats = np.concatenate([np.asarray(o) for o in outputs], axis=0)
         return feats[:n]
 

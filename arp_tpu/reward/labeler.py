@@ -145,7 +145,7 @@ def main():
     parser.add_argument("--use_crop", type=lambda s: s.lower() in ("1", "true"), default=False)
     parser.add_argument("--inst_type", type=str, default="none")
     parser.add_argument("--batch_size", type=int, default=256)
-    parser.add_argument("--resize_mode", type=str, default="pil", choices=["pil", "fast"])
+    parser.add_argument("--resize_mode", type=str, default="pil", choices=["pil", "host", "fast"])
     parser.add_argument("--bf16", action="store_true", help="run the encoder in bfloat16")
     parser.add_argument("--int8", action="store_true", help="int8 weight-only quantization")
     args = parser.parse_args()

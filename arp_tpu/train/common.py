@@ -12,7 +12,7 @@ from ..data.instructions import get_clip_instruct, get_clip_special_instruct, ge
 from ..models.policy import ARPDT, BC, GCBC
 
 
-def build_model(flags_obj, num_actions: int):
+def build_model(flags_obj, num_actions: int, mesh=None):
     if flags_obj.use_vl or flags_obj.data.use_task_reward:
         cls = ARPDT
     elif "GCBC" in flags_obj.vl_type:
@@ -24,6 +24,7 @@ def build_model(flags_obj, num_actions: int):
         num_actions=num_actions,
         patch_dim=flags_obj.patch_dim,
         normalize_quterion=False,
+        mesh=mesh,
     )
 
 

@@ -90,6 +90,8 @@ FLAGS_DEF = define_flags_with_default(
     mesh_dp=-1,
     mesh_fsdp=1,
     mesh_tp=1,
+    mesh_pp=1,
+    mesh_pp_microbatches=4,
     accum_steps=1,
     checkpoint_dir="",
     episode_length=500,
@@ -182,7 +184,16 @@ def main(argv):
     val_steps = max(1, len(val_dataset) // val_batch_size)
     save_model_freq = FLAGS.save_model_freq or steps_per_epoch * FLAGS.test_every_epochs
 
-    model = build_model(FLAGS, train_dataset.num_actions)
+    mesh = create_mesh(
+        MeshConfig(dp=FLAGS.mesh_dp, fsdp=FLAGS.mesh_fsdp, tp=FLAGS.mesh_tp, pp=FLAGS.mesh_pp)
+    )
+    absl_logging.info("mesh: %s", mesh)
+    if FLAGS.mesh_pp > 1:
+        # pipeline the policy block stack over the pp axis (models/layers.py
+        # PipelinedTransformer); the model needs the mesh at construction
+        FLAGS.model.pp_stages = FLAGS.mesh_pp
+        FLAGS.model.pp_microbatches = FLAGS.mesh_pp_microbatches
+    model = build_model(FLAGS, train_dataset.num_actions, mesh=mesh)
     use_goal = "GCBC" in FLAGS.vl_type
     learning_rate = build_lr_schedule(FLAGS, steps_per_epoch, total_steps, lr_scale)
     tx = build_optimizer(FLAGS, learning_rate, model)
@@ -197,9 +208,6 @@ def main(argv):
     init_rngs = {"params": next_rng(), "noise": next_rng(), "dropout": next_rng()}
     params = jax.jit(partial(model.init, deterministic=True))(init_rngs, dummy_input)["params"]
     state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
-
-    mesh = create_mesh(MeshConfig(dp=FLAGS.mesh_dp, fsdp=FLAGS.mesh_fsdp, tp=FLAGS.mesh_tp))
-    absl_logging.info("mesh: %s", mesh)
 
     ckpt = None
     start_step = 0

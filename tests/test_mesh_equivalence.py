@@ -88,3 +88,51 @@ def test_training_is_deterministic():
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)), p1, p2
     )
+
+
+def test_dp_vs_dp_pp_equivalence():
+    """dp4 x pp2 (pipelined policy stack) trains identically to pure dp8.
+
+    The pp run uses the PipelinedTransformer (stacked block params flowing
+    through ppermute microbatches); its updated params are unstacked back to
+    the flat layout for comparison.
+    """
+    from arp_tpu.models.layers import stack_transformer_params, unstack_transformer_params
+
+    params_dp, loss_dp = _train(MeshConfig(dp=-1))
+
+    model, state, batch, _ = _setup()
+    mesh = create_mesh(MeshConfig(dp=4, pp=2))
+    pp_model = ARPDT(
+        config_updates=dict(CFG, pp_stages=2, pp_microbatches=2),
+        num_actions=15,
+        patch_dim=16,
+        mesh=mesh,
+    )
+    pp_params = dict(state.params)
+    pp_params["policy"] = stack_transformer_params(state.params["policy"], 2)
+    pp_state = TrainState.create(apply_fn=pp_model.apply, params=pp_params, tx=state.tx)
+
+    def pp_loss_fn(params, b, rng):
+        out = pp_model.apply({"params": params}, b, deterministic=True)
+        return out["loss"], {"acc": out["acc"]}
+
+    with mesh:
+        step = make_train_step(pp_loss_fn, mesh, weight_decay=1e-4, donate=False)
+        gstate = shard_train_state(pp_state, mesh)
+        gbatch = shard_batch(batch, mesh)
+        for i in range(3):
+            gstate, aux = step(gstate, gbatch, jax.random.PRNGKey(i))
+    got = jax.device_get(gstate.params)
+    got = dict(got)
+    got["policy"] = unstack_transformer_params(got["policy"])
+
+    assert abs(loss_dp - float(aux["loss"])) < 1e-4
+    flat_want = jax.tree_util.tree_flatten_with_path(params_dp)[0]
+    flat_got = dict(jax.tree_util.tree_flatten_with_path(got)[0])
+    # same structure after unstacking
+    assert set(flat_got) == {p for p, _ in flat_want}
+    for path, want in flat_want:
+        np.testing.assert_allclose(
+            np.asarray(flat_got[path]), np.asarray(want), atol=2e-4, err_msg=str(path)
+        )

@@ -197,3 +197,53 @@ def test_labeler_time_keyed_boundaries(tiny_engine, tmp_path):
         rtg = g["ob_clip_pos_rtg"][:, -1]
         # cumsum resets at index 6: rtg[5] is the tail of traj 0
         assert rtg.shape == (12,)
+
+
+def test_host_resize_mode_bit_identical(tiny_engine):
+    """resize_mode="host" (C++ host resize + producer pipeline) must produce
+    the same rewards as the on-device bit-exact path."""
+    host_engine = ClipRewardEngine(
+        model=tiny_engine.model,
+        variables=tiny_engine.variables,
+        batch_size=8,
+        resize_mode="host",
+        image_size=IMG_SIZE,
+        tokenizer=TinyTokenizer(),
+    )
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 256, (21, 64, 64, 3), np.uint8)  # non-multiple of batch
+    got = host_engine.text_rewards(frames, "collect the coin")
+    want = tiny_engine.text_rewards(frames, "collect the coin")
+    np.testing.assert_array_equal(got, want)
+    np.testing.assert_array_equal(
+        host_engine.goal_rewards(frames), tiny_engine.goal_rewards(frames)
+    )
+
+
+def test_host_resize_matches_pillow_bit_exact():
+    from arp_tpu.ops.preprocess import resize_bicubic_pil_host
+
+    rng = np.random.default_rng(4)
+    imgs = rng.integers(0, 256, (5, 96, 80, 3), np.uint8)
+    got = resize_bicubic_pil_host(imgs, 32, 48)
+    want = np.stack(
+        [np.asarray(Image.fromarray(im).resize((48, 32), Image.BICUBIC)) for im in imgs]
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_host_resize_numpy_fallback_matches_native():
+    import arp_tpu.data.arps as arps_mod
+    from arp_tpu.ops.preprocess import resize_bicubic_pil_host
+
+    rng = np.random.default_rng(5)
+    imgs = rng.integers(0, 256, (3, 64, 64, 3), np.uint8)
+    native = resize_bicubic_pil_host(imgs, 32, 32)
+    # force the pure-numpy path
+    saved = arps_mod._LIB, arps_mod._LIB_TRIED
+    arps_mod._LIB, arps_mod._LIB_TRIED = None, True
+    try:
+        fallback = resize_bicubic_pil_host(imgs, 32, 32)
+    finally:
+        arps_mod._LIB, arps_mod._LIB_TRIED = saved
+    np.testing.assert_array_equal(native, fallback)

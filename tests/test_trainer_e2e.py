@@ -239,3 +239,36 @@ def test_trainer_cli_instructrl_text(tmp_path):
     assert proc.returncode == 0, proc.stderr[-4000:]
     records = [json.loads(l) for l in open(os.path.join(out_dir, os.listdir(out_dir)[0], "metrics.jsonl"))]
     assert any("train_loss" in r for r in records)
+
+
+def test_trainer_cli_pipeline_parallel(tmp_path):
+    """--mesh_pp=2 trains ARPDT with the pipelined policy stack end-to-end."""
+    data_root = str(tmp_path / "demos")
+    make_labeled_dataset(data_root)
+    out_dir = str(tmp_path / "out")
+
+    from tests.cli_env import make_cli_env
+
+    env = make_cli_env()
+
+    cmd = [
+        sys.executable, "-m", "arp_tpu.train.main",
+        "--epochs=1", "--warmup_epochs=0", "--batch_size=8", "--dataloader_n_workers=0",
+        "--log_freq=2", "--lr=1e-3", "--window_size=4",
+        "--use_vl=True", "--vl_type=clip", "--use_crop=False",
+        "--game_name=coinrun", "--val_every_epochs=0", "--test_every_epochs=0",
+        "--eval_env=none",
+        "--mesh_dp=4", "--mesh_pp=2", "--mesh_pp_microbatches=2",
+        "--model.model_type=vit_debug", "--model.transfer_type=none",
+        "--model.emb_dim=32", "--model.depth=2", "--model.num_heads=4",
+        "--model.mlp_ratio=2", "--model.num_ensembles=2",
+        f"--data.path={data_root}", "--data.image_size=32", "--data.num_frames=8",
+        "--data.window_size=4", "--data.num_demonstrations=20", "--data.use_vl=True",
+        f"--logging.output_dir={out_dir}",
+    ]
+    proc = subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, f"stderr:\n{proc.stderr[-4000:]}"
+    exp_dirs = os.listdir(out_dir)
+    records = [json.loads(line) for line in open(os.path.join(out_dir, exp_dirs[0], "metrics.jsonl"))]
+    losses = [r["train_loss"] for r in records if "train_loss" in r]
+    assert losses and all(np.isfinite(l) for l in losses)
