@@ -19,6 +19,7 @@ import html
 import os
 import re
 from typing import Optional, Sequence, Union
+import warnings
 
 import numpy as np
 
@@ -72,6 +73,7 @@ class BPETokenizer:
         self.byte_decoder = {v: k for k, v in self.byte_encoder.items()}
 
         merges: list[tuple[str, str]] = []
+        self.using_fallback_vocab = True
         if bpe_path is not None and os.path.exists(bpe_path):
             opener = gzip.open if bpe_path.endswith(".gz") else open
             with opener(bpe_path, "rt", encoding="utf-8") as f:
@@ -79,6 +81,16 @@ class BPETokenizer:
             # original file: first line is a comment, merges at 1:49152-256-2+1
             merge_lines = lines[1 : 49152 - 256 - 2 + 1]
             merges = [tuple(m.split()) for m in merge_lines if m.strip()]
+            self.using_fallback_vocab = False
+        else:
+            warnings.warn(
+                "CLIP BPE merges file not found: using the deterministic "
+                "byte-level FALLBACK vocabulary. Token ids will NOT match "
+                "OpenAI CLIP — text embeddings from pretrained checkpoints "
+                "will be wrong. Set ARP_TPU_BPE_PATH (or pass bpe_path) to "
+                "the original bpe_simple_vocab_16e6.txt.gz for exact ids.",
+                stacklevel=2,
+            )
 
         vocab = list(self.byte_encoder.values())
         vocab = vocab + [v + "</w>" for v in vocab]

@@ -103,11 +103,11 @@ class TorchVisionTransformer(nn.Module):
 class TorchCLIP(nn.Module):
     """OpenAI-naming torch CLIP (ViT tower)."""
 
-    def __init__(self, cfg, context_length=77):
+    def __init__(self, cfg, context_length=77, input_resolution=64):
         super().__init__()
         self.context_length = context_length
         self.visual = TorchVisionTransformer(
-            64, cfg["vision_patch_size"], cfg["vision_features"], cfg["vision_num_layers"],
+            input_resolution, cfg["vision_patch_size"], cfg["vision_features"], cfg["vision_num_layers"],
             cfg["vision_features"] // 64 or 4, cfg["embed_dim"],
         )
         mask = torch.full((context_length, context_length), float("-inf")).triu_(1)
@@ -236,3 +236,23 @@ def test_build_tokenizer_callable():
     fn = build_tokenizer()
     out = fn(["navigate a maze."])
     assert out.shape == (1, 77)
+
+
+def test_tokenizer_fallback_warns(tmp_path):
+    import warnings as _warnings
+
+    from arp_tpu.models.clip.tokenizer import build_tokenizer
+
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        fn = build_tokenizer(bpe_path=str(tmp_path / "missing.txt"))
+    assert fn.tokenizer.using_fallback_vocab
+    assert any("FALLBACK" in str(w.message) for w in caught)
+
+    merges = tmp_path / "merges.txt"
+    merges.write_text("#version\n" + "a b\n")
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        fn = build_tokenizer(bpe_path=str(merges))
+    assert not fn.tokenizer.using_fallback_vocab
+    assert not any("FALLBACK" in str(w.message) for w in caught)
