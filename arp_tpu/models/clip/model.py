@@ -393,11 +393,20 @@ def load_model_vars(model_name: str, checkpoint_path: Optional[str] = None, down
             download_dir = os.environ.get("ARP_TPU_CHECKPOINT_DIR", os.path.expanduser("~/.cache/arp_tpu"))
         checkpoint_path = os.path.join(download_dir, model_name + ".npy")
     if not os.path.exists(checkpoint_path):
-        raise FileNotFoundError(
-            f"CLIP checkpoint not found at {checkpoint_path}. Download the OpenAI "
-            f"checkpoint on a connected machine and save its state dict as .npy "
-            f"(see arp_tpu/models/clip/convert.py docstring)."
-        )
+        # guarded auto-download (sha256-verified, opt-in only): when egress
+        # exists this completes the reference's load path (model.py:138-171)
+        from .download import CHECKPOINT_URLS, downloads_allowed, fetch_checkpoint
+
+        if model_name in CHECKPOINT_URLS and downloads_allowed():
+            checkpoint_path = fetch_checkpoint(model_name, download_dir=download_dir)
+        else:
+            raise FileNotFoundError(
+                f"CLIP checkpoint not found at {checkpoint_path}. Either download "
+                f"the OpenAI checkpoint on a connected machine and save its state "
+                f"dict as .npy (see arp_tpu/models/clip/convert.py docstring), or "
+                f"set ARP_TPU_ALLOW_DOWNLOAD=1 to fetch+sha256-verify it "
+                f"automatically (models/clip/download.py)."
+            )
     if checkpoint_path.endswith(".pt"):
         import torch
 
