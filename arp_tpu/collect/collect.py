@@ -55,13 +55,22 @@ def main(argv):
         dirname += f"_{FLAGS.env_type}"
     data_path = os.path.join(FLAGS.out_dir, dirname, f"data_{FLAGS.split}.hdf5")
 
-    # policy: trained PPG params, or a random policy when none given
-    if FLAGS.model_path:
+    # policy: trained PPG params (JAX pickle or a reference torch .jd
+    # expert), or a random policy when none given
+    if FLAGS.model_path and FLAGS.model_path.endswith(".jd"):
+        from .convert_ppg import load_reference_ppg_expert
+
+        model, variables = load_reference_ppg_expert(FLAGS.model_path)
+        params = variables["params"]
+    elif FLAGS.model_path:
         from ..checkpoint import load_pickle
 
         data = load_pickle(FLAGS.model_path)
         params = data["params"] if isinstance(data, dict) and "params" in data else data
         model = PhasicValueModel(num_actions=15)
+    else:
+        params = None
+    if FLAGS.model_path:
 
         @jax.jit
         def act(frames):

@@ -33,11 +33,12 @@ from ..models.impala import ImpalaCNN
 class PhasicValueModel(nn.Module):
     num_actions: int = 15
     arch: str = "dual"  # dual | shared | detach
+    pool_padding: str = "same"  # "torch" for converted reference experts
 
     def setup(self):
-        self.pi_enc = ImpalaCNN(name="pi_enc")
+        self.pi_enc = ImpalaCNN(name="pi_enc", pool_padding=self.pool_padding)
         if self.arch == "dual":
-            self.vf_enc = ImpalaCNN(name="vf_enc")
+            self.vf_enc = ImpalaCNN(name="vf_enc", pool_padding=self.pool_padding)
         self.pi_head = nn.Dense(self.num_actions, kernel_init=nn.initializers.orthogonal(0.1))
         self.vf_head = nn.Dense(1, kernel_init=nn.initializers.orthogonal(0.1))
         self.aux_vf_head = nn.Dense(1, kernel_init=nn.initializers.orthogonal(0.1))

@@ -22,13 +22,19 @@ class ImpalaCNN(nn.Module):
     outsize: int = 256
     nblock: int = 2
     final_relu: bool = True
+    # "same": XLA SAME pooling (matches the reference's own flax impala).
+    # "torch": explicit pad-1 pooling with the torch max_pool2d(3,2,1) window
+    # alignment — required for converted torch PPG experts to act identically
+    # (SAME pads asymmetrically on the right; torch pads both sides).
+    pool_padding: str = "same"
 
     @nn.compact
     def __call__(self, x):
         # x: (batch [* timestep], h, w, c), scaled to [0, 1]
+        pool_pad = "SAME" if self.pool_padding == "same" else ((1, 1), (1, 1))
         for s, out_ch in enumerate(self.chans):
             x = nn.Conv(out_ch, (3, 3), padding="SAME", name=f"stack{s}_firstconv")(x)
-            x = nn.max_pool(x, window_shape=(3, 3), strides=(2, 2), padding="SAME")
+            x = nn.max_pool(x, window_shape=(3, 3), strides=(2, 2), padding=pool_pad)
             for b in range(self.nblock):
                 residual = x
                 y = nn.Conv(out_ch, (3, 3), padding="SAME", name=f"stack{s}_block{b}_conv0")(
