@@ -6,16 +6,21 @@ Two implementations behind one API:
     query axis, K/V streamed through VMEM) with the mask evaluated *inside*
     the kernel from index arithmetic (see ops/masks.py).  No (n, n) mask or
     (b, h, n, n) score tensor ever hits HBM.
-  * ``xla``    — a reference einsum path with a lazily materialized mask; XLA
-    fuses it well for the small sequences (<=256 tokens) this framework's
-    policies use, and it runs everywhere (CPU tests).
+  * ``xla``    — a fused einsum path with a lazily materialized mask; XLA
+    fuses it well and it runs everywhere (CPU tests).
 
 The reference computes dense attention with host-numpy masks
 (arp_dt/layers.py:45-99, models/m3ae/model.py:220-259, models/openai via
 flax SelfAttention); this module is the single replacement for all of them.
 
-``impl="auto"`` picks pallas on TPU for sequences where tiling pays off and
-xla otherwise.
+``impl="auto"`` resolves to ``xla`` at every production size: measured on
+the v5e chip (scripts/bench_attention.py, CLIP ViT-B/16 head shapes
+B=64 H=12 D=64, bf16, 2000-iteration scan), XLA sustains 16-58 TFLOP/s
+effective vs the pallas kernel's 3-11 across seq 128/197/256/512/1024 for
+both none and causal masks — at head_dim 64 the XLA fusion keeps the MXU
+busier than this kernel's tiling. Full table in docs/BENCHMARKS.md. The
+kernel remains available via impl="pallas" (and stays exact: parity tests
+run it in interpret mode).
 """
 
 from __future__ import annotations
@@ -164,8 +169,9 @@ def dot_product_attention(
     scale = q.shape[-1] ** -0.5
     qt, kt, vt = (jnp.swapaxes(x, 1, 2) for x in (q, k, v))  # (B,H,N,D)
     if impl is None or impl == "auto":
-        on_tpu = jax.default_backend() == "tpu"
-        impl = "pallas" if (on_tpu and q.shape[1] >= 256 and bias is None) else "xla"
+        # measured: xla wins at every production size on this hardware — see
+        # module docstring / docs/BENCHMARKS.md for the numbers
+        impl = "xla"
     if impl == "pallas":
         assert bias is None, "pallas path does not take dense bias; use xla"
         out = _pallas_attention(qt, kt, vt, spec, kv_padding, scale)
