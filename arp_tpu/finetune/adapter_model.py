@@ -46,6 +46,11 @@ class ClipMultiscaleAdapter(nn.Module):
     use_id_loss: bool = True
     goal_conditioned: bool = False
     gamma: float = 0.98
+    # time-contrastive triplet loss (reference clip_adapter.py:133-144; the
+    # reference never defines its margin nor calls the helper — dead code
+    # there). Here: margin 1.0, off by default, wired when use_tcn_loss=True.
+    use_tcn_loss: bool = False
+    tcn_margin: float = 1.0
 
     def setup(self):
         cfg = CONFIGS[self.clip_model_name]
@@ -156,6 +161,19 @@ class ClipMultiscaleAdapter(nn.Module):
 
     # -- loss --------------------------------------------------------------
 
+    def tcn_distance(self, x1, x2):
+        """Squared L2 between feature rows (reference clip_adapter.py:133-138)."""
+        diff = jnp.abs(x1 - x2)
+        if diff.ndim > 1:
+            return jnp.sum(diff**2, axis=-1)
+        return diff**2
+
+    def tcn_loss(self, anchor, positive, negative):
+        """Triplet hinge: mean(max(0, margin + d(a,p) - d(a,n)))."""
+        d_pos = self.tcn_distance(anchor, positive)
+        d_neg = self.tcn_distance(anchor, negative)
+        return jnp.mean(jnp.maximum(self.tcn_margin + d_pos - d_neg, 0.0))
+
     def __call__(self, clip_variables, batch, train=True):
         """batch: image0..3 (dict key -> (B, H, W, 3) uint8), instruct, action, r."""
         total_loss = 0.0
@@ -214,6 +232,12 @@ class ClipMultiscaleAdapter(nn.Module):
                 total_loss = total_loss + self.lambda_id * id_loss
             if not self.use_vip_loss and not self.use_id_loss:
                 total_loss = total_loss + vip_loss + id_loss
+            if self.use_tcn_loss:
+                # anchor f(o_t), positive f(o_{t+1}) (adjacent), negative
+                # f(o_start) (temporally distant)
+                tcn = self.tcn_loss(f1, f2, f0)
+                total_loss = total_loss + tcn
+                metrics[f"{key}_tcn_loss"] = tcn
             metrics[f"{key}_vip_loss"] = vip_loss
             metrics[f"{key}_id_loss"] = id_loss
         return total_loss, metrics

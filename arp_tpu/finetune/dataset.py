@@ -40,6 +40,9 @@ class ProcgenActionDataset:
         config.window_size = 8
         config.env_type = "none"
         config.action_at = "index"  # "index" | "traj_start" (reference parity)
+        # distance-constrained pair sampling (sample_next_index)
+        config.target_ratio = 0.8
+        config.threshold = 20
         return update_config(config, updates)
 
     def __init__(self, update, dataset_name="coinrun", split="train", tokenizer=None):
@@ -61,6 +64,24 @@ class ProcgenActionDataset:
 
     def __len__(self):
         return min(self.h5_file["ob"].shape[0] - self.config.start_index, self.config.max_length)
+
+    def sample_next_index(self, index, traj_elems, rng=None):
+        """Draw 2 trajectory indices at least `threshold` steps away from `index`.
+
+        Distance-constrained contrastive pair sampler
+        (reference action_finetune_data_procgen.py:119-132; unused by the
+        reference's __getitem__, kept for the same optional sampling mode):
+        rejection-sample up to 10 times, then fall back to the clamped
+        index±threshold pair. threshold = min(len·target_ratio, threshold).
+        """
+        rng = rng or np.random.default_rng()
+        traj_elems = np.asarray(traj_elems)
+        threshold = min(int(len(traj_elems) * self.config.target_ratio), self.config.threshold)
+        for _ in range(10):
+            next_index = rng.choice(traj_elems, 2)
+            if np.all(np.abs(next_index - index) >= threshold):
+                return list(next_index)
+        return [max(index - threshold, traj_elems[0]), min(index + threshold, traj_elems[-1])]
 
     def __getitem__(self, index):
         index = index + self.config.start_index
