@@ -206,11 +206,18 @@ class Transformer(nn.Module):
     mlp_bias: bool = False
     activation: str = "gelu"
     sow_intermediates: bool = False
+    # rematerialize each block on the backward pass (jax.checkpoint): trades
+    # one extra forward for O(depth) fewer stored activations — the standard
+    # TPU HBM-for-FLOPs trade for deep stacks / large batches.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic=True, mask_spec=MaskSpec("causal"), kv_padding=None):
+        # static_argnums: 0 is the module itself; 2/3 are deterministic and the
+        # (frozen-dataclass, hashable) MaskSpec
+        block_cls = nn.remat(Block, static_argnums=(2, 3)) if self.remat else Block
         for i in range(self.depth):
-            x = Block(
+            x = block_cls(
                 self.emb_dim,
                 self.num_heads,
                 self.mlp_ratio,

@@ -142,6 +142,7 @@ class MaskedMultimodalAutoencoder(nn.Module):
         config.output_head_depth = 0
         config.att_drop = 0.0
         config.drop = 0.0
+        config.remat = False
         config.drop_path = 0.0
         config.image_mask_ratio = 0.75
         config.text_mask_ratio = 0.75
@@ -197,6 +198,7 @@ class MaskedMultimodalAutoencoder(nn.Module):
         kwargs = dict(
             att_drop=cfg.att_drop, drop=cfg.drop, drop_path=cfg.drop_path,
             mlp_ratio=cfg.mlp_ratio, mlp_bias=True, sow_intermediates=True,
+            remat=cfg.get("remat", False),
         )
         self.encoder = Transformer(emb_dim=cfg.emb_dim, depth=cfg.depth, num_heads=cfg.num_heads, **kwargs)
         self.decoder = Transformer(
@@ -387,6 +389,7 @@ class MaskedAutoencoder(nn.Module):
         config.output_head_depth = 0
         config.att_drop = 0.0
         config.drop = 0.0
+        config.remat = False
         config.drop_path = 0.0
         config.image_mask_ratio = 0.75
         config.use_type_embedding = True
@@ -420,6 +423,7 @@ class MaskedAutoencoder(nn.Module):
         kwargs = dict(
             att_drop=cfg.att_drop, drop=cfg.drop, drop_path=cfg.drop_path,
             mlp_ratio=cfg.mlp_ratio, mlp_bias=True, sow_intermediates=True,
+            remat=cfg.get("remat", False),
         )
         self.encoder = Transformer(emb_dim=cfg.emb_dim, depth=cfg.depth, num_heads=cfg.num_heads, **kwargs)
         self.decoder = Transformer(

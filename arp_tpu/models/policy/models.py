@@ -105,6 +105,9 @@ def get_policy_default_config(updates=None) -> ConfigDict:
     config.pp_stages = 1
     config.pp_microbatches = 4
 
+    # rematerialize policy blocks on backward (jax.checkpoint) — HBM for FLOPs
+    config.remat = False
+
     config.lambda_return_pred = 1.0
     config.use_symlog = False
 
@@ -219,6 +222,7 @@ class BasePolicy(nn.Module):
                 num_heads=cfg.num_heads,
                 mlp_ratio=cfg.mlp_ratio,
                 alibi_bias=cfg.alibi_bias,
+                remat=cfg.get("remat", False),
                 name="policy",
             )
         self.action_outputs = EnsembleHeads(cfg.num_ensembles, cfg.emb_dim, self.num_actions)

@@ -197,3 +197,27 @@ def test_size_presets():
     # "vit_base" keeps explicit dims (matches how the reference actually runs)
     cfg = get_policy_default_config({"model_type": "vit_base", "emb_dim": 128})
     assert cfg.emb_dim == 128
+
+
+def test_remat_parity():
+    """remat=True must not change forward outputs, gradients, or the param tree
+    — only the backward-pass activation footprint (jax.checkpoint)."""
+    rng = np.random.default_rng(11)
+    batch = make_batch(rng)
+    base = ARPDT(config_updates=base_config(), num_actions=15, patch_dim=PATCH)
+    rmt = ARPDT(config_updates=base_config(remat=True), num_actions=15, patch_dim=PATCH)
+    params, out = _init_and_forward(base, batch)
+    params_r, out_r = _init_and_forward(rmt, batch)
+    jax.tree_util.tree_map(np.testing.assert_array_equal, params, params_r)
+    np.testing.assert_array_equal(np.asarray(out["action_pred"]), np.asarray(out_r["action_pred"]))
+
+    def loss(model):
+        def f(p):
+            return model.apply({"params": p}, batch, deterministic=True)["loss"]
+        return f
+
+    g = jax.grad(loss(base))(params)
+    g_r = jax.grad(loss(rmt))(params_r)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5), g, g_r
+    )
