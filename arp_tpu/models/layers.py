@@ -52,10 +52,11 @@ class FeedForward(nn.Module):
     use_bias: bool = False
     activation: str = "gelu"
     kernel_init: Callable = nn.initializers.xavier_uniform()
+    dtype: Any = None  # computation dtype for the matmuls (params stay fp32)
 
     @nn.compact
     def __call__(self, x, deterministic=True):
-        x = nn.Dense(self.dim, use_bias=self.use_bias, kernel_init=self.kernel_init, name="fc1")(x)
+        x = nn.Dense(self.dim, use_bias=self.use_bias, kernel_init=self.kernel_init, dtype=self.dtype, name="fc1")(x)
         if self.activation == "gelu":
             x = nn.gelu(x)
         elif self.activation == "quick_gelu":
@@ -63,7 +64,7 @@ class FeedForward(nn.Module):
         else:
             raise ValueError(self.activation)
         x = nn.Dropout(self.dropout)(x, deterministic)
-        x = nn.Dense(self.out_dim, use_bias=self.use_bias, kernel_init=self.kernel_init, name="fc2")(x)
+        x = nn.Dense(self.out_dim, use_bias=self.use_bias, kernel_init=self.kernel_init, dtype=self.dtype, name="fc2")(x)
         x = nn.Dropout(self.dropout)(x, deterministic)
         return x
 
@@ -83,12 +84,14 @@ class Attention(nn.Module):
     proj_drop: float = 0.0
     alibi_bias: bool = False
     kernel_init: Callable = nn.linear.default_kernel_init
+    dtype: Any = None  # computation dtype for qkv/out projections; the
+    # attention op itself always does fp32 scores + softmax (ops/attention.py)
 
     @nn.compact
     def __call__(self, x, deterministic=True, mask_spec=MaskSpec("causal"), kv_padding=None):
         b, n, _ = x.shape
         head_dim = self.dim // self.num_heads
-        qkv = nn.Dense(self.dim * 3, use_bias=self.use_bias, kernel_init=self.kernel_init, name="qkv")(x)
+        qkv = nn.Dense(self.dim * 3, use_bias=self.use_bias, kernel_init=self.kernel_init, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
@@ -126,7 +129,7 @@ class Attention(nn.Module):
                 q, k, v, spec=mask_spec, kv_padding=kv_padding, bias=bias, impl=impl
             )
         out = out.reshape(b, n, self.dim)
-        out = nn.Dense(self.dim, use_bias=self.use_bias, kernel_init=self.kernel_init, name="attn_out")(out)
+        out = nn.Dense(self.dim, use_bias=self.use_bias, kernel_init=self.kernel_init, dtype=self.dtype, name="attn_out")(out)
         out = nn.Dropout(self.proj_drop)(out, deterministic)
         return out
 
@@ -162,10 +165,16 @@ class Block(nn.Module):
     use_attn_bias: bool = True
     mlp_bias: bool = False
     activation: str = "gelu"
+    # mixed precision: run the block's matmuls in this dtype (bf16 on TPU)
+    # with fp32 layernorms, fp32 attention softmax, and fp32 residual stream —
+    # the standard TPU recipe. Params always stay fp32.
+    compute_dtype: Any = None
 
     @nn.compact
     def __call__(self, x, deterministic=True, mask_spec=MaskSpec("causal"), kv_padding=None):
-        y = nn.LayerNorm(name="norm1")(x)
+        y = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x)
+        if self.compute_dtype is not None:
+            y = y.astype(self.compute_dtype)
         y = Attention(
             self.dim,
             self.num_heads,
@@ -173,18 +182,21 @@ class Block(nn.Module):
             att_drop=self.att_drop,
             proj_drop=self.drop,
             alibi_bias=self.alibi_bias,
+            dtype=self.compute_dtype,
             name="attn",
         )(y, deterministic, mask_spec, kv_padding)
         y = DropPath(self.drop_path)(y, deterministic)
-        x = x + y
+        x = x + y.astype(x.dtype)
 
-        y = nn.LayerNorm(name="norm2")(x)
+        y = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x)
+        if self.compute_dtype is not None:
+            y = y.astype(self.compute_dtype)
         y = FeedForward(
             self.dim * self.mlp_ratio, self.dim, self.drop, use_bias=self.mlp_bias,
-            activation=self.activation, name="mlp",
+            activation=self.activation, dtype=self.compute_dtype, name="mlp",
         )(y, deterministic)
         y = DropPath(self.drop_path)(y, deterministic)
-        return x + y
+        return x + y.astype(x.dtype)
 
 
 class Transformer(nn.Module):
@@ -210,6 +222,8 @@ class Transformer(nn.Module):
     # one extra forward for O(depth) fewer stored activations — the standard
     # TPU HBM-for-FLOPs trade for deep stacks / large batches.
     remat: bool = False
+    # run block matmuls in this dtype (e.g. jnp.bfloat16); see Block
+    compute_dtype: Any = None
 
     @nn.compact
     def __call__(self, x, deterministic=True, mask_spec=MaskSpec("causal"), kv_padding=None):
@@ -227,6 +241,7 @@ class Transformer(nn.Module):
                 self.alibi_bias,
                 mlp_bias=self.mlp_bias,
                 activation=self.activation,
+                compute_dtype=self.compute_dtype,
                 name=f"blocks_{i}",
             )(x, deterministic, mask_spec, kv_padding)
             if self.sow_intermediates:

@@ -143,6 +143,7 @@ class MaskedMultimodalAutoencoder(nn.Module):
         config.att_drop = 0.0
         config.drop = 0.0
         config.remat = False
+        config.compute_dtype = "float32"
         config.drop_path = 0.0
         config.image_mask_ratio = 0.75
         config.text_mask_ratio = 0.75
@@ -199,6 +200,9 @@ class MaskedMultimodalAutoencoder(nn.Module):
             att_drop=cfg.att_drop, drop=cfg.drop, drop_path=cfg.drop_path,
             mlp_ratio=cfg.mlp_ratio, mlp_bias=True, sow_intermediates=True,
             remat=cfg.get("remat", False),
+            compute_dtype=None
+            if cfg.get("compute_dtype", "float32") == "float32"
+            else jnp.dtype(cfg.get("compute_dtype")),
         )
         self.encoder = Transformer(emb_dim=cfg.emb_dim, depth=cfg.depth, num_heads=cfg.num_heads, **kwargs)
         self.decoder = Transformer(
@@ -390,6 +394,7 @@ class MaskedAutoencoder(nn.Module):
         config.att_drop = 0.0
         config.drop = 0.0
         config.remat = False
+        config.compute_dtype = "float32"
         config.drop_path = 0.0
         config.image_mask_ratio = 0.75
         config.use_type_embedding = True
@@ -424,6 +429,9 @@ class MaskedAutoencoder(nn.Module):
             att_drop=cfg.att_drop, drop=cfg.drop, drop_path=cfg.drop_path,
             mlp_ratio=cfg.mlp_ratio, mlp_bias=True, sow_intermediates=True,
             remat=cfg.get("remat", False),
+            compute_dtype=None
+            if cfg.get("compute_dtype", "float32") == "float32"
+            else jnp.dtype(cfg.get("compute_dtype")),
         )
         self.encoder = Transformer(emb_dim=cfg.emb_dim, depth=cfg.depth, num_heads=cfg.num_heads, **kwargs)
         self.decoder = Transformer(

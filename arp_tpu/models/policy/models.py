@@ -107,6 +107,9 @@ def get_policy_default_config(updates=None) -> ConfigDict:
 
     # rematerialize policy blocks on backward (jax.checkpoint) — HBM for FLOPs
     config.remat = False
+    # "float32" | "bfloat16": matmul dtype for the policy blocks (fp32
+    # layernorms/softmax/residuals; params stay fp32 — see models/layers.py)
+    config.compute_dtype = "float32"
 
     config.lambda_return_pred = 1.0
     config.use_symlog = False
@@ -223,6 +226,9 @@ class BasePolicy(nn.Module):
                 mlp_ratio=cfg.mlp_ratio,
                 alibi_bias=cfg.alibi_bias,
                 remat=cfg.get("remat", False),
+                compute_dtype=jnp.dtype(cfg.get("compute_dtype", "float32"))
+                if cfg.get("compute_dtype", "float32") != "float32"
+                else None,
                 name="policy",
             )
         self.action_outputs = EnsembleHeads(cfg.num_ensembles, cfg.emb_dim, self.num_actions)

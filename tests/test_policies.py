@@ -221,3 +221,35 @@ def test_remat_parity():
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5), g, g_r
     )
+
+
+def test_bf16_compute_dtype():
+    """compute_dtype=bfloat16: params stay fp32, outputs stay fp32 (residual
+    stream + final LN), values track the fp32 forward within bf16 tolerance."""
+    rng = np.random.default_rng(13)
+    batch = make_batch(rng)
+    f32 = ARPDT(config_updates=base_config(), num_actions=15, patch_dim=PATCH)
+    bf16 = ARPDT(config_updates=base_config(compute_dtype="bfloat16"), num_actions=15, patch_dim=PATCH)
+    params, out = _init_and_forward(f32, batch)
+    params_b, out_b = _init_and_forward(bf16, batch)
+    # identical init trees, all fp32
+    jax.tree_util.tree_map(np.testing.assert_array_equal, params, params_b)
+    assert all(p.dtype == jnp.float32 for p in jax.tree_util.tree_leaves(params_b))
+    assert out_b["action_pred"].dtype == jnp.float32
+    np.testing.assert_allclose(
+        np.asarray(out["action_pred"]), np.asarray(out_b["action_pred"]), atol=0.05, rtol=0.1
+    )
+    # trains: one adamw step under jit produces finite loss and fp32 params
+    state = TrainState.create(apply_fn=bf16.apply, params=params_b, tx=optax.adamw(1e-3))
+
+    @jax.jit
+    def step(state):
+        def loss_fn(p):
+            return bf16.apply({"params": p}, batch, deterministic=True)["loss"]
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads=grads), loss
+
+    state, loss = step(state)
+    assert np.isfinite(float(loss))
+    assert all(p.dtype == jnp.float32 for p in jax.tree_util.tree_leaves(state.params))
