@@ -1,0 +1,148 @@
+"""Train-step throughput benchmark on the real TPU chip.
+
+Measures the flagship ARPDT configuration (reference jobs/train_procgen.sh:
+87-93 — policy w/ DT mask + frozen m3ae ViT-B/16 encoder + adapter, window 4,
+256x256 frames) as steps/sec and frames/sec for a *device-resident* batch:
+the input batch lives in HBM and only the scalar loss is read back per step,
+so the number reflects compute capability, not the dev tunnel's host->device
+link (see docs/BENCHMARKS.md "tunnel behavior" — the link fluctuates ~5x and
+is measured separately by the reward-labeling bisect).
+
+Weights are random-init (throughput is weight-independent): the reference
+m3ae checkpoint loader is monkeypatched to return a fresh init of the same
+architecture, keeping the exact frozen-encoder (stop_gradient) path.
+
+Variants:
+  fp32        — default precision
+  bf16        — --model.compute_dtype=bfloat16 on policy + m3ae blocks
+  bf16_remat  — bf16 + per-block jax.checkpoint
+
+Usage: python scripts/bench_train.py [--variant bf16] [--batch 64] [--steps 16]
+"""
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+WINDOW = 4
+IMG = 256
+PATCH = 16
+
+
+def fake_m3ae_loader(model_name, checkpoint_dir=None):
+    """Random-init m3ae vars of the requested architecture (no pickle needed)."""
+    from arp_tpu.models import m3ae as m3ae_lib
+    from arp_tpu.models.policy.models import BERT_VOCAB_SIZE
+
+    size = m3ae_lib.M3AE_MODEL_CONFIGS[model_name.replace("m3ae_", "")]
+    model = m3ae_lib.MaskedMultimodalAutoencoder(
+        config_updates=dict(model_type=size), text_vocab_size=BERT_VOCAB_SIZE
+    )
+    patch = jnp.zeros((1, (IMG // PATCH) ** 2, PATCH * PATCH * 3), jnp.float32)
+    params = jax.jit(
+        lambda r: model.init(
+            {"params": r}, patch, None, None,
+            method=model.forward_representation, deterministic=True,
+        )
+    )(jax.random.PRNGKey(0))
+    return params
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variant", default="bf16", choices=["fp32", "bf16", "bf16_remat"])
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--steps", type=int, default=16)
+    args = ap.parse_args()
+
+    from arp_tpu.models import m3ae as m3ae_lib
+    from arp_tpu.models.policy import ARPDT
+    from arp_tpu.parallel import MeshConfig, create_mesh, make_train_step, shard_batch
+    from arp_tpu.parallel.step import shard_train_state
+
+    m3ae_lib.load_m3ae_model_vars = fake_m3ae_loader
+    import arp_tpu.models.policy.models as pm
+
+    pm.m3ae_lib.load_m3ae_model_vars = fake_m3ae_loader
+
+    dtype = "float32" if args.variant == "fp32" else "bfloat16"
+    cfg = dict(
+        model_type="vit_base",            # DT block mask; dims are explicit below
+        transfer_type="m3ae_vit_b16",     # frozen encoder, stop_gradient (flagship)
+        emb_dim=128, depth=2, num_heads=8,  # reference CLI-effective policy dims
+        use_discrete_action=True,
+        use_adapter=True,
+        num_ensembles=5,
+        compute_dtype=dtype,
+        remat=args.variant == "bf16_remat",
+        m3ae=dict(model_type="base", compute_dtype=dtype, remat=args.variant == "bf16_remat"),
+    )
+    model = ARPDT(config_updates=cfg, num_actions=15, patch_dim=PATCH)
+
+    rng = np.random.default_rng(0)
+    host_batch = {
+        "image": {"ob": rng.random((args.batch, WINDOW, IMG, IMG, 3), np.float32)},
+        "rtg": {"ob": rng.random((args.batch, WINDOW, 1), np.float32)},
+        "action": rng.integers(0, 15, size=(args.batch, WINDOW)).astype(np.int32),
+        "goal": None,
+        "instruct": None,
+        "text_padding_mask": None,
+    }
+
+    mesh = create_mesh(MeshConfig(dp=len(jax.devices())))
+    rngs = {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)}
+    t0 = time.time()
+    small = jax.tree_util.tree_map(
+        lambda a: a[:2] if isinstance(a, np.ndarray) else a, host_batch
+    )
+    params = jax.jit(lambda r: model.init(r, small, deterministic=True))(rngs)["params"]
+    print(f"init: {time.time()-t0:.1f}s  params={sum(p.size for p in jax.tree_util.tree_leaves(params)):,}")
+
+    import optax
+    from flax.training.train_state import TrainState
+
+    state = TrainState.create(
+        apply_fn=model.apply,
+        params=params,
+        tx=optax.chain(optax.clip_by_global_norm(10.0), optax.adamw(5e-4)),
+    )
+
+    def loss_fn(params, batch, step_rng):
+        out = model.apply(
+            {"params": params}, batch,
+            rngs={"dropout": step_rng, "noise": jax.random.fold_in(step_rng, 1)},
+            deterministic=False,
+        )
+        return out["loss"], {"acc": out["acc"]}
+
+    with mesh:
+        step = make_train_step(loss_fn, mesh, weight_decay=5e-5)
+        gstate = shard_train_state(state, mesh)
+        gbatch = shard_batch(host_batch, mesh)
+
+        t0 = time.time()
+        gstate, aux = step(gstate, gbatch, jax.random.PRNGKey(0))
+        print(f"first step (compile): {time.time()-t0:.1f}s loss={float(aux['loss']):.3f}")
+
+        # fresh rng per step; scalar loss readback forces completion
+        times = []
+        for i in range(args.steps):
+            t0 = time.time()
+            gstate, aux = step(gstate, gbatch, jax.random.PRNGKey(i + 1))
+            _ = float(aux["loss"])
+            times.append(time.time() - t0)
+        best = min(times)
+        med = sorted(times)[len(times) // 2]
+        frames = args.batch * WINDOW
+        print(
+            f"variant={args.variant} batch={args.batch} window={WINDOW} img={IMG}\n"
+            f"best {best*1e3:.0f} ms/step ({args.batch/best:.1f} ex/s, {frames/best:.0f} frames/s)  "
+            f"median {med*1e3:.0f} ms/step ({args.batch/med:.1f} ex/s, {frames/med:.0f} frames/s)"
+        )
+
+
+if __name__ == "__main__":
+    main()
