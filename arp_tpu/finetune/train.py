@@ -39,6 +39,7 @@ FLAGS_DEF = define_flags_with_default(
     clip_checkpoint="",
     use_vip_loss=True,
     use_id_loss=True,
+    use_tcn_loss=False,
     goal_conditioned=False,
     checkpoint_dir="",
     image_size=224,
@@ -78,6 +79,7 @@ def main(argv):
         action_dim=train_dataset.num_actions,
         use_vip_loss=FLAGS.use_vip_loss,
         use_id_loss=FLAGS.use_id_loss,
+        use_tcn_loss=FLAGS.use_tcn_loss,
         goal_conditioned=FLAGS.goal_conditioned,
     )
     if FLAGS.clip_checkpoint == "random":

@@ -275,6 +275,9 @@ class PipelinedTransformer(nn.Module):
     stages: int = 2
     microbatches: int = 2
     mesh: Any = None
+    # jax.checkpoint each scanned layer (prevent_cse=False is safe — and
+    # recommended — under lax.scan); same HBM-for-FLOPs trade as Transformer
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic=True, mask_spec=MaskSpec("causal"), kv_padding=None):
@@ -312,6 +315,8 @@ class PipelinedTransformer(nn.Module):
                 )
                 return out, None
 
+            if self.remat:
+                layer = jax.checkpoint(layer, prevent_cse=False)
             act, _ = jax.lax.scan(layer, act, stage_params)
             return act
 

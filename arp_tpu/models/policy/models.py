@@ -214,6 +214,7 @@ class BasePolicy(nn.Module):
                 stages=cfg.pp_stages,
                 microbatches=cfg.pp_microbatches,
                 mesh=self.mesh,
+                remat=cfg.get("remat", False),
                 name="policy",
             )
         else:

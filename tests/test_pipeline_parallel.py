@@ -54,3 +54,30 @@ def test_pipeline_transformer_blocks():
     expected = sequential_apply(stage, stacked, x)
     got = pipeline_apply(stage, stacked, x, mesh, num_microbatches=4)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=1e-4)
+
+
+def test_pipelined_transformer_remat_parity():
+    """PipelinedTransformer(remat=True) — jax.checkpoint under the stage scan —
+    matches the non-remat forward and gradients exactly."""
+    from arp_tpu.models.layers import PipelinedTransformer
+    from arp_tpu.parallel.pipeline import create_pp_mesh
+
+    mesh = create_pp_mesh(2)
+    kw = dict(emb_dim=32, depth=4, num_heads=4, mlp_ratio=2, stages=2, microbatches=2, mesh=mesh)
+    base = PipelinedTransformer(**kw)
+    rmt = PipelinedTransformer(**kw, remat=True)
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(4, 6, 32)).astype(np.float32))
+    params = base.init(jax.random.PRNGKey(0), x, deterministic=True)["params"]
+
+    out = base.apply({"params": params}, x, deterministic=True)
+    out_r = rmt.apply({"params": params}, x, deterministic=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out_r))
+
+    def loss(model):
+        return lambda p: jnp.sum(model.apply({"params": p}, x, deterministic=True) ** 2)
+
+    g = jax.grad(loss(base))(params)
+    g_r = jax.grad(loss(rmt))(params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5), g, g_r
+    )
