@@ -274,6 +274,7 @@ def test_finetune_cli_e2e(tmp_path):
     cmd = [
         sys.executable, "-m", "arp_tpu.finetune.train",
         "--epochs=1", "--batch_size=8", "--lr=1e-4", "--log_freq=1",
+        "--use_tcn_loss=True",
         "--dataset_name=coinrun_tiny", "--clip_model=tiny_test",
         "--clip_checkpoint=random", "--image_size=32",
         f"--checkpoint_dir={ckpt}",
