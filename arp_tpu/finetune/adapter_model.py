@@ -162,11 +162,9 @@ class ClipMultiscaleAdapter(nn.Module):
     # -- loss --------------------------------------------------------------
 
     def tcn_distance(self, x1, x2):
-        """Squared L2 between feature rows (reference clip_adapter.py:133-138)."""
-        diff = jnp.abs(x1 - x2)
-        if diff.ndim > 1:
-            return jnp.sum(diff**2, axis=-1)
-        return diff**2
+        """Squared L2 over the feature axis (reference clip_adapter.py:133-138;
+        a single (D,) vector yields a scalar distance)."""
+        return jnp.sum((x1 - x2) ** 2, axis=-1)
 
     def tcn_loss(self, anchor, positive, negative):
         """Triplet hinge: mean(max(0, margin + d(a,p) - d(a,n)))."""

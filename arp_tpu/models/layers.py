@@ -278,6 +278,8 @@ class PipelinedTransformer(nn.Module):
     # jax.checkpoint each scanned layer (prevent_cse=False is safe — and
     # recommended — under lax.scan); same HBM-for-FLOPs trade as Transformer
     remat: bool = False
+    # bf16 block matmuls (see Block.compute_dtype)
+    compute_dtype: Any = None
 
     @nn.compact
     def __call__(self, x, deterministic=True, mask_spec=MaskSpec("causal"), kv_padding=None):
@@ -293,6 +295,7 @@ class PipelinedTransformer(nn.Module):
             alibi_bias=self.alibi_bias,
             mlp_bias=self.mlp_bias,
             activation=self.activation,
+            compute_dtype=self.compute_dtype,
         )
 
         def init_stacked(rng):

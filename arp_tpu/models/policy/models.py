@@ -77,6 +77,12 @@ def apply_size_preset(model_type: str, config: ConfigDict) -> None:
     # unknown names (e.g. "vit_base") keep explicit dims — see module docstring
 
 
+def _resolve_compute_dtype(cfg) -> Any:
+    """"float32" -> None (default precision), anything else -> jnp dtype."""
+    name = cfg.get("compute_dtype", "float32")
+    return None if name == "float32" else jnp.dtype(name)
+
+
 def get_policy_default_config(updates=None) -> ConfigDict:
     """Shared policy config (reference: ARPDT.get_default_config, ARPDT.py:27-66)."""
     config = ConfigDict()
@@ -121,6 +127,19 @@ def get_policy_default_config(updates=None) -> ConfigDict:
     update_config(config, updates)
     if config.model_type is not None:
         apply_size_preset(config.model_type, config)
+    # --model.remat / --model.compute_dtype cover the whole model: propagate
+    # to the frozen-encoder sub-configs (the m3ae/mae encoder dominates both
+    # compute and activations under the flagship policy) unless the
+    # sub-config was set explicitly (a non-default sub value wins).
+    for sub_name in ("mae", "m3ae"):
+        sub = config[sub_name]
+        if config.remat and not sub.get("remat", False):
+            sub.remat = True
+        if (
+            config.compute_dtype != "float32"
+            and sub.get("compute_dtype", "float32") == "float32"
+        ):
+            sub.compute_dtype = config.compute_dtype
     return config
 
 
@@ -215,6 +234,7 @@ class BasePolicy(nn.Module):
                 microbatches=cfg.pp_microbatches,
                 mesh=self.mesh,
                 remat=cfg.get("remat", False),
+                compute_dtype=_resolve_compute_dtype(cfg),
                 name="policy",
             )
         else:
@@ -227,9 +247,7 @@ class BasePolicy(nn.Module):
                 mlp_ratio=cfg.mlp_ratio,
                 alibi_bias=cfg.alibi_bias,
                 remat=cfg.get("remat", False),
-                compute_dtype=jnp.dtype(cfg.get("compute_dtype", "float32"))
-                if cfg.get("compute_dtype", "float32") != "float32"
-                else None,
+                compute_dtype=_resolve_compute_dtype(cfg),
                 name="policy",
             )
         self.action_outputs = EnsembleHeads(cfg.num_ensembles, cfg.emb_dim, self.num_actions)

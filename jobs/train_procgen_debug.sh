@@ -1,8 +1,11 @@
 #!/bin/bash
 # Debug-scale training launcher (parity with the reference
-# jobs/train_procgen_debug.sh: full pipeline at depth-2/dim-16 "debug" model,
-# 5 epochs, 2 test episodes, 100-step episodes — the reference's stand-in for
-# a test suite; here it complements tests/).
+# jobs/train_procgen_debug.sh: the full pipeline at a debug RUN BUDGET —
+# 5 epochs, 2 test episodes, 100-step episodes — the reference's stand-in
+# for a test suite; here it complements tests/).  Model dims are the
+# CLI-effective reference defaults (emb 128 / depth 2; "vit_*" names select
+# the DT block mask and keep explicit dims, matching how the reference
+# actually runs — see models/policy/models.py module docstring).
 #
 # usage: sh jobs/train_procgen_debug.sh GAME TRAIN_ENV_TYPE EVAL_ENV_TYPE \
 #          SEED NUM_DEMOS DATA_PATH USE_VL VL_TYPE USE_NORMALIZE COMMENT \
@@ -26,7 +29,7 @@ START_LEVEL=0
 NUM_LEVELS=500
 NUM_FRAMES=8
 WINDOW_SIZE=4
-MODEL_TYPE="vit_debug"      # depth 2 / tiny dims (reference ARPDT.py:607-611)
+MODEL_TYPE="vit_base"       # same name the reference debug script passes
 TRANSFER_TYPE="m3ae_vit_b16"
 USE_ADAPTER=True
 BATCH_SIZE=128

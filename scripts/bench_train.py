@@ -63,10 +63,8 @@ def main():
     from arp_tpu.parallel import MeshConfig, create_mesh, make_train_step, shard_batch
     from arp_tpu.parallel.step import shard_train_state
 
+    # the policy module imports this same module object, so one patch suffices
     m3ae_lib.load_m3ae_model_vars = fake_m3ae_loader
-    import arp_tpu.models.policy.models as pm
-
-    pm.m3ae_lib.load_m3ae_model_vars = fake_m3ae_loader
 
     dtype = "float32" if args.variant == "fp32" else "bfloat16"
     cfg = dict(

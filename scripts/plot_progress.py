@@ -94,9 +94,14 @@ def main():
             continue
         series.append((run, steps, ema(values, args.smoothing)))
 
-    same_len = len({len(v) for _, _, v in series}) == 1
-    if len(series) > 2 and same_len:
-        # seeds of one experiment: mean ± std band
+    if not series:
+        raise SystemExit(f"error: no run contains key '{args.key}' — nothing to plot")
+
+    # mean±std band only when the runs are clearly seeds of ONE experiment:
+    # identical step sequences, not merely equal lengths (equal lengths are
+    # the norm for unrelated runs sharing epochs/log_freq)
+    same_steps = all(s == series[0][1] for _, s, _ in series)
+    if len(series) > 2 and same_steps:
         arr = np.asarray([v for _, _, v in series])
         steps = series[0][1]
         ax.plot(steps, arr.mean(0), label=f"mean of {len(series)} runs")
