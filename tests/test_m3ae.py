@@ -197,3 +197,43 @@ def test_attention_prob_dropout_training_path():
     assert not np.allclose(np.asarray(tr1), np.asarray(tr2))
     assert not np.allclose(np.asarray(tr1), np.asarray(det))
     assert np.isfinite(np.asarray(tr1)).all() and np.isfinite(np.asarray(det)).all()
+
+
+def test_m3ae_remat_bf16_paths():
+    """remat=True matches the plain forward/gradients exactly (the policy-level
+    --model.remat/--model.compute_dtype flags propagate to this config), and
+    compute_dtype=bfloat16 keeps fp32 params/outputs while tracking fp32 values."""
+    base_cfg = dict(emb_dim=32, depth=2, num_heads=4, dec_emb_dim=16, dec_depth=1, dec_num_heads=2)
+    small = my_m3ae.MaskedMultimodalAutoencoder(config_updates=base_cfg, text_vocab_size=50)
+    rmt = my_m3ae.MaskedMultimodalAutoencoder(
+        config_updates=dict(base_cfg, remat=True), text_vocab_size=50
+    )
+    bf16 = my_m3ae.MaskedMultimodalAutoencoder(
+        config_updates=dict(base_cfg, compute_dtype="bfloat16"), text_vocab_size=50
+    )
+    rng = np.random.default_rng(5)
+    patch = jnp.asarray(rng.normal(size=(2, 4, 12)).astype(np.float32))
+    text = jnp.asarray(rng.integers(0, 50, size=(2, 6)).astype(np.int32))
+    pad = jnp.zeros((2, 6), jnp.float32)
+    rngs = {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}
+    params = small.init(rngs, patch, text, pad)
+
+    def fwd(model, p):
+        return model.apply(p, patch, text, pad, deterministic=True, method=model.forward_representation)
+
+    out = fwd(small, params)
+    # jax.checkpoint changes XLA fusion, so allow float-rounding-level drift
+    np.testing.assert_allclose(np.asarray(out), np.asarray(fwd(rmt, params)), atol=5e-4, rtol=1e-3)
+
+    def loss(model):
+        return lambda p: jnp.sum(fwd(model, p) ** 2)
+
+    g = jax.grad(loss(small))(params)["params"]
+    g_r = jax.grad(loss(rmt))(params)["params"]
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3), g, g_r
+    )
+
+    out_b = fwd(bf16, params)
+    assert out_b.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_b), atol=0.05, rtol=0.1)
