@@ -12,7 +12,10 @@ TPU-first differences from the reference port:
     materializes (77, 77) masks per call (openai/layers.py:363);
   * patch embedding is an einops reshape + Dense (one big MXU matmul) rather
     than a conv lowering;
-  * an optional ``compute_dtype=bfloat16`` runs encoder matmuls in bf16.
+  * bf16 encode is caller-side: cast the variables and inputs to bfloat16
+    (the model is dtype-polymorphic) — see ClipRewardEngine's ``_cast``
+    (reward/engine.py) and the policy's frozen-CLIP path; reward-MAE tests
+    bound the accuracy impact.
 """
 
 from __future__ import annotations

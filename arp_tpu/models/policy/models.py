@@ -317,6 +317,23 @@ class BasePolicy(nn.Module):
         res = nn.sigmoid(self.residual_weight)
         return res * adapter(emb) + (1 - res) * emb
 
+    def _frozen_clip_apply(self, method, x):
+        """Run the frozen CLIP tower, honoring ``compute_dtype``: bf16 casts
+        the (constant-folded) variables and any float input, fp32 comes back
+        out — the reward engine's recipe (reward/engine.py::_cast) applied to
+        the policy path."""
+        dt = _resolve_compute_dtype(self.config)
+        variables = self.pt_params
+        if dt is not None:
+            variables = jax.tree_util.tree_map(
+                lambda p: p.astype(dt) if jnp.issubdtype(p.dtype, jnp.floating) else p,
+                variables,
+            )
+            if jnp.issubdtype(x.dtype, jnp.floating):
+                x = x.astype(dt)
+        out = self.pt_model.apply(variables, x, method=method)
+        return out.astype(jnp.float32) if dt is not None else out
+
     # -- encode ---------------------------------------------------------------
 
     def encode(self, batch):
@@ -366,7 +383,7 @@ class BasePolicy(nn.Module):
                 img_emb = self._apply_adapter(img_emb)
             img_emb = concat_multiple_image_emb(img_emb)
             if text is not None:
-                text_emb = self.pt_model.apply(self.pt_params, text, method=self.pt_model.encode_text)
+                text_emb = self._frozen_clip_apply(self.pt_model.encode_text, text)
                 text_emb = jnp.tile(jnp.expand_dims(text_emb, axis=1), (1, img_emb.shape[1], 1))
                 image_text_emb = jnp.concatenate([img_emb, text_emb], axis=-1)
             else:
@@ -396,7 +413,7 @@ class BasePolicy(nn.Module):
             elif cfg.use_from_scratch:
                 img_emb = self.pt_model.encode_image(image)
             else:
-                img_emb = self.pt_model.apply(self.pt_params, image, method=self.pt_model.encode_image)
+                img_emb = self._frozen_clip_apply(self.pt_model.encode_image, image)
 
             if cfg.use_adapter:
                 img_emb = jax.lax.stop_gradient(img_emb)
@@ -408,7 +425,7 @@ class BasePolicy(nn.Module):
                 if cfg.use_from_scratch or cfg.use_impala_backbone:
                     text_emb = self.pt_model.encode_text(text)
                 else:
-                    text_emb = self.pt_model.apply(self.pt_params, text, method=self.pt_model.encode_text)
+                    text_emb = self._frozen_clip_apply(self.pt_model.encode_text, text)
                 text_emb = jnp.tile(jnp.expand_dims(text_emb, axis=1), (1, img_emb.shape[1], 1))
                 if cfg.use_adapter:
                     text_emb = jax.lax.stop_gradient(text_emb)

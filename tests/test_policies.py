@@ -253,3 +253,36 @@ def test_bf16_compute_dtype():
     state, loss = step(state)
     assert np.isfinite(float(loss))
     assert all(p.dtype == jnp.float32 for p in jax.tree_util.tree_leaves(state.params))
+
+
+def test_frozen_clip_bf16_cast(monkeypatch):
+    """compute_dtype=bfloat16 on the frozen-CLIP transfer path: the tower runs
+    in bf16 via variable/input casting, outputs come back fp32 and track the
+    fp32 forward."""
+    from arp_tpu.models.clip import CLIP
+    from arp_tpu.models.clip import model as clip_model_mod
+
+    tiny = dict(embed_dim=16, vocab_size=97, vision_num_layers=1, vision_features=64,
+                vision_patch_size=16, text_features=16, text_num_heads=4, text_num_layers=1)
+    monkeypatch.setitem(clip_model_mod.MODELS, "tiny_test", lambda: CLIP(**tiny))
+    rng = np.random.default_rng(9)
+    clip = CLIP(**tiny)
+    clip_vars = clip.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 64, 64, 3)),
+        jnp.zeros((1, 77), jnp.int32),
+    )
+    monkeypatch.setattr(clip_model_mod, "load_model_vars", lambda name, **kw: clip_vars)
+
+    batch = make_batch(rng)
+    batch["image"] = {"ob": jnp.asarray(rng.normal(size=(2, WINDOW, 64, 64, 3)).astype(np.float32))}
+    f32 = ARPDT(config_updates=base_config(transfer_type="clip_tiny_test"),
+                num_actions=15, patch_dim=PATCH)
+    bf16 = ARPDT(config_updates=base_config(transfer_type="clip_tiny_test", compute_dtype="bfloat16"),
+                 num_actions=15, patch_dim=PATCH)
+    params, out = _init_and_forward(f32, batch)
+    out_b = bf16.apply({"params": params}, batch, deterministic=True)
+    assert out_b["action_pred"].dtype == jnp.float32
+    np.testing.assert_allclose(
+        np.asarray(out["action_pred"]), np.asarray(out_b["action_pred"]), atol=0.05, rtol=0.1
+    )
