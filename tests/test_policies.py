@@ -286,3 +286,15 @@ def test_frozen_clip_bf16_cast(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(out["action_pred"]), np.asarray(out_b["action_pred"]), atol=0.05, rtol=0.1
     )
+
+
+def test_memory_knob_propagation():
+    """--model.remat / --model.compute_dtype reach the m3ae/mae encoder
+    sub-configs (which dominate compute under the flagship policy); explicit
+    non-default sub values win."""
+    cfg = ARPDT.get_default_config(dict(remat=True, compute_dtype="bfloat16"))
+    assert cfg.m3ae.remat and cfg.mae.remat
+    assert cfg.m3ae.compute_dtype == "bfloat16" and cfg.mae.compute_dtype == "bfloat16"
+    # defaults stay untouched
+    base = ARPDT.get_default_config({})
+    assert not base.m3ae.remat and base.m3ae.compute_dtype == "float32"
