@@ -39,6 +39,12 @@ class MeshConfig:
     fsdp: int = 1
     tp: int = 1
     pp: int = 1
+    # data parallelism ACROSS pod slices (DCN). The logical mesh keeps the
+    # same four axes — dp becomes dcn_dp x (per-slice dp) with the DCN factor
+    # outermost, so the gradient psum decomposes into an in-slice reduce over
+    # ICI plus one cross-slice exchange over DCN (the "How to Scale Your
+    # Model" multislice recipe). fsdp/tp/pp always stay within a slice.
+    dcn_dp: int = 1
 
     def resolve(self, n_devices: Optional[int] = None) -> tuple[int, int, int, int]:
         n = n_devices if n_devices is not None else len(jax.devices())
@@ -48,9 +54,10 @@ class MeshConfig:
             # GSPMD tp propagation is unavailable (manual collectives only)
             assert tp == 1, "pp composes with dp/fsdp; tp inside pp stages is unsupported"
         if dp == -1:
-            rest = fsdp * tp * pp
-            assert n % rest == 0, f"{n} devices not divisible by fsdp*tp*pp={rest}"
+            rest = fsdp * tp * pp * self.dcn_dp
+            assert n % rest == 0, f"{n} devices not divisible by dcn_dp*fsdp*tp*pp={rest}"
             dp = n // rest
+        dp = dp * self.dcn_dp
         assert dp * fsdp * tp * pp == n, f"mesh {dp}x{fsdp}x{tp}x{pp} != {n} devices"
         return dp, fsdp, tp, pp
 
@@ -58,7 +65,22 @@ class MeshConfig:
 def create_mesh(config: MeshConfig = MeshConfig(), devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     shape = config.resolve(len(devices))
-    device_array = mesh_utils.create_device_mesh(shape, devices=devices)
+    if config.dcn_dp > 1:
+        dp, fsdp, tp, pp = shape
+        per_slice = (dp // config.dcn_dp, fsdp, tp, pp)
+        dcn_shape = (config.dcn_dp, 1, 1, 1)
+        try:
+            # real multislice topologies carry slice indices; this orders the
+            # mesh so only the outermost dp stride crosses DCN
+            device_array = mesh_utils.create_hybrid_device_mesh(
+                per_slice, dcn_shape, devices=devices
+            )
+        except (ValueError, AssertionError, AttributeError):
+            # single-slice / CPU-mesh testing: no slice attributes — treat
+            # contiguous device groups as slices (same logical layout)
+            device_array = np.asarray(devices).reshape(shape)
+    else:
+        device_array = mesh_utils.create_device_mesh(shape, devices=devices)
     return Mesh(device_array, axis_names=("dp", "fsdp", "tp", "pp"))
 
 

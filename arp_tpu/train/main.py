@@ -91,6 +91,7 @@ FLAGS_DEF = define_flags_with_default(
     mesh_fsdp=1,
     mesh_tp=1,
     mesh_pp=1,
+    mesh_dcn_dp=1,
     mesh_pp_microbatches=4,
     accum_steps=1,
     checkpoint_dir="",
@@ -185,7 +186,7 @@ def main(argv):
     save_model_freq = FLAGS.save_model_freq or steps_per_epoch * FLAGS.test_every_epochs
 
     mesh = create_mesh(
-        MeshConfig(dp=FLAGS.mesh_dp, fsdp=FLAGS.mesh_fsdp, tp=FLAGS.mesh_tp, pp=FLAGS.mesh_pp)
+        MeshConfig(dp=FLAGS.mesh_dp, fsdp=FLAGS.mesh_fsdp, tp=FLAGS.mesh_tp, pp=FLAGS.mesh_pp, dcn_dp=FLAGS.mesh_dcn_dp)
     )
     absl_logging.info("mesh: %s", mesh)
     if FLAGS.mesh_pp > 1:

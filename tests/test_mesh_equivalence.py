@@ -136,3 +136,17 @@ def test_dp_vs_dp_pp_equivalence():
         np.testing.assert_allclose(
             np.asarray(flat_got[path]), np.asarray(want), atol=2e-4, err_msg=str(path)
         )
+
+
+def test_dp_vs_multislice_dcn_equivalence():
+    """dcn_dp=2 x dp=4 (multislice layout: DCN factor outermost in the dp
+    axis) trains identically to flat dp8 — the logical program is unchanged,
+    only collective routing differs."""
+    params_dp, loss_dp = _train(MeshConfig(dp=-1))
+    params_ms, loss_ms = _train(MeshConfig(dp=-1, dcn_dp=2))
+    assert abs(loss_dp - loss_ms) < 1e-4
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4),
+        params_dp,
+        params_ms,
+    )
