@@ -24,9 +24,9 @@ def fuse(path_a: str, path_b: str, out_path: str, ratio: float = 0.5, seed: int 
         slices_a = _traj_slices(ga)
         slices_b = _traj_slices(gb)
         n_a = int(round(len(slices_a) * ratio))
-        n_b = len(slices_b) - int(round(len(slices_b) * ratio))
+        n_b = int(round(len(slices_b) * (1.0 - ratio)))
         picked = [(ga, s) for s in rng.permutation(len(slices_a))[:n_a].tolist()] + [
-            (gb, s) for s in rng.permutation(len(slices_b))[: len(slices_b) - n_b].tolist()
+            (gb, s) for s in rng.permutation(len(slices_b))[:n_b].tolist()
         ]
         keys = [k for k in ga.keys() if k in gb]
         out = {k: [] for k in keys}

@@ -176,10 +176,10 @@ def collect_demonstrations(
         obs = env.reset(ep_seed)
         if paired_policy_env is not None:
             paired_policy_env.reset(ep_seed)
-            paired_policy_env.set_state(env.get_state())
-            policy_obs = paired_policy_env.get_image_state(
-                paired_policy_env._render() if hasattr(paired_policy_env, "_render") else None
-            )
+            # set_state syncs the paired low-res engine AND returns its
+            # re-rendered observation — the policy input (reference:
+            # collect_procgen_data.py:85-89 lowres observe after set_state)
+            policy_obs = paired_policy_env.set_state(env.get_state())
         else:
             policy_obs = obs
         rec.begin_episode(obs, env.get_state() if hasattr(env, "get_state") else None)
@@ -190,8 +190,7 @@ def collect_demonstrations(
                 action = int(rng.integers(0, 15))
             obs, reward, done, info = env.step(action)
             if paired_policy_env is not None:
-                paired_policy_env.set_state(env.get_state())
-                policy_obs = paired_policy_env.get_image_state(None)
+                policy_obs = paired_policy_env.set_state(env.get_state())
             else:
                 policy_obs = obs
             rec.record_step(

@@ -79,6 +79,9 @@ def build_instruction_tokenizer(use_bert: bool = True, max_length: int = 77, voc
 
     def tokenizer_fn(instruct: str):
         ids = np.asarray(clip_tok(instruct)[0]).astype(np.int32)
+        # all-ones mask is deliberate reference parity (data_procgen.py:246):
+        # the CLIP text tower ignores this mask (it uses its own EOT/pad
+        # handling); only the BERT/m3ae path consumes text_padding_mask.
         return ids, np.ones(max_length, np.float32)
 
     return tokenizer_fn
@@ -135,6 +138,7 @@ class ProcgenDataset:
             self.env_name = f"{self.env_name}_{self.config.train_env_type}"
 
         h5_num_frames = self.h5_file["ob"][0].shape[0]
+        # strictly greater, matching the reference's assert (data_procgen.py:81-84)
         assert h5_num_frames > self.config.window_size, (
             f"file has {h5_num_frames} stacked frames <= window_size {self.config.window_size}"
         )
@@ -263,7 +267,13 @@ class ProcgenDataset:
             idx = np.clip(np.arange(index - w + 1, index + 1), traj_start, index)
             for key in self.config.image_key.split(", "):
                 emb_key = f"{key}_{self.config.embedding_name}_emb"
-                res["image_emb"][key] = self.h5_file[emb_key][:][idx].astype(np.float32)
+                # h5py needs increasing unique indices for fancy reads; the
+                # clamped window repeats traj_start near episode starts, so
+                # read the contiguous [min, max] slice and gather from it —
+                # never materialize the whole dataset
+                lo, hi = int(idx[0]), int(idx[-1])
+                block = self.h5_file[emb_key][lo : hi + 1]
+                res["image_emb"][key] = block[idx - lo].astype(np.float32)
         for key in self.config.image_key.split(", "):
             res["image"][key] = self._read_frames(key, index)[-self.window_size :]
             # hindsight goal: uniform over the future of the same trajectory

@@ -227,6 +227,9 @@ class ClipMultiscaleAdapter(nn.Module):
             if self.use_vip_loss:
                 total_loss = total_loss + vip_loss
             if self.use_id_loss:
+                # raw learnable multiplier, exact reference parity
+                # (clip_multiscale_adapter.py:111,250 — not exp(lambda); the
+                # optimizer can in principle drive it negative, as there)
                 total_loss = total_loss + self.lambda_id * id_loss
             if not self.use_vip_loss and not self.use_id_loss:
                 total_loss = total_loss + vip_loss + id_loss

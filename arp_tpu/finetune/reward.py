@@ -67,6 +67,9 @@ class ClipFtRewardEngine(ClipRewardEngine):
         self.compute_dtype = jnp.float32
         self._tokenizer = tokenizer
         self._packed = False
+        # base-class host_stage reads these (this __init__ bypasses super())
+        self._host_resize = False
+        self._dequantize = None
 
         @jax.jit
         def _encode_images(variables, frames, normalize):

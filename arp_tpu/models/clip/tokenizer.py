@@ -25,10 +25,13 @@ import numpy as np
 
 MAX_TEXT_LENGTH = 77
 
+# OpenAI's pattern uses regex-module classes \p{L}/\p{N}; stdlib-re
+# equivalents: [^\W\d_] = unicode letter, \d = unicode decimal digit
+# (Nd — \p{N}'s rare Nl/No extras are the one divergence), and the
+# punctuation run must re-include "_" which \w claims.
 _PAT = re.compile(
-    r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"""
-    if False
-    else r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+""",
+    r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"""
+    r"""|[^\W\d_]+|\d|(?:[^\s\w]|_)+""",
     re.IGNORECASE,
 )
 

@@ -587,6 +587,9 @@ class BasePolicy(nn.Module):
     def _compute_loss(self, action_pred, action):
         if not self.config.use_discrete_action:
             if self.normalize_quterion:
+                # [:, 3:7] slices the TIME axis on a (B, T, A) tensor — exact
+                # reference parity (ARPDT.py:240-243 / BC.py:186-195 do the
+                # same); vestigial for Procgen's discrete actions
                 x = action_pred[:, 3:7]
                 x = x / jnp.linalg.norm(x, axis=-1, keepdims=True)
                 action_pred = action_pred.at[:, 3:7].set(x)
@@ -613,6 +616,8 @@ class BasePolicy(nn.Module):
         return pred.argmax(-1)
 
     def greedy_return(self, batch):
+        # symexp applied unconditionally — exact reference parity
+        # (ARPDT.py:494-495 does the same even when use_symlog is off)
         return symexp(self(batch, deterministic=True)["return_pred"])
 
 

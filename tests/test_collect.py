@@ -76,6 +76,11 @@ def test_fuse(tmp_path):
     with h5py.File(out, "r") as g:
         assert "ob" in g and "done" in g
         assert g["done"][:, -1].sum() >= 2
+    # asymmetric ratio: 2/3 of A's 3 trajectories + 1/3 of B's 3 = exactly 3
+    # (regression: a double negation used to take ratio of B instead of 1-ratio)
+    fuse(a, b, out, ratio=2 / 3)
+    with h5py.File(out, "r") as g:
+        assert int(g["done"][:, -1].sum()) == 3
 
 
 def test_gae_matches_naive():

@@ -289,3 +289,28 @@ def test_finetune_cli_e2e(tmp_path):
     assert any("train_loss" in r for r in records)
     assert any("val_loss" in r for r in records)
     assert os.listdir(ckpt)
+
+
+def test_clip_ft_reward_engine(adapter_setup):
+    """ClipFtRewardEngine end-to-end: batched adapter-encoded text and goal
+    rewards through the inherited streaming path (regression: the subclass
+    bypasses super().__init__ and must still satisfy host_stage's attribute
+    contract)."""
+    from arp_tpu.finetune.reward import ClipFtRewardEngine
+
+    model, clip_vars, params = adapter_setup
+    engine = ClipFtRewardEngine(
+        adapter_params=params,
+        clip_variables=clip_vars,
+        adapter=model,
+        batch_size=4,
+        image_size=224,
+        tokenizer=lambda text: tiny_tokens(1),
+    )
+    rng = np.random.default_rng(21)
+    frames = rng.integers(0, 256, size=(6, 32, 32, 3), dtype=np.uint8)
+    rewards = engine.text_rewards(frames, "get the coin")
+    assert rewards.shape == (6,)
+    assert np.isfinite(rewards).all()
+    goal = engine.goal_rewards(frames, goal_index=-1)
+    assert goal.shape == (6,) and np.isfinite(goal).all() and goal[-1] == 0.0
