@@ -90,7 +90,12 @@ def batch_rollout(
         eval_hdf5 = h5py.File(os.path.join(eval_data_path, data_name), "r")
         eval_traj_idx = list(np.nonzero(eval_hdf5["done"][:, -1])[0] + 1)
         eval_traj_idx.insert(0, 0)
-        assert len(eval_traj_idx) >= num_episodes
+        # needs one MORE boundary than episodes: episode ep reads
+        # eval_traj_idx[ep + 1] (the reference's plain >= IndexErrors on the
+        # final episode when counts are exactly equal)
+        assert len(eval_traj_idx) - 1 >= num_episodes, (
+            f"eval file has {len(eval_traj_idx) - 1} trajectories < num_episodes {num_episodes}"
+        )
 
     batch_fn = lambda x: np.asarray(x)[None, None, ...]
     concat_fn = lambda a, b: np.concatenate([a, b], axis=1)
@@ -237,7 +242,7 @@ def parallel_rollout(
             h = goals.shape[1]
             sidx = h // 4
             goals = goals[:, sidx : sidx + h // 2, sidx : sidx + h // 2, :]
-        goal_feats = reward_engine._batched_image_features(goals, normalize=False)
+        goal_feats = reward_engine.encode_image_features(goals, normalize=False)
 
     def transform(frames):
         if transform_obs_fn is None:
@@ -270,6 +275,28 @@ def parallel_rollout(
         }
         actions = np.asarray(jax.device_get(policy_fn(inputs=inputs, rngs=rng)))
 
+        # rtg decrements use the PRE-step frame — the obs the policy just
+        # acted on — matching batch_rollout and the reference
+        # (rollout_procgen.py:134-150 scores `obs`, not `next_obs`); envs
+        # already done before this step keep a frozen rtg
+        if reward_engine is not None:
+            for key in image_keys:
+                frames = np.stack([np.asarray(o["image"][key]) for o in obs])
+                if use_crop:
+                    h = frames.shape[1]
+                    s = h // 4
+                    frames = frames[:, s : s + h // 2, s : s + h // 2, :]
+                if vl_type in ("clip", "clip_ft"):
+                    rewards = reward_engine.text_rewards_with_features(frames, text_feat)
+                elif "goal_conditioned" in vl_type:
+                    rewards = reward_engine.goal_rewards_with_features(frames, goal_feats)
+                else:
+                    raise ValueError(f"parallel_rollout: unsupported vl_type {vl_type}")
+                if use_normalize:
+                    rmin = reward_min[key] if isinstance(reward_min, dict) else reward_min
+                    rewards = rewards - rmin
+                rtg_now[key] = np.where(done, rtg_now[key], rtg_now[key] - rewards / scale)
+
         raw_frames = {key: [] for key in image_keys}
         step_rewards = np.zeros(n, np.float64)
         for i, env in enumerate(envs):
@@ -286,30 +313,6 @@ def parallel_rollout(
             for key in image_keys:
                 raw_frames[key].append(np.asarray(o["image"][key]))
         total_reward += step_rewards
-
-        if reward_engine is not None:
-            for key in image_keys:
-                frames = np.stack(raw_frames[key])
-                if use_crop:
-                    h = frames.shape[1]
-                    s = h // 4
-                    frames = frames[:, s : s + h // 2, s : s + h // 2, :]
-                if vl_type in ("clip", "clip_ft"):
-                    feats = reward_engine._batched_image_features(frames, normalize=True)
-                    logit_scale = float(
-                        np.exp(np.asarray(reward_engine.variables["params"]["logit_scale"]))
-                    )
-                    logits = logit_scale * (text_feat @ feats.T)
-                    rewards = logits.mean(axis=0) if logits.shape[0] > 1 else logits[0]
-                elif "goal_conditioned" in vl_type:
-                    feats = reward_engine._batched_image_features(frames, normalize=False)
-                    rewards = -np.linalg.norm(feats - goal_feats, axis=-1)
-                else:
-                    raise ValueError(f"parallel_rollout: unsupported vl_type {vl_type}")
-                if use_normalize:
-                    rmin = reward_min[key] if isinstance(reward_min, dict) else reward_min
-                    rewards = rewards - rmin
-                rtg_now[key] = np.where(done, rtg_now[key], rtg_now[key] - rewards / scale)
 
         # update windows with the new obs
         for key in image_keys:

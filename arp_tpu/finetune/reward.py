@@ -93,8 +93,4 @@ class ClipFtRewardEngine(ClipRewardEngine):
 
     def text_rewards(self, frames, text):
         """logit_scale * (img @ text.T), averaged over texts (label_reward.py:200-230)."""
-        img_feat = self._batched_image_features(frames, normalize=True)
-        txt_feat = self.encode_text_features(text)
-        logit_scale = float(np.exp(np.asarray(self.variables["params"]["logit_scale"])))
-        logits = logit_scale * (txt_feat @ img_feat.T)
-        return logits.mean(axis=0) if logits.shape[0] > 1 else logits[0]
+        return self.text_rewards_with_features(frames, self.encode_text_features(text))

@@ -170,12 +170,12 @@ def mixup_cutmix(rng, images, labels, num_classes, mixup_alpha=0.8, cutmix_alpha
     """
     b, h, w, _ = images.shape
     onehot = jax.nn.one_hot(labels, num_classes)
-    perm_rng, lam_rng, switch_rng, box_rng = jax.random.split(rng, 4)
+    perm_rng, mix_rng, cut_rng, switch_rng, box_rng = jax.random.split(rng, 5)
     perm = jax.random.permutation(perm_rng, b)
     use_cutmix = jax.random.uniform(switch_rng, ()) < switch_prob
 
-    lam_mix = jax.random.beta(lam_rng, mixup_alpha, mixup_alpha, ())
-    lam_cut = jax.random.beta(lam_rng, cutmix_alpha, cutmix_alpha, ())
+    lam_mix = jax.random.beta(mix_rng, mixup_alpha, mixup_alpha, ())
+    lam_cut = jax.random.beta(cut_rng, cutmix_alpha, cutmix_alpha, ())
 
     # mixup branch
     mixed_up = lam_mix * images + (1 - lam_mix) * images[perm]

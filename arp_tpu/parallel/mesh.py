@@ -166,3 +166,15 @@ def shard_batch(batch, mesh: Mesh):
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def gather_to_host(tree, mesh: Mesh):
+    """Fetch a device pytree to host numpy, safely for sharded state.
+
+    ``jax.device_get`` alone fails on fsdp/tp-sharded arrays under multi-host
+    execution ("spans non-addressable devices"); resharding to fully
+    replicated first gives every process addressable copies.  Free for
+    already-replicated trees (dp-only meshes).
+    """
+    gathered = jax.jit(lambda t: t, out_shardings=NamedSharding(mesh, P()))(tree)
+    return jax.device_get(gathered)

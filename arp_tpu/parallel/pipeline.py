@@ -25,9 +25,14 @@ from jax.experimental.shard_map import shard_map
 
 
 def create_pp_mesh(num_stages: int, devices=None) -> Mesh:
+    """1-D pp-only mesh over the first ``num_stages`` devices.
+
+    A standalone-primitive helper (tests, demos). The trainer composes pp
+    with dp/fsdp via MeshConfig instead, which uses every device.
+    """
     devices = devices if devices is not None else jax.devices()
-    assert len(devices) % num_stages == 0
-    arr = np.asarray(devices[: num_stages]).reshape(num_stages)
+    assert len(devices) >= num_stages, (len(devices), num_stages)
+    arr = np.asarray(devices[:num_stages]).reshape(num_stages)
     return Mesh(arr, axis_names=("pp",))
 
 

@@ -53,10 +53,13 @@ class ThreadedPrefetch:
     def __init__(self, iterator: Iterator, capacity: int = 4):
         self._queue: queue.Queue = queue.Queue(maxsize=capacity)
         self._err = None
+        self._closed = False
 
         def worker():
             try:
                 for item in iterator:
+                    if self._closed:
+                        return
                     self._queue.put(item)
             except BaseException as e:  # propagate to consumer
                 self._err = e
@@ -72,7 +75,22 @@ class ThreadedPrefetch:
     def __next__(self):
         item = self._queue.get()
         if item is self._SENTINEL:
+            # re-arm so calling __next__ again keeps raising StopIteration
+            # instead of blocking forever on an empty queue
+            self._queue.put(self._SENTINEL)
             if self._err is not None:
-                raise self._err
+                err, self._err = self._err, None
+                raise err
             raise StopIteration
         return item
+
+    def close(self):
+        """Stop the producer and release queued batches (safe to call early,
+        e.g. on the trainer's preemption exit path)."""
+        self._closed = True
+        try:  # unblock a producer stuck in queue.put on a full queue
+            while True:
+                self._queue.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=5.0)

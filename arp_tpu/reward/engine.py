@@ -199,6 +199,10 @@ class ClipRewardEngine:
         feats = np.concatenate([np.asarray(o) for o in outputs], axis=0)
         return feats[:n]
 
+    def encode_image_features(self, frames: np.ndarray, normalize: bool = True) -> np.ndarray:
+        """Public batched image-feature extraction (streaming, padded batches)."""
+        return self._batched_image_features(frames, normalize=normalize)
+
     def encode_text_features(self, text: Union[str, Sequence[str], np.ndarray]) -> np.ndarray:
         if isinstance(text, (str, list, tuple)):
             tokens = self.tokenize(text)
@@ -208,15 +212,25 @@ class ClipRewardEngine:
 
     # -- rewards --------------------------------------------------------------
 
-    def text_rewards(self, frames: np.ndarray, text: Union[str, Sequence[str], np.ndarray]) -> np.ndarray:
-        """logit_scale * cosine(image, text); averaged over multiple texts."""
+    def text_rewards_with_features(self, frames: np.ndarray, txt_feat: np.ndarray) -> np.ndarray:
+        """Text rewards against precomputed (normalized) text features —
+        lets callers amortize text encoding across many steps (rollout eval)."""
         img_feat = self._batched_image_features(frames, normalize=True)
-        txt_feat = self.encode_text_features(text)
         logit_scale = float(np.exp(np.asarray(self.variables["params"]["logit_scale"])))
         logits_per_text = logit_scale * (txt_feat @ img_feat.T)  # (n_text, N)
         if logits_per_text.shape[0] > 1:
             return logits_per_text.mean(axis=0)
         return logits_per_text[0]
+
+    def text_rewards(self, frames: np.ndarray, text: Union[str, Sequence[str], np.ndarray]) -> np.ndarray:
+        """logit_scale * cosine(image, text); averaged over multiple texts."""
+        return self.text_rewards_with_features(frames, self.encode_text_features(text))
+
+    def goal_rewards_with_features(self, frames: np.ndarray, goal_feat: np.ndarray) -> np.ndarray:
+        """-||f(img) - f(goal)||_2 against precomputed unnormalized goal
+        features ((D,) shared or (N, D) per-frame)."""
+        feats = self._batched_image_features(frames, normalize=False)
+        return -np.linalg.norm(feats - np.atleast_2d(goal_feat), axis=-1)
 
     def goal_rewards(self, frames: np.ndarray, goal_index: int = -1) -> np.ndarray:
         """-||f(img) - f(goal)||_2 on unnormalized features; the goal is the
@@ -228,6 +242,5 @@ class ClipRewardEngine:
 
     def goal_rewards_vs(self, frames: np.ndarray, goal_frame: np.ndarray) -> np.ndarray:
         """Goal rewards against an explicit goal image (online eval variant)."""
-        feats = self._batched_image_features(frames, normalize=False)
         goal = self._batched_image_features(goal_frame[None], normalize=False)[0]
-        return -np.linalg.norm(feats - goal[None], axis=-1)
+        return self.goal_rewards_with_features(frames, goal)

@@ -215,7 +215,7 @@ def _mean_metrics(metric_list, prefix=""):
     return stacked
 
 
-def build_test_step(flags_obj, model, train_dataset, eval_transform, use_text):
+def build_test_step(flags_obj, model, train_dataset, eval_transform, use_text, mesh=None):
     """Rollout-eval step factory (reference create_test_step, main_procgen.py:171-229)."""
     from ..envs.fake import FakeProcgen
     from ..envs.rollout import batch_rollout
@@ -252,14 +252,31 @@ def build_test_step(flags_obj, model, train_dataset, eval_transform, use_text):
         else:
             text = get_clip_instruct(game)
         try:
-            from ..reward.engine import ClipRewardEngine
+            # use_crop=False here: compute_step_reward (envs/rollout.py) does
+            # the single host-side center crop, exactly like the reference's
+            # vl_reward fns — an engine-side crop on top would crop twice.
+            vl_ckpt = getattr(flags_obj, "vl_checkpoint", "") or ""
+            if flags_obj.vl_type.startswith("clip_ft") and vl_ckpt:
+                from ..finetune.reward import ClipFtRewardEngine, load_adapter_params
 
-            reward_engine = ClipRewardEngine(
-                batch_size=64,
-                resize_mode="pil",
-                use_crop=flags_obj.use_crop,
-                compute_dtype=jnp.bfloat16 if flags_obj.reward_bf16 else jnp.float32,
-            )
+                reward_engine = ClipFtRewardEngine(
+                    load_adapter_params(vl_ckpt), batch_size=64, use_crop=False
+                )
+            else:
+                from ..reward.engine import ClipRewardEngine
+
+                if flags_obj.vl_type.startswith("clip_ft"):
+                    absl_logging.warning(
+                        "vl_type=%s but no --vl_checkpoint given: eval rewards "
+                        "fall back to base CLIP and will NOT match clip_ft "
+                        "training labels", flags_obj.vl_type,
+                    )
+                reward_engine = ClipRewardEngine(
+                    batch_size=64,
+                    resize_mode="pil",
+                    use_crop=False,
+                    compute_dtype=jnp.bfloat16 if flags_obj.reward_bf16 else jnp.float32,
+                )
         except FileNotFoundError:
             absl_logging.warning("no CLIP checkpoint for eval rewards; rtg stays constant")
             reward_engine = None
@@ -281,7 +298,12 @@ def build_test_step(flags_obj, model, train_dataset, eval_transform, use_text):
         return eval_transform(np.asarray(val))
 
     def test_step_fn(gstate, rng):
-        params = jax.device_get(gstate.params)
+        if mesh is not None:
+            from ..parallel import gather_to_host
+
+            params = gather_to_host(gstate.params, mesh)
+        else:
+            params = jax.device_get(gstate.params)
 
         def policy(inputs, rngs):
             return policy_fn_jit(params, inputs)

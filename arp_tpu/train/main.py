@@ -45,7 +45,7 @@ from .common import (
     make_loss_fn,
 )
 from ..ops.augment import make_augment_fn, make_eval_transform
-from ..parallel import MeshConfig, create_mesh, make_train_step, shard_batch
+from ..parallel import MeshConfig, create_mesh, gather_to_host, make_train_step, shard_batch
 from ..parallel.prefetch import ThreadedPrefetch
 from ..parallel.step import make_eval_step, shard_train_state
 from ..profiling import StepTimer
@@ -270,7 +270,7 @@ def main(argv):
         # eval setup
         test_step_fn = None
         if FLAGS.eval_env != "none":
-            test_step_fn = build_test_step(FLAGS, model, train_dataset, eval_transform, use_text)
+            test_step_fn = build_test_step(FLAGS, model, train_dataset, eval_transform, use_text, mesh=mesh)
 
         # exact-resume: fast-forward the loader to the batch after start_step
         train_iter = ThreadedPrefetch(
@@ -298,7 +298,7 @@ def main(argv):
             if preemption.should_stop:
                 absl_logging.warning("preemption signal: checkpointing and exiting at step %d", step)
                 if ckpt is not None:
-                    ckpt.save(step, jax.device_get(gstate), metadata={"step": step, "epoch": epoch}, wait=True)
+                    ckpt.save(step, gather_to_host(gstate, mesh), metadata={"step": step, "epoch": epoch}, wait=True)
                 break
 
             if step and step % FLAGS.log_freq == 0:
@@ -339,11 +339,13 @@ def main(argv):
                     logger.log_video(f"media/test_step{step}", videos[0])
                 score = float(metric["return"])
                 if ckpt is not None:
-                    ckpt.save_best(step, jax.device_get(gstate), score, metadata={"step": step})
+                    ckpt.save_best(step, gather_to_host(gstate, mesh), score, metadata={"step": step})
                 best_eval_score = max(best_eval_score, score)
 
-            if ckpt is not None and step and (step % save_model_freq == 0 or step == total_steps - 1):
-                ckpt.save(step, jax.device_get(gstate), metadata={"step": step, "epoch": epoch})
+            if ckpt is not None and step and (
+                (save_model_freq > 0 and step % save_model_freq == 0) or step == total_steps - 1
+            ):
+                ckpt.save(step, gather_to_host(gstate, mesh), metadata={"step": step, "epoch": epoch})
 
         if train_metrics:  # flush whatever the log cadence left over
             logged = _mean_metrics(train_metrics, prefix="train_")
@@ -352,6 +354,7 @@ def main(argv):
 
         if ckpt is not None:
             ckpt.wait()
+        train_iter.close()  # releases the producer thread on early exits too
     logger.log({"final_step": total_steps, "best_eval_score": float(best_eval_score)})
     logger.close()
 

@@ -238,3 +238,41 @@ def test_parallel_rollout_goal_conditioned():
         reward_engine=engine, vl_type="clip_goal_conditioned", goal_images=goals,
     )
     assert np.isfinite(float(metric["return"]))
+
+
+def test_parallel_rollout_rewards_use_prestep_frames():
+    """rtg decrements must score the frame the policy acted on (pre-step),
+    matching batch_rollout and the reference (rollout_procgen.py:134-150) —
+    regression for a post-step off-by-one."""
+    cfg = {"episode_length": 6, "image_size": 16, "grid": 3}
+    envs = [FakeProcgen("coinrun", cfg) for _ in range(2)]
+    expected_first = [
+        np.asarray(FakeProcgen("coinrun", cfg).reset(e.config.rand_seed + i)["image"]["ob"])
+        for i, e in enumerate(envs)
+    ]
+
+    class StubEngine:
+        def __init__(self):
+            self.frames_seen = []
+
+        def encode_text_features(self, text):
+            return np.ones((1, 4), np.float32)
+
+        def text_rewards_with_features(self, frames, txt_feat):
+            self.frames_seen.append(np.asarray(frames).copy())
+            return np.zeros(frames.shape[0], np.float32)
+
+    stub = StubEngine()
+
+    def policy_fn(inputs, rngs):
+        return jnp.ones((inputs["action"].shape[0],), jnp.int32)
+
+    parallel_rollout(
+        rng=jax.random.PRNGKey(0), envs=envs, policy_fn=policy_fn,
+        episode_length=3, window_size=2, return_to_go=10.0, scale=10.0,
+        reward_engine=stub, vl_type="clip", text="dummy",
+    )
+    assert stub.frames_seen, "reward engine was never called"
+    first = stub.frames_seen[0]
+    for i in range(2):
+        np.testing.assert_array_equal(first[i], expected_first[i])

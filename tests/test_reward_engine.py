@@ -247,3 +247,26 @@ def test_host_resize_numpy_fallback_matches_native():
     finally:
         arps_mod._LIB, arps_mod._LIB_TRIED = saved
     np.testing.assert_array_equal(native, fallback)
+
+
+def test_eval_crop_happens_exactly_once(tiny_engine):
+    """compute_step_reward's host-side crop + an engine WITHOUT use_crop must
+    equal the labeler's engine-side single crop — regression for a
+    double-crop in the eval reward path (reference crops once,
+    vl_reward.py:13-15)."""
+    from arp_tpu.envs.rollout import compute_step_reward
+
+    model, variables = tiny_engine.model, tiny_engine.variables
+    crop_engine = ClipRewardEngine(
+        model=model, variables=variables, batch_size=8, resize_mode="pil",
+        image_size=IMG_SIZE, tokenizer=TinyTokenizer(), use_crop=True,
+    )
+    rng = np.random.default_rng(3)
+    frame = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
+    # labeler semantics: engine crops internally, full frame in
+    want = float(crop_engine.text_rewards(frame[None], "get the coin")[0])
+    # eval semantics: host crop in compute_step_reward, engine must NOT crop
+    got = compute_step_reward(
+        tiny_engine, "clip", frame, text="get the coin", use_crop=True
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5)
