@@ -31,6 +31,15 @@ class CheckpointManager:
             },
         )
         self.best_score = -np.inf
+        # survive resume: without this, the first post-restart eval would
+        # overwrite a genuinely better saved best model
+        best_meta_dir = os.path.join(self.directory, "best", "metadata")
+        if os.path.isdir(best_meta_dir):
+            try:
+                meta = ocp.Checkpointer(ocp.JsonCheckpointHandler()).restore(best_meta_dir)
+                self.best_score = float(meta.get("score", -np.inf))
+            except Exception:  # unreadable best metadata only costs the score
+                pass
 
     def save(self, step: int, state, metadata: Optional[dict] = None, wait: bool = False):
         """Save train state + json-able metadata at `step` (async by default)."""
@@ -72,6 +81,26 @@ class CheckpointManager:
             ),
         )
         return restored["state"], restored["metadata"]
+
+    def restore_params(self, step: Optional[int] = None):
+        """Restore only the params subtree — no optimizer template needed.
+
+        For consumers like the inference server that do not know (or care)
+        which optax chain trained the checkpoint.
+        """
+        step = step if step is not None else self.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints in {self.directory}")
+        restored = self._mngr.restore(
+            step,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardRestore(),
+                metadata=ocp.args.JsonRestore(),
+            ),
+        )
+        state = restored["state"]
+        params = state["params"] if isinstance(state, dict) and "params" in state else state
+        return params, restored["metadata"]
 
     def wait(self):
         self._mngr.wait_until_finished()

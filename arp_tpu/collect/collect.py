@@ -118,6 +118,10 @@ def main(argv):
         seed=FLAGS.seed,
         random_action_prob=FLAGS.random_action_prob,
         paired_policy_env=paired,
+        # the reference caps kept episodes at length<1000
+        # (trajectory_recorder.py:127); when the user raises --episode_length
+        # beyond that, raise the cap too instead of silently filtering
+        max_episode_length=max(1000, FLAGS.episode_length + 1),
     )
     print(f"[DONE] recorded {rec.num_recorded} episodes ({rec.num_filtered} filtered) -> {data_path}")
 

@@ -50,7 +50,10 @@ def downsize_by_resize(data_path: str, out_path: str, out_size: int = 64, image_
 def downsize_by_replay(demo_dir: str, out_path: str, env, image_key: str = "ob", num_frames: int = 8):
     """Replay saved engine states in a low-res env and record its frames."""
     episodes = sorted(
-        f for f in os.listdir(demo_dir) if f.startswith("traj_state_") and f.endswith(".npy")
+        (f for f in os.listdir(demo_dir) if f.startswith("traj_state_") and f.endswith(".npy")),
+        # numeric episode order — lexicographic would put traj_state_10 before
+        # traj_state_2 and misalign replayed frames with the original rows
+        key=lambda f: int(f[len("traj_state_"):-len(".npy")]),
     )
     with h5py.File(out_path, "w") as out:
         ds = None

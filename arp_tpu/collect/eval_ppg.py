@@ -59,7 +59,11 @@ def main():
     from ..checkpoint import load_pickle
 
     params = load_pickle(args.checkpoint)
-    if hasattr(params, "params"):
+    # train_ppg saves {"params": ..., "history": ...}; also accept TrainState
+    # pickles and raw param trees
+    if isinstance(params, dict) and "params" in params:
+        params = params["params"]
+    elif hasattr(params, "params"):
         params = params.params
 
     if args.fake_env:

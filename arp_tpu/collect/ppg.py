@@ -27,6 +27,8 @@ import numpy as np
 import optax
 from flax.training.train_state import TrainState
 
+from .reward_normalizer import RewardNormalizer
+
 from ..models.impala import ImpalaCNN
 
 
@@ -94,6 +96,9 @@ class PPGConfig:
     aux_minibatches: int = 4
     beta_clone: float = 1.0
     arch: str = "dual"
+    # backward-discounted running reward normalization (reference ppo.py:158,
+    # rnorm=True by default — sparse Procgen rewards hit PPO scaled)
+    reward_norm: bool = True
 
 
 class Roller:
@@ -142,7 +147,10 @@ class Roller:
                     self._seed += 1
                 self.obs[i] = o
 
-        _, _, last_values = self.act_fn(self._frames(), rng)
+        # consume a fresh key for the bootstrap call; returning the key we
+        # just sampled with would correlate next segment's action draws
+        rng, boot_rng = jax.random.split(rng)
+        _, _, last_values = self.act_fn(self._frames(), boot_rng)
         return dict(
             obs=obs_buf, act=act_buf, reward=rew_buf, done=done_buf,
             logp=logp_buf, value=val_buf, last_value=np.asarray(last_values),
@@ -169,6 +177,24 @@ def make_ppg_steps(model: PhasicValueModel, config: PPGConfig):
     @jax.jit
     def ppo_step(state, batch):
         (loss, aux), grads = jax.value_and_grad(ppo_loss, has_aux=True)(state.params, batch)
+        return state.apply_gradients(grads=grads), dict(aux, loss=loss)
+
+    def pi_only_loss(params, batch):
+        loss, aux = ppo_loss(params, batch)
+        return aux["pg_loss"] - config.entropy_coef * aux["entropy"], aux
+
+    def vf_only_loss(params, batch):
+        loss, aux = ppo_loss(params, batch)
+        return config.vf_coef * aux["vf_loss"], aux
+
+    @jax.jit
+    def pi_step(state, batch):
+        (loss, aux), grads = jax.value_and_grad(pi_only_loss, has_aux=True)(state.params, batch)
+        return state.apply_gradients(grads=grads), dict(aux, loss=loss)
+
+    @jax.jit
+    def vf_step(state, batch):
+        (loss, aux), grads = jax.value_and_grad(vf_only_loss, has_aux=True)(state.params, batch)
         return state.apply_gradients(grads=grads), dict(aux, loss=loss)
 
     def aux_loss(params, batch):
@@ -198,7 +224,7 @@ def make_ppg_steps(model: PhasicValueModel, config: PPGConfig):
         logits, _, _ = model.apply({"params": params}, frames)
         return logits
 
-    return ppo_step, aux_step, act, logits_of
+    return ppo_step, aux_step, act, logits_of, pi_step, vf_step
 
 
 def learn(
@@ -217,7 +243,7 @@ def learn(
     params = model.init(jax.random.PRNGKey(seed), jnp.zeros((1,) + frame_shape, jnp.float32))["params"]
     state = TrainState.create(apply_fn=model.apply, params=params, tx=optax.adam(config.lr))
 
-    ppo_step, aux_step, act_jit, logits_of = make_ppg_steps(model, config)
+    ppo_step, aux_step, act_jit, logits_of, pi_step, vf_step = make_ppg_steps(model, config)
 
     def act_fn(frames, rng):
         return act_jit(state.params, jnp.asarray(frames), rng)
@@ -226,9 +252,14 @@ def learn(
     rng = jax.random.PRNGKey(seed + 1)
     history = []
     seg_buffer = []
+    normalizer = (
+        RewardNormalizer(config.num_envs, gamma=config.gamma) if config.reward_norm else None
+    )
 
     for it in range(total_iterations):
         seg, rng = roller.collect(rng, config.segment_length)
+        if normalizer is not None:
+            seg["reward"] = normalizer.normalize_segment(seg["reward"], seg["done"])
         adv, vtarg = compute_gae(
             seg["reward"], seg["value"], seg["done"], seg["last_value"],
             gamma=config.gamma, lam=config.lam,
@@ -245,11 +276,27 @@ def learn(
         n = flat["act"].shape[0]
         metrics = {}
         perm_rng = np.random.default_rng(seed + it)
-        for _ in range(config.ppo_epochs):
-            order = perm_rng.permutation(n)
-            for mb in np.array_split(order, config.minibatches):
-                batch = {k: jnp.asarray(v[mb]) for k, v in flat.items()}
-                state, metrics = ppo_step(state, batch)
+        if config.ppo_epochs == config.vf_epochs:
+            # e_pi == e_vf: one combined objective per epoch (reference
+            # ppo.py:151-152 uses a single optimizer in this case)
+            for _ in range(config.ppo_epochs):
+                order = perm_rng.permutation(n)
+                for mb in np.array_split(order, config.minibatches):
+                    batch = {k: jnp.asarray(v[mb]) for k, v in flat.items()}
+                    state, metrics = ppo_step(state, batch)
+        else:
+            # e_pi != e_vf: separate policy and value epochs (ppo.py:221-228)
+            for _ in range(config.ppo_epochs):
+                order = perm_rng.permutation(n)
+                for mb in np.array_split(order, config.minibatches):
+                    batch = {k: jnp.asarray(v[mb]) for k, v in flat.items()}
+                    state, metrics = pi_step(state, batch)
+            for _ in range(config.vf_epochs):
+                order = perm_rng.permutation(n)
+                for mb in np.array_split(order, config.minibatches):
+                    batch = {k: jnp.asarray(v[mb]) for k, v in flat.items()}
+                    state, vmetrics = vf_step(state, batch)
+                    metrics.update(vmetrics)
 
         seg_buffer.append({"obs": flat["obs"], "vtarg": flat["vtarg"]})
 

@@ -159,6 +159,7 @@ def collect_demonstrations(
     random_action_prob: float = 0.0,
     max_attempts_factor: int = 50,
     paired_policy_env=None,
+    max_episode_length: int = 1000,
 ):
     """Collect expert demos with an acting policy.
 
@@ -169,7 +170,10 @@ def collect_demonstrations(
     ``random_action_prob``: optional action corruption (reference :91-99).
     """
     rng = np.random.default_rng(seed)
-    rec = TrajectoryRecorder(data_path, game_name=game_name, num_frames=num_frames)
+    rec = TrajectoryRecorder(
+        data_path, game_name=game_name, num_frames=num_frames,
+        max_episode_length=max_episode_length,
+    )
     attempts = 0
     while rec.num_recorded < num_episodes and attempts < num_episodes * max_attempts_factor:
         ep_seed = seed + attempts

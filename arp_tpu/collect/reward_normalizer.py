@@ -48,3 +48,20 @@ class RewardNormalizer:
         return np.clip(
             rewards / np.sqrt(self.rms.var + self.epsilon), -self.cliprew, self.cliprew
         )
+
+    def normalize_segment(self, rewards: np.ndarray, dones: np.ndarray) -> np.ndarray:
+        """Whole-segment form (reference ppo.py:213-214): rewards/dones are
+        time-major (T, N); the running return carries across segments and
+        resets after episode ends, the whole segment is scaled by the std
+        updated on this segment's returns."""
+        rewards = np.asarray(rewards, np.float64)
+        rets = np.zeros_like(rewards)
+        prev = self._ret
+        for t in range(rewards.shape[0]):
+            prev = rets[t] = rewards[t] + self.gamma * prev
+            prev = np.where(np.asarray(dones[t], bool), 0.0, prev)
+        self._ret = prev
+        self.rms.update(rets.reshape(-1))
+        return np.clip(
+            rewards / np.sqrt(self.rms.var + self.epsilon), -self.cliprew, self.cliprew
+        ).astype(np.float32)

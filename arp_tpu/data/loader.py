@@ -69,12 +69,20 @@ class DataLoader:
 
     def _epoch_indices(self):
         n = len(self.dataset)
+        assert n >= self.batch_size or not self.drop_last, (
+            f"dataset of {n} items < batch_size {self.batch_size} with drop_last: "
+            "every epoch would be empty"
+        )
         idx = np.arange(n)
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self._epoch)
             rng.shuffle(idx)
         if self.drop_last:
             idx = idx[: (n // self.batch_size) * self.batch_size]
+        # deterministic per-epoch stream for the dataset's own sampling
+        # (hindsight goals): same (seed, epoch) -> identical draws on resume
+        if hasattr(self.dataset, "set_epoch_seed"):
+            self.dataset.set_epoch_seed(self.seed * 100003 + self._epoch)
         return idx
 
     def _iter_epoch(self) -> Iterator[dict]:
@@ -119,6 +127,10 @@ class DataLoader:
         the reference loses dataloader position on restart (SURVEY.md §5).
         """
         per_epoch = len(self)
+        assert per_epoch > 0, (
+            f"dataset of {len(self.dataset)} items yields 0 batches at "
+            f"batch_size {self.batch_size} (drop_last={self.drop_last})"
+        )
         if skip_batches:
             self._epoch += skip_batches // per_epoch
             skip_batches = skip_batches % per_epoch

@@ -164,6 +164,12 @@ class ProcgenDataset:
         # tokenized instruction is constant per dataset — compute once.
         instruct = get_m3ae_instruct(self.env_name) or ""
         self._instruct_ids, self._instruct_pad = self.tokenizer(instruct)
+        self._epoch_seed = 0  # see set_epoch_seed
+
+    def set_epoch_seed(self, seed: int) -> None:
+        """Seed the per-item sampling stream (hindsight goals); called by the
+        loader once per epoch so draws are deterministic yet vary by epoch."""
+        self._epoch_seed = int(seed)
 
     def _init_arps(self, h5_path: str):
         from .arps import ArpsReader, convert_hdf5
@@ -254,7 +260,11 @@ class ProcgenDataset:
 
     def __getitem__(self, index):
         index = self.process_index(index)
-        rng = np.random  # module-level rng, seeded by the loader per-worker
+        # deterministic per-index stream: hindsight-goal draws must reproduce
+        # across runs/workers/resumes (the reference uses the unseeded global
+        # np.random, data_procgen.py:188, which breaks exact-resume — this
+        # repo's loader fast-forward guarantees identical resumed batches)
+        rng = np.random.RandomState((self._epoch_seed + index) % (2**31 - 1))
         res = {"image": {}, "rtg": {}, "goal": {}}
         traj = self.idx_to_traj[index]
         traj_start = self.h5_file_traj_idx[traj]

@@ -268,6 +268,11 @@ class BasePolicy(nn.Module):
             # precomputed frozen-encoder embeddings (data/cache_embeddings.py):
             # no encoder lives in the model; text conditioning still loads the
             # CLIP text tower when use_text is set.
+            assert not (cfg.use_text and not transfer_type.startswith("clip")), (
+                f"use_text with {transfer_type}: cached mode has no live text "
+                "tower for non-CLIP encoders — cache text embeddings or use "
+                "the live encoder path"
+            )
             if cfg.use_text and transfer_type.startswith("clip"):
                 model_name = transfer_type[len("clip_"):-len("_cached")]
                 self.pt_model = clip_lib.MODELS[model_name]()
@@ -382,7 +387,10 @@ class BasePolicy(nn.Module):
             if cfg.use_adapter:
                 img_emb = self._apply_adapter(img_emb)
             img_emb = concat_multiple_image_emb(img_emb)
-            if text is not None:
+            # text conditioning in cached mode exists only when setup built
+            # the CLIP text tower (use_text + clip_*_cached); BC/GCBC batches
+            # always carry instruct ids, so gate on the config, not on `text`
+            if cfg.use_text and transfer_type.startswith("clip") and text is not None:
                 text_emb = self._frozen_clip_apply(self.pt_model.encode_text, text)
                 text_emb = jnp.tile(jnp.expand_dims(text_emb, axis=1), (1, img_emb.shape[1], 1))
                 image_text_emb = jnp.concatenate([img_emb, text_emb], axis=-1)

@@ -19,6 +19,7 @@ API (JSON over HTTP):
 from __future__ import annotations
 
 import json
+import os
 import threading
 import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -167,6 +168,8 @@ def main():
 
     parser = argparse.ArgumentParser()
     parser.add_argument("--checkpoint_dir", required=True)
+    parser.add_argument("--allow_random_init", action="store_true",
+                        help="serve a random-init policy when no checkpoint exists (tests/demos)")
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8787)
     parser.add_argument("--window_size", type=int, default=4)
@@ -177,9 +180,6 @@ def main():
     parser.add_argument("--transfer_type", default="none")
     parser.add_argument("--model_type", default="vit_base")
     args = parser.parse_args()
-
-    import optax
-    from flax.training.train_state import TrainState
 
     from .checkpoint import CheckpointManager
     from .models.policy import ARPDT
@@ -206,12 +206,15 @@ def main():
     }
     rngs = {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)}
     params = model.init(rngs, dummy, deterministic=True)["params"]
-    template = TrainState.create(apply_fn=model.apply, params=params, tx=optax.identity())
-    try:
-        state, _ = CheckpointManager(args.checkpoint_dir).restore(jax.device_get(template))
-        params = state.params
-    except Exception:
-        print("[WARN] restore failed; serving random-init policy")
+    if args.allow_random_init and not os.path.isdir(args.checkpoint_dir):
+        print("[WARN] no checkpoint dir; serving random-init policy (--allow_random_init)")
+    else:
+        # template-free params restore: the server must not need to know the
+        # training optimizer, and a failed restore must be LOUD — silently
+        # serving random weights behind HTTP 200 is a production incident
+        restored, meta = CheckpointManager(args.checkpoint_dir).restore_params()
+        params = jax.tree_util.tree_map(lambda t, r: np.asarray(r).astype(t.dtype), params, restored)
+        print(f"restored checkpoint step={meta.get('step')} from {args.checkpoint_dir}")
 
     @jax.jit
     def policy_fn_jit(params, inputs):

@@ -97,3 +97,85 @@ def test_checkpoint_roundtrip(tmp_path):
     assert mngr.save_best(6, jax.device_get(state), score=1.0)
     assert not mngr.save_best(7, jax.device_get(state), score=0.5)
     mngr.close()
+
+
+def test_checkpoint_best_score_survives_resume(tmp_path):
+    """best_score persists via best/metadata: a post-restart worse score must
+    NOT clobber the saved best model (regression: in-memory -inf reset)."""
+    import optax
+    from flax.training.train_state import TrainState
+
+    from arp_tpu.checkpoint import CheckpointManager
+
+    params = {"w": jnp.ones((2,))}
+    state = TrainState.create(apply_fn=lambda: None, params=params, tx=optax.adam(1e-3))
+    d = str(tmp_path / "ckpt")
+    mngr = CheckpointManager(d)
+    assert mngr.save_best(1, jax.device_get(state), score=9.5)
+    mngr.close()
+    # new process/manager: must reload 9.5, not -inf
+    mngr2 = CheckpointManager(d)
+    assert mngr2.best_score == 9.5
+    assert not mngr2.save_best(2, jax.device_get(state), score=3.1)
+    assert mngr2.save_best(3, jax.device_get(state), score=9.6)
+    mngr2.close()
+
+
+def test_checkpoint_restore_params_without_template(tmp_path):
+    """restore_params needs no optimizer template — the serve path must load
+    trainer checkpoints saved with any optax chain (regression: an
+    optax.identity template made every serve restore fail silently)."""
+    import optax
+    from flax.training.train_state import TrainState
+
+    from arp_tpu.checkpoint import CheckpointManager
+
+    params = {"dense": {"kernel": jnp.arange(6.0).reshape(2, 3)}}
+    state = TrainState.create(
+        apply_fn=lambda: None, params=params,
+        tx=optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-3)),
+    )
+    d = str(tmp_path / "ckpt")
+    mngr = CheckpointManager(d)
+    mngr.save(3, jax.device_get(state), metadata={"step": 3}, wait=True)
+    mngr.close()
+    got, meta = CheckpointManager(d).restore_params()
+    assert meta["step"] == 3
+    np.testing.assert_array_equal(
+        np.asarray(got["dense"]["kernel"]), np.arange(6.0).reshape(2, 3)
+    )
+
+
+def test_hindsight_goal_sampling_deterministic(tmp_path):
+    """Two fresh loaders with the same seed produce identical goal frames —
+    exact-resume requires the dataset's own sampling to be seeded, not the
+    global np.random (which the reference uses, data_procgen.py:188)."""
+    import h5py
+
+    from arp_tpu.data.loader import DataLoader
+    from arp_tpu.data.procgen_dataset import ProcgenDataset
+
+    root = tmp_path / "demos" / "coinrun_hard"
+    root.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    n, f = 24, 4
+    with h5py.File(root / "data_train.hdf5", "w") as g:
+        g.create_dataset("ob", data=rng.integers(0, 256, size=(n, f, 8, 8, 3), dtype=np.uint8))
+        g.create_dataset("act", data=rng.integers(0, 15, size=(n, f)).astype(np.int64))
+        done = np.zeros((n, f), bool)
+        done[11, -1] = done[n - 1, -1] = True
+        g.create_dataset("done", data=done)
+
+    def goals(seed):
+        ds = ProcgenDataset(
+            {"path": str(tmp_path / "demos"), "num_frames": 4, "window_size": 2},
+            dataset_name="coinrun_hard", split="train",
+        )
+        loader = DataLoader(ds, batch_size=4, shuffle=True, seed=seed, num_workers=2)
+        out = []
+        for _, b in zip(range(3), loader.epochs()):
+            out.append(np.asarray(b["goal"]["ob"]))
+        return np.concatenate(out)
+
+    np.testing.assert_array_equal(goals(7), goals(7))
+    assert not np.array_equal(goals(7), goals(8))
