@@ -120,6 +120,7 @@ int arps_read_batch(void* handle, const uint64_t* indices, uint64_t n,
     uint64_t idx = indices[i];
     if (idx >= af->count) return 2;
     uint64_t begin = af->offsets[idx], end = af->offsets[idx + 1];
+    if (end < begin) return 2;  // corrupt index: would underflow the resize
     payloads[i].resize(end - begin);
 #if defined(_WIN32)
     fseek(af->f, af->data_start + begin, SEEK_SET);
