@@ -94,6 +94,9 @@ def main(argv):
         "num_levels": FLAGS.num_levels,
         "start_level": FLAGS.start_level,
         "use_train_levels": True,
+        # the collected env variant must match the dirname suffix — the
+        # reference passes env_type into the env too (collect_procgen_data.py:162)
+        "eval_env_type": FLAGS.env_type,
     }
     paired = None
     if FLAGS.fake_env:

@@ -128,6 +128,26 @@ def label_rewards(
         g.close()
 
 
+
+def default_data_path(args) -> str:
+    """Resolve the collect stage's output file for these flags — the exact
+    dirname/filename contract it writes (data/procgen_dataset.py::
+    dataset_dirname + collect.py's data_{split}.hdf5)."""
+    from ..data.procgen_dataset import dataset_dirname
+
+    dirname = dataset_dirname(
+        args.env_name,
+        distribution_mode=args.distribution_mode,
+        start_level=args.start_level,
+        num_levels=args.num_levels,
+        num_demonstrations=args.num_demonstrations,
+        num_frames=args.num_frames,
+        enable_filter=args.enable_filter,
+        env_type=args.env_type,
+    )
+    return os.path.join(args.base_path, dirname, f"data_{args.split}.hdf5")
+
+
 def main():
     parser = argparse.ArgumentParser(description="Label demonstrations with CLIP rewards (TPU).")
     parser.add_argument("--env_name", type=str, default="coinrun")
@@ -140,6 +160,10 @@ def main():
     parser.add_argument("--base_path", type=str, default="./demonstrations")
     parser.add_argument("--num_demonstrations", type=int, default=500)
     parser.add_argument("--num_frames", type=int, default=8)
+    parser.add_argument("--split", type=str, default="train",
+                        help="which data_{split}.hdf5 to label when --data_path is not given")
+    parser.add_argument("--enable_filter", type=lambda s: s.lower() in ("1", "true"), default=True,
+                        help="must match the collect stage (affects the dirname suffix)")
     parser.add_argument("--model_type", type=str, default="clip")
     parser.add_argument("--model_ckpt_dir", type=str, default=None)
     parser.add_argument("--use_crop", type=lambda s: s.lower() in ("1", "true"), default=False)
@@ -157,15 +181,7 @@ def main():
         text = get_clip_instruct(env_name)
     print(f"[INFO] env_name: {env_name}\t instruction: {text}")
 
-    data_path = args.data_path
-    if data_path is None:
-        dirname = (
-            f"{args.env_name}_{args.distribution_mode}_level{args.start_level}to"
-            f"{args.num_levels}_num{args.num_demonstrations}_frame{args.num_frames}"
-        )
-        if args.env_type != "none":
-            dirname += f"_{args.env_type}"
-        data_path = os.path.join(args.base_path, dirname, "data.hdf5")
+    data_path = args.data_path or default_data_path(args)
 
     import jax.numpy as jnp
 

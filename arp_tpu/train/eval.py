@@ -40,6 +40,7 @@ FLAGS_DEF = define_flags_with_default(
     vl_checkpoint="",
     use_crop=True,
     eval_data_path="",
+    eval_data_name="",  # filename inside eval_data_path (default data_train.hdf5)
     eval_with_goal=False,
     episode_length=500,
     eval_env="fake",
@@ -49,6 +50,7 @@ FLAGS_DEF = define_flags_with_default(
     env_start_level=0,
     reward_bf16=False,
     patch_dim=16,
+    encode_image_size=0,
     logging=MetricsLogger.get_default_config(),
     model=get_policy_default_config(),
     data=ProcgenDataset.get_default_config(),
@@ -113,6 +115,10 @@ def main(argv):
     image_size = 224 if transfer.startswith("clip") else 256
     if transfer == "none":
         image_size = FLAGS.data.image_size
+    if FLAGS.encode_image_size > 0:
+        # must match the trainer's --encode_image_size or restored
+        # positional-embedding shapes will not fit the rollout inputs
+        image_size = FLAGS.encode_image_size
     eval_transform = make_eval_transform(image_size=image_size)
 
     test_step_fn = build_test_step(FLAGS, model, train_dataset, eval_transform, FLAGS.use_text)

@@ -85,6 +85,7 @@ FLAGS_DEF = define_flags_with_default(
     vl_checkpoint="",
     use_crop=True,
     eval_data_path="",
+    eval_data_name="",  # filename inside eval_data_path (default data_train.hdf5)
     eval_with_goal=False,
     # --- TPU-native additions ---
     mesh_dp=-1,
@@ -270,7 +271,19 @@ def main(argv):
         # eval setup
         test_step_fn = None
         if FLAGS.eval_env != "none":
-            test_step_fn = build_test_step(FLAGS, model, train_dataset, eval_transform, use_text, mesh=mesh)
+            if FLAGS.model.transfer_type.endswith("_cached"):
+                # rollout eval needs live image encoding; a cached-embedding
+                # policy has no encoder to run on env frames
+                absl_logging.warning(
+                    "rollout eval disabled: transfer_type=%s consumes "
+                    "precomputed embeddings and cannot encode env frames — "
+                    "evaluate the converted live-encoder model instead",
+                    FLAGS.model.transfer_type,
+                )
+            else:
+                test_step_fn = build_test_step(
+                    FLAGS, model, train_dataset, eval_transform, use_text, mesh=mesh
+                )
 
         # exact-resume: fast-forward the loader to the batch after start_step
         train_iter = ThreadedPrefetch(

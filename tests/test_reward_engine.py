@@ -6,6 +6,8 @@ test and the streamed/batched engine must reproduce it, including the HDF5
 dataset keys/layout and the per-trajectory rtg re-stacking.
 """
 
+import os
+
 import h5py
 import jax
 import jax.numpy as jnp
@@ -270,3 +272,26 @@ def test_eval_crop_happens_exactly_once(tiny_engine):
         tiny_engine, "clip", frame, text="get the coin", use_crop=True
     )
     np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_labeler_default_path_matches_collect_contract(tmp_path):
+    """The labeler's derived default path must be exactly what the collect
+    stage writes (dirname incl. _unfiltered/env_type suffixes + data_{split})."""
+    from types import SimpleNamespace
+
+    from arp_tpu.data.procgen_dataset import dataset_dirname
+    from arp_tpu.reward.labeler import default_data_path
+
+    args = SimpleNamespace(
+        env_name="coinrun", distribution_mode="hard", start_level=0,
+        num_levels=500, num_demonstrations=500, num_frames=8,
+        enable_filter=True, env_type="aisc", base_path="./demos", split="val",
+    )
+    got = default_data_path(args)
+    want_dir = dataset_dirname(
+        "coinrun", "hard", 0, 500, 500, 8, enable_filter=True, env_type="aisc"
+    )
+    assert got == os.path.join("./demos", want_dir, "data_val.hdf5")
+    assert want_dir.endswith("_aisc")
+    args.enable_filter = False
+    assert "_unfiltered" in default_data_path(args)
