@@ -33,7 +33,7 @@ def cache_clip_embeddings(
     with h5py.File(data_path, "a") as g:
         for key in image_keys.split(", "):
             frames = g[key][:, -1]
-            emb = engine._batched_image_features(frames, normalize=True)
+            emb = engine.encode_image_features(frames, normalize=True)
             out_key = f"{key}_{name}_emb"
             if out_key in g:
                 del g[out_key]

@@ -200,3 +200,35 @@ def test_train_ppg_and_collect_clis(tmp_path):
     )
     assert p2.returncode == 0, p2.stderr[-3000:]
     assert "recorded 2 episodes" in p2.stdout
+
+
+def test_reward_normalizer_segment_matches_reference_form():
+    """normalize_segment == the reference's backward-discounted whole-segment
+    form (reward_normalizer.py:74-101): rets carried across segments, reset
+    after episode ends, whole segment scaled by the updated running std."""
+    from arp_tpu.collect.reward_normalizer import RewardNormalizer
+
+    rng = np.random.default_rng(0)
+    T, N = 6, 3
+    rewards = rng.normal(size=(T, N)).astype(np.float32) * 5
+    dones = np.zeros((T, N), np.float32)
+    dones[2, 1] = 1.0
+
+    norm = RewardNormalizer(N, gamma=0.9, cliprew=10.0)
+    got = norm.normalize_segment(rewards, dones)
+
+    # oracle: explicit loops
+    rets = np.zeros((T, N))
+    prev = np.zeros(N)
+    for t in range(T):
+        prev = rets[t] = rewards[t] + 0.9 * prev
+        prev = np.where(dones[t] > 0, 0.0, prev)
+    var = rets.reshape(-1).var()  # first update from count~=0 dominates
+    n_el = rets.size
+    eps0 = 1e-4
+    mixed_var = (1.0 * eps0 + rets.reshape(-1).var() * n_el
+                 + (rets.reshape(-1).mean() - 0.0) ** 2 * eps0 * n_el / (eps0 + n_el)) / (eps0 + n_el)
+    want = np.clip(rewards / np.sqrt(mixed_var + 1e-8), -10.0, 10.0)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    # running return carried into the next segment
+    np.testing.assert_allclose(norm._ret, prev)
