@@ -217,6 +217,35 @@ def _mean_metrics(metric_list, prefix=""):
     return stacked
 
 
+def resolve_goal_eval_data(flags_obj):
+    """(eval_data_path | None, filename) for goal-conditioned eval.
+
+    An explicit --eval_data_path wins; with --eval_with_goal the reference
+    derives the eval-level dataset dir (start_level+num_levels ..
+    num_levels*2, num_test_episodes*10 demos) and reads its eval file
+    (main_procgen.py:342-350, :614-632).  This repo's collect stage writes
+    data_{split}.hdf5, so the filename default is data_train.hdf5,
+    overridable via --eval_data_name.
+    """
+    eval_data_path = flags_obj.eval_data_path or None
+    eval_data_name = getattr(flags_obj, "eval_data_name", "") or "data_train.hdf5"
+    if eval_data_path is None and getattr(flags_obj, "eval_with_goal", False):
+        from ..data.procgen_dataset import dataset_dirname
+
+        name = dataset_dirname(
+            flags_obj.game_name,
+            distribution_mode=flags_obj.env_distribution_mode,
+            start_level=flags_obj.env_start_level + flags_obj.env_num_levels,
+            num_levels=flags_obj.env_num_levels * 2,
+            num_demonstrations=flags_obj.num_test_episodes * 10,
+            num_frames=flags_obj.data.num_frames,
+            enable_filter=True,
+            env_type=flags_obj.env_eval_env_type,
+        )
+        eval_data_path = os.path.join(flags_obj.data.path, name)
+    return eval_data_path, eval_data_name
+
+
 def build_test_step(flags_obj, model, train_dataset, eval_transform, use_text, mesh=None):
     """Rollout-eval step factory (reference create_test_step, main_procgen.py:171-229)."""
     from ..envs.fake import FakeProcgen
@@ -299,28 +328,7 @@ def build_test_step(flags_obj, model, train_dataset, eval_transform, use_text, m
     def transform_obs(val):
         return eval_transform(np.asarray(val))
 
-    # goal-conditioned eval data: an explicit --eval_data_path wins; with
-    # --eval_with_goal the reference derives the eval-level dataset dir
-    # (start_level+num_levels .. num_levels*2, num_test_episodes*10 demos)
-    # and reads its data_test.hdf5 (main_procgen.py:342-350, :614-632).
-    # This repo's collect stage writes data_{split}.hdf5, so the filename
-    # default is data_train.hdf5, overridable via --eval_data_name.
-    eval_data_path = flags_obj.eval_data_path or None
-    eval_data_name = getattr(flags_obj, "eval_data_name", "") or "data_train.hdf5"
-    if eval_data_path is None and getattr(flags_obj, "eval_with_goal", False):
-        from ..data.procgen_dataset import dataset_dirname
-
-        name = dataset_dirname(
-            flags_obj.game_name,
-            distribution_mode=flags_obj.env_distribution_mode,
-            start_level=flags_obj.env_start_level + flags_obj.env_num_levels,
-            num_levels=flags_obj.env_num_levels * 2,
-            num_demonstrations=flags_obj.num_test_episodes * 10,
-            num_frames=flags_obj.data.num_frames,
-            enable_filter=True,
-            env_type=flags_obj.env_eval_env_type,
-        )
-        eval_data_path = os.path.join(flags_obj.data.path, name)
+    eval_data_path, eval_data_name = resolve_goal_eval_data(flags_obj)
 
     def test_step_fn(gstate, rng):
         if mesh is not None:

@@ -272,3 +272,35 @@ def test_trainer_cli_pipeline_parallel(tmp_path):
     records = [json.loads(line) for line in open(os.path.join(out_dir, exp_dirs[0], "metrics.jsonl"))]
     losses = [r["train_loss"] for r in records if "train_loss" in r]
     assert losses and all(np.isfinite(l) for l in losses)
+
+
+def test_resolve_goal_eval_data_contract():
+    """--eval_with_goal derives the reference's eval-level dataset dir
+    (main_procgen.py:342-350) and this repo's data_{split} filename; an
+    explicit --eval_data_path always wins."""
+    from types import SimpleNamespace
+
+    from arp_tpu.train.common import resolve_goal_eval_data
+
+    flags = SimpleNamespace(
+        eval_data_path="", eval_data_name="", eval_with_goal=True,
+        game_name="maze", env_distribution_mode="hard", env_start_level=0,
+        env_num_levels=500, num_test_episodes=10,
+        data=SimpleNamespace(path="./demos", num_frames=8),
+        env_eval_env_type="aisc",
+    )
+    path, name = resolve_goal_eval_data(flags)
+    assert path == os.path.join(
+        "./demos", "maze_hard_level500to1000_num100_frame8_aisc"
+    )
+    assert name == "data_train.hdf5"
+
+    flags.eval_data_path = "/explicit/dir"
+    flags.eval_data_name = "data_test.hdf5"
+    path, name = resolve_goal_eval_data(flags)
+    assert path == "/explicit/dir" and name == "data_test.hdf5"
+
+    flags.eval_data_path = ""
+    flags.eval_with_goal = False
+    path, _ = resolve_goal_eval_data(flags)
+    assert path is None
