@@ -304,3 +304,51 @@ def test_resolve_goal_eval_data_contract():
     flags.eval_with_goal = False
     path, _ = resolve_goal_eval_data(flags)
     assert path is None
+
+
+def test_trainer_cli_eval_with_goal(tmp_path):
+    """--eval_with_goal end to end: the trainer derives the eval-level dataset
+    dir, restores engine states from its traj_state npys, attaches goal
+    images, and completes GCBC rollout eval."""
+    from arp_tpu.collect.recorder import collect_demonstrations
+    from arp_tpu.envs.fake import FakeProcgen
+
+    data_root = str(tmp_path / "demos")
+    make_labeled_dataset(data_root)
+
+    # the dir build_test_step derives for these flags:
+    # start 0 + num_levels 500 .. 1000, num_test_episodes(1)*10 demos, frame8
+    eval_dir = os.path.join(data_root, "coinrun_hard_level500to1000_num10_frame8")
+    env = FakeProcgen("coinrun", {"episode_length": 20, "image_size": 32, "grid": 3})
+    rng = np.random.default_rng(0)
+    collect_demonstrations(
+        env, lambda obs: int(rng.integers(0, 4)),
+        os.path.join(eval_dir, "data_train.hdf5"),
+        num_episodes=2, game_name="coinrun", num_frames=8, seed=0,
+    )
+
+    from tests.cli_env import make_cli_env
+
+    out_dir = str(tmp_path / "out")
+    cmd = [
+        sys.executable, "-m", "arp_tpu.train.main",
+        "--epochs=1", "--warmup_epochs=0", "--batch_size=8", "--dataloader_n_workers=0",
+        "--log_freq=2", "--lr=1e-3", "--window_size=4",
+        "--use_vl=False", "--vl_type=GCBC", "--use_crop=False",
+        "--game_name=coinrun", "--val_every_epochs=0",
+        "--test_every_epochs=1", "--num_test_episodes=1", "--episode_length=10",
+        "--eval_env=fake", "--eval_with_goal=True",
+        "--model.model_type=vit_debug", "--model.transfer_type=none",
+        "--model.emb_dim=32", "--model.depth=2", "--model.num_heads=4",
+        "--model.mlp_ratio=2", "--model.num_ensembles=2",
+        f"--data.path={data_root}", "--data.image_size=32", "--data.num_frames=8",
+        "--data.window_size=4", "--data.num_demonstrations=20",
+        f"--logging.output_dir={out_dir}",
+    ]
+    proc = subprocess.run(cmd, env=make_cli_env(), capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, f"stderr:\n{proc.stderr[-4000:]}"
+    records = [
+        json.loads(line)
+        for line in open(os.path.join(out_dir, os.listdir(out_dir)[0], "metrics.jsonl"))
+    ]
+    assert any("test/return" in r for r in records), "goal-conditioned eval never ran"
