@@ -20,6 +20,7 @@ FLAGS_DEF = define_flags_with_default(
     total_iterations=1000,
     n_epoch_pi=1,
     n_epoch_vf=1,
+    reward_norm=True,
     n_aux_epochs=6,
     n_pi=32,
     lr=5e-4,
@@ -67,6 +68,7 @@ def main(argv):
         lr=FLAGS.lr,
         ppo_epochs=FLAGS.n_epoch_pi,
         vf_epochs=FLAGS.n_epoch_vf,
+        reward_norm=FLAGS.reward_norm,
         n_pi=FLAGS.n_pi,
         aux_epochs=FLAGS.n_aux_epochs,
         beta_clone=FLAGS.beta_clone,
