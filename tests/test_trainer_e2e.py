@@ -352,3 +352,52 @@ def test_trainer_cli_eval_with_goal(tmp_path):
         for line in open(os.path.join(out_dir, os.listdir(out_dir)[0], "metrics.jsonl"))
     ]
     assert any("test/return" in r for r in records), "goal-conditioned eval never ran"
+
+
+def test_build_test_step_selects_clip_ft_engine(monkeypatch, tmp_path):
+    """--vl_type=clip_ft + --vl_checkpoint builds the fine-tuned adapter
+    engine (regression: eval silently used base CLIP while training labels
+    came from the adapter)."""
+    from types import SimpleNamespace
+
+    import jax.numpy as jnp
+
+    from arp_tpu.train import common as tc
+
+    built = {}
+
+    class FakeFt:
+        def __init__(self, adapter_params, **kw):
+            built["ft"] = adapter_params
+
+    import arp_tpu.finetune.reward as ftr
+
+    monkeypatch.setattr(ftr, "ClipFtRewardEngine", FakeFt)
+    monkeypatch.setattr(ftr, "load_adapter_params", lambda p: {"loaded_from": p})
+
+    flags = SimpleNamespace(
+        episode_length=5, env_eval_env_type="none", env_distribution_mode="hard",
+        env_num_levels=5, env_start_level=0, eval_env="fake", game_name="coinrun",
+        use_vl=True, vl_type="clip_ft", vl_checkpoint=str(tmp_path / "adapter"),
+        use_crop=False, reward_bf16=False, num_test_episodes=1, window_size=2,
+        return_to_go=10.0, eval_data_path="", eval_data_name="", eval_with_goal=False,
+        data=SimpleNamespace(inst_type="none", use_normalize=False, num_frames=4, path="."),
+    )
+
+    class DS:
+        return_to_go = 10.0
+        scale = 10.0
+        reward_min = 0.0
+
+        def tokenizer(self, text):
+            return np.zeros(8, np.int32), np.ones(8, np.float32)
+
+    class M:
+        def apply(self, *a, **k):
+            return jnp.zeros((1,), jnp.int32)
+
+        greedy_action = apply
+
+    step = tc.build_test_step(flags, M(), DS(), lambda x: x, use_text=False)
+    assert built.get("ft") == {"loaded_from": str(tmp_path / "adapter")}
+    assert callable(step)
