@@ -38,6 +38,11 @@ FLAGS_DEF = define_flags_with_default(
     fake_env=False,
     dual_res=True,
     episode_length=1000,
+    # dirname key: how many demos the TRAIN split holds. The dirname must be
+    # identical across splits (train/val live in one directory), so val
+    # collection passes --num_episodes=50 --num_demonstrations=500.
+    # 0 -> use num_episodes (the train-split default).
+    num_demonstrations=0,
 )
 
 FLAGS = flags.FLAGS
@@ -45,14 +50,18 @@ FLAGS = flags.FLAGS
 
 def main(argv):
     del argv
-    dirname = (
-        f"{FLAGS.game_name}_{FLAGS.distribution_mode}_level{FLAGS.start_level}to"
-        f"{FLAGS.num_levels}_num{FLAGS.num_episodes}_frame{FLAGS.num_frames}"
+    from ..data.procgen_dataset import dataset_dirname
+
+    dirname = dataset_dirname(
+        FLAGS.game_name,
+        distribution_mode=FLAGS.distribution_mode,
+        start_level=FLAGS.start_level,
+        num_levels=FLAGS.num_levels,
+        num_demonstrations=FLAGS.num_demonstrations or FLAGS.num_episodes,
+        num_frames=FLAGS.num_frames,
+        enable_filter=FLAGS.enable_filter,
+        env_type=FLAGS.env_type,
     )
-    if not FLAGS.enable_filter:
-        dirname += "_unfiltered"
-    if FLAGS.env_type != "none":
-        dirname += f"_{FLAGS.env_type}"
     data_path = os.path.join(FLAGS.out_dir, dirname, f"data_{FLAGS.split}.hdf5")
 
     # policy: trained PPG params (JAX pickle or a reference torch .jd
@@ -121,10 +130,10 @@ def main(argv):
         seed=FLAGS.seed,
         random_action_prob=FLAGS.random_action_prob,
         paired_policy_env=paired,
-        # the reference caps kept episodes at length<1000
-        # (trajectory_recorder.py:127); when the user raises --episode_length
-        # beyond that, raise the cap too instead of silently filtering
-        max_episode_length=max(1000, FLAGS.episode_length + 1),
+        # reference keeps T < 1000 (trajectory_recorder.py:127); when the
+        # user raises --episode_length the cap follows it so full-length
+        # TIMEOUT episodes stay filtered out
+        max_episode_length=max(1000, FLAGS.episode_length),
     )
     print(f"[DONE] recorded {rec.num_recorded} episodes ({rec.num_filtered} filtered) -> {data_path}")
 

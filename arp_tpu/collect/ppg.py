@@ -179,6 +179,12 @@ def make_ppg_steps(model: PhasicValueModel, config: PPGConfig):
         (loss, aux), grads = jax.value_and_grad(ppo_loss, has_aux=True)(state.params, batch)
         return state.apply_gradients(grads=grads), dict(aux, loss=loss)
 
+    # Separate pi/vf phases (reference ppo.py:151-152, 221-228): each phase
+    # keeps its OWN persistent optimizer state, so adam moments never mix —
+    # a vf leaf whose grads are structurally zero under the pi loss stays
+    # exactly still during pi epochs (mu = nu = 0), matching torch's
+    # skip-None-grad behavior with separate optimizers. The reference keeps
+    # vfcoef on the vf loss even in separate mode (losses["vf"], ppo.py:109).
     def pi_only_loss(params, batch):
         loss, aux = ppo_loss(params, batch)
         return aux["pg_loss"] - config.entropy_coef * aux["entropy"], aux
@@ -187,15 +193,23 @@ def make_ppg_steps(model: PhasicValueModel, config: PPGConfig):
         loss, aux = ppo_loss(params, batch)
         return config.vf_coef * aux["vf_loss"], aux
 
-    @jax.jit
-    def pi_step(state, batch):
-        (loss, aux), grads = jax.value_and_grad(pi_only_loss, has_aux=True)(state.params, batch)
-        return state.apply_gradients(grads=grads), dict(aux, loss=loss)
+    pi_tx = optax.adam(config.lr)
+    vf_tx = optax.adam(config.lr)
 
     @jax.jit
-    def vf_step(state, batch):
-        (loss, aux), grads = jax.value_and_grad(vf_only_loss, has_aux=True)(state.params, batch)
-        return state.apply_gradients(grads=grads), dict(aux, loss=loss)
+    def pi_step(params, opt_state, batch):
+        (loss, aux), grads = jax.value_and_grad(pi_only_loss, has_aux=True)(params, batch)
+        updates, opt_state = pi_tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, dict(aux, loss=loss)
+
+    @jax.jit
+    def vf_step(params, opt_state, batch):
+        (loss, aux), grads = jax.value_and_grad(vf_only_loss, has_aux=True)(params, batch)
+        updates, opt_state = vf_tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, dict(aux, loss=loss)
+
+    def init_phase_opts(params):
+        return pi_tx.init(params), vf_tx.init(params)
 
     def aux_loss(params, batch):
         logits, value, aux_value = model.apply({"params": params}, batch["obs"])
@@ -224,7 +238,7 @@ def make_ppg_steps(model: PhasicValueModel, config: PPGConfig):
         logits, _, _ = model.apply({"params": params}, frames)
         return logits
 
-    return ppo_step, aux_step, act, logits_of, pi_step, vf_step
+    return ppo_step, aux_step, act, logits_of, pi_step, vf_step, init_phase_opts
 
 
 def learn(
@@ -243,7 +257,7 @@ def learn(
     params = model.init(jax.random.PRNGKey(seed), jnp.zeros((1,) + frame_shape, jnp.float32))["params"]
     state = TrainState.create(apply_fn=model.apply, params=params, tx=optax.adam(config.lr))
 
-    ppo_step, aux_step, act_jit, logits_of, pi_step, vf_step = make_ppg_steps(model, config)
+    ppo_step, aux_step, act_jit, logits_of, pi_step, vf_step, init_phase_opts = make_ppg_steps(model, config)
 
     def act_fn(frames, rng):
         return act_jit(state.params, jnp.asarray(frames), rng)
@@ -252,6 +266,7 @@ def learn(
     rng = jax.random.PRNGKey(seed + 1)
     history = []
     seg_buffer = []
+    phase_opts = None  # separate pi/vf optimizer states (e_pi != e_vf mode)
     normalizer = (
         RewardNormalizer(config.num_envs, gamma=config.gamma) if config.reward_norm else None
     )
@@ -285,18 +300,26 @@ def learn(
                     batch = {k: jnp.asarray(v[mb]) for k, v in flat.items()}
                     state, metrics = ppo_step(state, batch)
         else:
-            # e_pi != e_vf: separate policy and value epochs (ppo.py:221-228)
-            for _ in range(config.ppo_epochs):
-                order = perm_rng.permutation(n)
-                for mb in np.array_split(order, config.minibatches):
-                    batch = {k: jnp.asarray(v[mb]) for k, v in flat.items()}
-                    state, metrics = pi_step(state, batch)
+            # e_pi != e_vf: separate epochs with separate persistent
+            # optimizers, vf FIRST then pi (reference ppo.py:221-234)
+            if phase_opts is None:
+                phase_opts = init_phase_opts(state.params)
+            pi_opt, vf_opt = phase_opts
+            params = state.params
             for _ in range(config.vf_epochs):
                 order = perm_rng.permutation(n)
                 for mb in np.array_split(order, config.minibatches):
                     batch = {k: jnp.asarray(v[mb]) for k, v in flat.items()}
-                    state, vmetrics = vf_step(state, batch)
-                    metrics.update(vmetrics)
+                    params, vf_opt, vmetrics = vf_step(params, vf_opt, batch)
+                    metrics.update({f"vf_{k}": v for k, v in vmetrics.items()})
+            for _ in range(config.ppo_epochs):
+                order = perm_rng.permutation(n)
+                for mb in np.array_split(order, config.minibatches):
+                    batch = {k: jnp.asarray(v[mb]) for k, v in flat.items()}
+                    params, pi_opt, pmetrics = pi_step(params, pi_opt, batch)
+                    metrics.update(pmetrics)
+            phase_opts = (pi_opt, vf_opt)
+            state = state.replace(params=params)
 
         seg_buffer.append({"obs": flat["obs"], "vtarg": flat["vtarg"]})
 

@@ -41,6 +41,7 @@ struct ArpsFile {
   uint64_t record_bytes = 0;  // uncompressed
   std::vector<uint64_t> offsets;
   uint64_t data_start = 0;
+  uint64_t data_size = 0;  // bytes in the data section (file size - header)
 };
 
 static uint64_t dtype_size(uint32_t code) {
@@ -74,6 +75,8 @@ void* arps_open(const char* path) {
   af->offsets.resize(af->count + 1);
   if (fread(af->offsets.data(), 8, af->count + 1, f) != af->count + 1) goto fail;
   af->data_start = ftell(f);
+  if (fseek(f, 0, SEEK_END) != 0) goto fail;
+  af->data_size = (uint64_t)ftell(f) - af->data_start;
   return af;
 fail:
   fclose(f);
@@ -120,7 +123,9 @@ int arps_read_batch(void* handle, const uint64_t* indices, uint64_t n,
     uint64_t idx = indices[i];
     if (idx >= af->count) return 2;
     uint64_t begin = af->offsets[idx], end = af->offsets[idx + 1];
-    if (end < begin) return 2;  // corrupt index: would underflow the resize
+    // corrupt index: underflow, or a payload past the end of the file —
+    // either would turn into a huge allocation / failed read
+    if (end < begin || end > af->data_size) return 2;
     payloads[i].resize(end - begin);
 #if defined(_WIN32)
     fseek(af->f, af->data_start + begin, SEEK_SET);

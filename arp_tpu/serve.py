@@ -206,13 +206,16 @@ def main():
     }
     rngs = {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)}
     params = model.init(rngs, dummy, deterministic=True)["params"]
-    if args.allow_random_init and not os.path.isdir(args.checkpoint_dir):
-        print("[WARN] no checkpoint dir; serving random-init policy (--allow_random_init)")
+    mngr = CheckpointManager(args.checkpoint_dir)
+    if args.allow_random_init and mngr.latest_step() is None:
+        # gate on an actual checkpoint, not the directory: CheckpointManager
+        # mkdirs eagerly, so an empty dir must still count as "no checkpoint"
+        print("[WARN] no checkpoint found; serving random-init policy (--allow_random_init)")
     else:
         # template-free params restore: the server must not need to know the
         # training optimizer, and a failed restore must be LOUD — silently
         # serving random weights behind HTTP 200 is a production incident
-        restored, meta = CheckpointManager(args.checkpoint_dir).restore_params()
+        restored, meta = mngr.restore_params()
         params = jax.tree_util.tree_map(lambda t, r: np.asarray(r).astype(t.dtype), params, restored)
         print(f"restored checkpoint step={meta.get('step')} from {args.checkpoint_dir}")
 

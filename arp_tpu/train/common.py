@@ -229,6 +229,14 @@ def resolve_goal_eval_data(flags_obj):
     """
     eval_data_path = flags_obj.eval_data_path or None
     eval_data_name = getattr(flags_obj, "eval_data_name", "") or "data_train.hdf5"
+    if (
+        eval_data_path is not None
+        and not getattr(flags_obj, "eval_data_name", "")
+        and not os.path.exists(os.path.join(eval_data_path, eval_data_name))
+        and os.path.exists(os.path.join(eval_data_path, "data.hdf5"))
+    ):
+        # pre-existing eval dirs may carry a plain data.hdf5
+        eval_data_name = "data.hdf5"
     if eval_data_path is None and getattr(flags_obj, "eval_with_goal", False):
         from ..data.procgen_dataset import dataset_dirname
 
@@ -247,7 +255,20 @@ def resolve_goal_eval_data(flags_obj):
 
 
 def build_test_step(flags_obj, model, train_dataset, eval_transform, use_text, mesh=None):
-    """Rollout-eval step factory (reference create_test_step, main_procgen.py:171-229)."""
+    """Rollout-eval step factory (reference create_test_step, main_procgen.py:171-229).
+
+    Returns None (with a loud warning) for cached-embedding policies: rollout
+    eval needs live image encoding, and a ``*_cached`` model has no encoder
+    to run on env frames — every caller must handle the None.
+    """
+    if flags_obj.model.transfer_type.endswith("_cached"):
+        absl_logging.warning(
+            "rollout eval disabled: transfer_type=%s consumes precomputed "
+            "embeddings and cannot encode env frames — evaluate the converted "
+            "live-encoder model instead",
+            flags_obj.model.transfer_type,
+        )
+        return None
     from ..envs.fake import FakeProcgen
     from ..envs.rollout import batch_rollout
 

@@ -122,6 +122,12 @@ def main(argv):
     eval_transform = make_eval_transform(image_size=image_size)
 
     test_step_fn = build_test_step(FLAGS, model, train_dataset, eval_transform, FLAGS.use_text)
+    if test_step_fn is None:
+        raise SystemExit(
+            "cannot rollout-eval a cached-embedding policy "
+            f"(transfer_type={FLAGS.model.transfer_type}): no live encoder "
+            "for env frames — evaluate the live-encoder equivalent instead"
+        )
     metric, info, videos = test_step_fn(gstate, next_rng())
 
     logged = {f"eval/{k}": float(v) for k, v in metric.items()}

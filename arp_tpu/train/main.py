@@ -268,22 +268,13 @@ def main(argv):
             flops = flops_analysis(train_step, gstate, gb, jax.random.PRNGKey(0))
             logger.log({"cost/flops": flops})
 
-        # eval setup
+        # eval setup (build_test_step returns None for cached-embedding
+        # policies, which cannot encode env frames)
         test_step_fn = None
         if FLAGS.eval_env != "none":
-            if FLAGS.model.transfer_type.endswith("_cached"):
-                # rollout eval needs live image encoding; a cached-embedding
-                # policy has no encoder to run on env frames
-                absl_logging.warning(
-                    "rollout eval disabled: transfer_type=%s consumes "
-                    "precomputed embeddings and cannot encode env frames — "
-                    "evaluate the converted live-encoder model instead",
-                    FLAGS.model.transfer_type,
-                )
-            else:
-                test_step_fn = build_test_step(
-                    FLAGS, model, train_dataset, eval_transform, use_text, mesh=mesh
-                )
+            test_step_fn = build_test_step(
+                FLAGS, model, train_dataset, eval_transform, use_text, mesh=mesh
+            )
 
         # exact-resume: fast-forward the loader to the batch after start_step
         train_iter = ThreadedPrefetch(

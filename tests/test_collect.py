@@ -232,3 +232,23 @@ def test_reward_normalizer_segment_matches_reference_form():
     np.testing.assert_allclose(got, want, rtol=1e-5)
     # running return carried into the next segment
     np.testing.assert_allclose(norm._ret, prev)
+
+
+def test_ppg_separate_pi_vf_epochs():
+    """e_pi != e_vf runs the separate-optimizer path (vf first, pi second,
+    persistent per-phase adam states) with finite, phase-labeled metrics."""
+
+    def env_fn():
+        return FakeProcgen("coinrun", {"episode_length": 10, "image_size": 16, "grid": 3})
+
+    config = PPGConfig(
+        num_envs=2, segment_length=8, n_pi=2, aux_epochs=1, minibatches=2,
+        ppo_epochs=1, vf_epochs=2, lr=1e-3,
+    )
+    state, history = learn(env_fn, config, total_iterations=2, seed=0)
+    assert len(history) == 2
+    last = history[-1]
+    assert any(k.startswith("vf_") for k in last), last.keys()
+    assert "pg_loss" in last  # pi-phase metrics not clobbered by vf steps
+    for k, v in last.items():
+        assert np.isfinite(v), (k, v)
