@@ -1,4 +1,4 @@
-.PHONY: test test-fast bench native clean
+.PHONY: test test-fast bench bench-smoke verify dryrun native clean
 
 test:
 	python -m pytest tests/ -x -q
@@ -8,6 +8,14 @@ test-fast:  ## unit tests only (skip subprocess CLI e2e, ~2 min)
 
 bench:
 	python bench.py
+
+bench-smoke:  ## bench contract check on tiny shapes (no full compile)
+	ARP_BENCH_SMOKE=1 python bench.py
+
+dryrun:  ## multichip dry run (self-provisions a virtual 8-device CPU mesh)
+	python -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
+
+verify: dryrun bench-smoke test-fast  ## quick end-to-end health check
 
 native:
 	sh arp_tpu/native/build.sh
