@@ -30,14 +30,18 @@ def main():
             shape = (B, H, seq, D)
 
             def make_loop(fn):
+                # chain the FULL output back as the next query (the
+                # bench_attention.py guard): a scalar-slice carry would let
+                # XLA dead-code most of the einsum while the opaque pallas
+                # call cannot be pruned, biasing the comparison
                 @jax.jit
                 def loop(q, k, v):
-                    def body(carry, _):
-                        out = fn(q + carry * 1e-6, k, v)
-                        return jnp.float32(out[0, 0, 0, 0]), None
+                    def body(qc, _):
+                        out = fn(qc, k, v)
+                        return out.astype(jnp.bfloat16), ()
 
-                    c, _ = jax.lax.scan(body, jnp.float32(0), None, length=ITERS)
-                    return c
+                    out, _ = jax.lax.scan(body, q, None, length=ITERS)
+                    return jnp.sum(out.astype(jnp.float32))
 
                 return loop
 

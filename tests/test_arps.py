@@ -42,6 +42,12 @@ def test_incompressible_stored_raw(tmp_path):
     write_arps(path, data)
     r = ArpsReader(path, force_python=True)
     np.testing.assert_array_equal(r.read_batch([0, 1, 2, 3]), data)
+    # OBSERVE the fallback: raw records are exactly record_bytes long
+    # (payload == uncompressed size is the format's raw marker); a writer
+    # that always zlib-compressed would store larger-than-raw payloads
+    record_bytes = data[0].nbytes
+    spans = np.diff(r._py_offsets.astype(np.int64))
+    assert (spans == record_bytes).all(), spans
 
 
 def test_convert_hdf5(tmp_path):

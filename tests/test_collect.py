@@ -107,7 +107,7 @@ def test_gae_matches_naive():
     np.testing.assert_allclose(vtarg, adv + values, rtol=1e-6)
 
 
-def test_ppg_learn_runs_and_improves():
+def test_ppg_learn_runs_with_aux_phase():
     def env_fn():
         return FakeProcgen("coinrun", {"episode_length": 12, "image_size": 16, "grid": 3})
 

@@ -97,8 +97,15 @@ def test_per_host_offset(tmp_path):
     ds0 = ProcgenDataset(cfg, dataset_name=NAME, split="train", start_offset_ratio=0.0)
     ds1 = ProcgenDataset(cfg, dataset_name=NAME, split="train", start_offset_ratio=0.5)
     assert ds1.random_start_offset == len(ds1) // 2
-    assert not np.array_equal(ds0[0]["action"], ds1[0]["action"]) or True  # offset applied
     assert ds1.process_index(0) == len(ds1) // 2
+    # the offset must reach the DATA path: ds1[0] serves the item ds0 serves
+    # at index len//2 (not merely store an unused attribute)
+    np.testing.assert_array_equal(
+        np.asarray(ds1[0]["action"]), np.asarray(ds0[len(ds0) // 2]["action"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ds1[0]["image"]["ob"]), np.asarray(ds0[len(ds0) // 2]["image"]["ob"])
+    )
 
 
 def test_loader_epochs_and_shapes(tmp_path):

@@ -128,4 +128,11 @@ def test_five_stage_pipeline(tmp_path):
     ]
     proc = subprocess.run(eval_cmd, env=env_vars, capture_output=True, text=True, timeout=900)
     assert proc.returncode == 0, proc.stderr[-4000:]
-    assert "return" in proc.stdout
+    # the driver prints the metric dict as its last line — parse and check the
+    # actual values, not just a substring
+    import ast as _ast
+
+    last = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
+    metrics = _ast.literal_eval(last)
+    assert "return" in metrics and "episode_length" in metrics, metrics
+    assert np.isfinite(metrics["return"]) and metrics["episode_length"] > 0, metrics

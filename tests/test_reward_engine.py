@@ -197,8 +197,16 @@ def test_labeler_time_keyed_boundaries(tiny_engine, tmp_path):
     assert stats["frames"] == 12
     with h5py.File(path, "r") as g:
         rtg = g["ob_clip_pos_rtg"][:, -1]
-        # cumsum resets at index 6: rtg[5] is the tail of traj 0
+        rew = g["ob_clip_reward"][:, -1]
         assert rtg.shape == (12,)
+        # the cumsum must RESET at the time-keyed boundary (index 6): each
+        # trajectory's rtg is the discounted suffix-sum of ITS OWN rewards
+        from arp_tpu.ops.rewards import discount_cumsum
+
+        np.testing.assert_allclose(rtg[:6], discount_cumsum(rew[:6], 1.0), rtol=1e-5)
+        np.testing.assert_allclose(rtg[6:], discount_cumsum(rew[6:], 1.0), rtol=1e-5)
+        # single-trajectory treatment (no reset) would differ at the tail of traj 0
+        assert not np.allclose(rtg, discount_cumsum(rew, 1.0))
 
 
 def test_host_resize_mode_bit_identical(tiny_engine):

@@ -84,7 +84,9 @@ def test_serve_bad_request(server_url):
         _post(server_url + "/v1/act", {"observation": [[0]]})
         assert False, "should have errored"
     except urllib.error.HTTPError as e:
-        assert e.code in (400, 500)
+        # deliberate request validation (missing/unknown fields map to 400,
+        # serve.py KeyError handler) — a crash would surface as 500
+        assert e.code == 400
 
 
 import urllib.error  # noqa: E402
