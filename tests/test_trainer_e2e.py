@@ -376,6 +376,7 @@ def test_build_test_step_selects_clip_ft_engine(monkeypatch, tmp_path):
     monkeypatch.setattr(ftr, "load_adapter_params", lambda p: {"loaded_from": p})
 
     flags = SimpleNamespace(
+        model=SimpleNamespace(transfer_type="none"),
         episode_length=5, env_eval_env_type="none", env_distribution_mode="hard",
         env_num_levels=5, env_start_level=0, eval_env="fake", game_name="coinrun",
         use_vl=True, vl_type="clip_ft", vl_checkpoint=str(tmp_path / "adapter"),
