@@ -27,9 +27,8 @@ import numpy as np
 import optax
 from flax.training.train_state import TrainState
 
-from .reward_normalizer import RewardNormalizer
-
 from ..models.impala import ImpalaCNN
+from .reward_normalizer import RewardNormalizer
 
 
 class PhasicValueModel(nn.Module):

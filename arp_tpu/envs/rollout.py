@@ -36,21 +36,28 @@ def _tree_map2(fn, a, b):
     return fn(a, b)
 
 
+def _crop_half(frames: np.ndarray) -> np.ndarray:
+    """Center-crop to half size (reference label_reward.py:15-36 arithmetic);
+    accepts batched (N, H, W, C) or a single (H, W, C) frame."""
+    from ..ops.preprocess import center_crop_np
+
+    single = frames.ndim == 3
+    x = frames[None] if single else frames
+    x = center_crop_np(x, x.shape[1] // 2, x.shape[2] // 2)
+    return x[0] if single else x
+
+
 def compute_step_reward(engine, vl_type: str, obs_image, text=None, goal_image=None, use_crop=False):
     """Per-step reward, same semantics as the reference vl_reward fns."""
     frames = np.asarray(obs_image)[None]
     if use_crop:
-        h = frames.shape[1]
-        s = h // 4
-        frames = frames[:, s : s + h // 2, s : s + h // 2, :]
+        frames = _crop_half(frames)
     if vl_type in ("clip", "clip_ft"):
         return float(engine.text_rewards(frames, text)[0])
     if vl_type in ("clip_goal_conditioned", "clip_ft_goal_conditioned"):
         goal = np.asarray(goal_image)
         if use_crop:
-            h = goal.shape[0]
-            s = h // 4
-            goal = goal[s : s + h // 2, s : s + h // 2, :]
+            goal = _crop_half(goal)
         return float(engine.goal_rewards_vs(frames, goal)[0])
     raise ValueError(vl_type)
 
@@ -239,9 +246,7 @@ def parallel_rollout(
         assert goal_images is not None, "goal-conditioned rollout needs goal_images (N, H, W, C)"
         goals = np.asarray(goal_images)
         if use_crop:
-            h = goals.shape[1]
-            sidx = h // 4
-            goals = goals[:, sidx : sidx + h // 2, sidx : sidx + h // 2, :]
+            goals = _crop_half(goals)
         goal_feats = reward_engine.encode_image_features(goals, normalize=False)
 
     def transform(frames):
@@ -283,9 +288,7 @@ def parallel_rollout(
             for key in image_keys:
                 frames = np.stack([np.asarray(o["image"][key]) for o in obs])
                 if use_crop:
-                    h = frames.shape[1]
-                    s = h // 4
-                    frames = frames[:, s : s + h // 2, s : s + h // 2, :]
+                    frames = _crop_half(frames)
                 if vl_type in ("clip", "clip_ft"):
                     rewards = reward_engine.text_rewards_with_features(frames, text_feat)
                 elif "goal_conditioned" in vl_type:

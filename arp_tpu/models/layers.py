@@ -43,6 +43,12 @@ def get_attention_slopes(n: int):
     return power_of_2(closest) + get_attention_slopes(2 * closest)[0::2][: n - closest]
 
 
+def resolve_compute_dtype(name):
+    """Config string -> Transformer ``compute_dtype``: "float32" means default
+    precision (None); anything else is a jnp dtype (e.g. "bfloat16")."""
+    return None if name == "float32" else jnp.dtype(name)
+
+
 class FeedForward(nn.Module):
     """Pre-activation MLP: fc1 -> act -> drop -> fc2 -> drop."""
 
@@ -84,8 +90,9 @@ class Attention(nn.Module):
     proj_drop: float = 0.0
     alibi_bias: bool = False
     kernel_init: Callable = nn.linear.default_kernel_init
-    dtype: Any = None  # computation dtype for qkv/out projections; the
-    # attention op itself always does fp32 scores + softmax (ops/attention.py)
+    # computation dtype for the qkv/out projections; the attention op itself
+    # always does fp32 scores + softmax (ops/attention.py)
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, deterministic=True, mask_spec=MaskSpec("causal"), kv_padding=None):

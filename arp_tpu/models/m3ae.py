@@ -25,7 +25,7 @@ from ml_collections import ConfigDict
 
 from ..config import update_config
 from ..utils import get_1d_sincos_pos_embed, get_2d_sincos_pos_embed
-from .layers import MLP, Transformer
+from .layers import MLP, Transformer, resolve_compute_dtype
 from ..ops.masks import MaskSpec
 
 
@@ -200,9 +200,7 @@ class MaskedMultimodalAutoencoder(nn.Module):
             att_drop=cfg.att_drop, drop=cfg.drop, drop_path=cfg.drop_path,
             mlp_ratio=cfg.mlp_ratio, mlp_bias=True, sow_intermediates=True,
             remat=cfg.get("remat", False),
-            compute_dtype=None
-            if cfg.get("compute_dtype", "float32") == "float32"
-            else jnp.dtype(cfg.get("compute_dtype")),
+            compute_dtype=resolve_compute_dtype(cfg.get("compute_dtype", "float32")),
         )
         self.encoder = Transformer(emb_dim=cfg.emb_dim, depth=cfg.depth, num_heads=cfg.num_heads, **kwargs)
         self.decoder = Transformer(
@@ -429,9 +427,7 @@ class MaskedAutoencoder(nn.Module):
             att_drop=cfg.att_drop, drop=cfg.drop, drop_path=cfg.drop_path,
             mlp_ratio=cfg.mlp_ratio, mlp_bias=True, sow_intermediates=True,
             remat=cfg.get("remat", False),
-            compute_dtype=None
-            if cfg.get("compute_dtype", "float32") == "float32"
-            else jnp.dtype(cfg.get("compute_dtype")),
+            compute_dtype=resolve_compute_dtype(cfg.get("compute_dtype", "float32")),
         )
         self.encoder = Transformer(emb_dim=cfg.emb_dim, depth=cfg.depth, num_heads=cfg.num_heads, **kwargs)
         self.decoder = Transformer(

@@ -43,7 +43,7 @@ from ...utils import get_1d_sincos_pos_embed, get_2d_sincos_pos_embed, symexp, s
 from .. import m3ae as m3ae_lib
 from ..clip import model as clip_lib
 from ..impala import ImpalaCNN
-from ..layers import AdapterMLP, PipelinedTransformer, Transformer
+from ..layers import AdapterMLP, PipelinedTransformer, Transformer, resolve_compute_dtype
 
 # text vocab of bert-base-uncased; constant to avoid a tokenizer download
 # (reference queries transformers.BertTokenizer at module init, ARPDT.py:138)
@@ -78,9 +78,7 @@ def apply_size_preset(model_type: str, config: ConfigDict) -> None:
 
 
 def _resolve_compute_dtype(cfg) -> Any:
-    """"float32" -> None (default precision), anything else -> jnp dtype."""
-    name = cfg.get("compute_dtype", "float32")
-    return None if name == "float32" else jnp.dtype(name)
+    return resolve_compute_dtype(cfg.get("compute_dtype", "float32"))
 
 
 def get_policy_default_config(updates=None) -> ConfigDict:

@@ -128,7 +128,6 @@ def label_rewards(
         g.close()
 
 
-
 def default_data_path(args) -> str:
     """Resolve the collect stage's output file for these flags — the exact
     dirname/filename contract it writes (data/procgen_dataset.py::

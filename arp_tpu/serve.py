@@ -216,7 +216,7 @@ def main():
         # training optimizer, and a failed restore must be LOUD — silently
         # serving random weights behind HTTP 200 is a production incident
         restored, meta = mngr.restore_params()
-        params = jax.tree_util.tree_map(lambda t, r: np.asarray(r).astype(t.dtype), params, restored)
+        params = jax.tree_util.tree_map(lambda t, r: np.asarray(r, dtype=t.dtype), params, restored)
         print(f"restored checkpoint step={meta.get('step')} from {args.checkpoint_dir}")
 
     @jax.jit

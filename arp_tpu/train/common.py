@@ -351,10 +351,10 @@ def build_test_step(flags_obj, model, train_dataset, eval_transform, use_text, m
 
     eval_data_path, eval_data_name = resolve_goal_eval_data(flags_obj)
 
+    from ..parallel import gather_to_host
+
     def test_step_fn(gstate, rng):
         if mesh is not None:
-            from ..parallel import gather_to_host
-
             params = gather_to_host(gstate.params, mesh)
         else:
             params = jax.device_get(gstate.params)
