@@ -130,10 +130,10 @@ def main(argv):
         seed=FLAGS.seed,
         random_action_prob=FLAGS.random_action_prob,
         paired_policy_env=paired,
-        # reference keeps T < 1000 (trajectory_recorder.py:127); when the
-        # user raises --episode_length the cap follows it so full-length
-        # TIMEOUT episodes stay filtered out
-        max_episode_length=max(1000, FLAGS.episode_length),
+        # reference keeps T < 1000 (trajectory_recorder.py:127); the cap
+        # tracks the actual timeout in BOTH directions so timeout-truncated
+        # episodes stay filtered for any --episode_length
+        max_episode_length=FLAGS.episode_length,
     )
     print(f"[DONE] recorded {rec.num_recorded} episodes ({rec.num_filtered} filtered) -> {data_path}")
 

@@ -246,8 +246,24 @@ def learn(
     total_iterations: int = 8,
     seed: int = 0,
     logger=None,
+    mesh=None,
+    checkpoint_dir: str | None = None,
+    save_every: int = 0,
 ):
-    """Run PPG; returns (train_state, metrics_history)."""
+    """Run PPG; returns (train_state, metrics_history).
+
+    ``mesh``: optional `jax.sharding.Mesh` — minibatches shard over the data
+    axes and GSPMD inserts the gradient reductions over ICI, replacing the
+    reference's MPI flat-buffer allreduce (torch_util.py:440-470).  Params
+    stay replicated (pure dp).
+
+    ``checkpoint_dir`` + ``save_every``: periodic orbax saves of
+    {train state, phase optimizers, iteration, history} with automatic
+    resume from the latest step — the reference's periodic model save
+    (log_save_helper.py:117-139) plus exact optimizer-state resume, which
+    the reference does not have.  Rollout/env state is not saved (matching
+    the reference): a resumed run re-warms its envs.
+    """
     envs = [env_fn() for _ in range(config.num_envs)]
     model = PhasicValueModel(num_actions=15, arch=config.arch)
     key = envs[0].config.image_key.split(", ")[0]
@@ -258,19 +274,53 @@ def learn(
 
     ppo_step, aux_step, act_jit, logits_of, pi_step, vf_step, init_phase_opts = make_ppg_steps(model, config)
 
+    separate_phases = config.ppo_epochs != config.vf_epochs
+    phase_opts = init_phase_opts(state.params) if separate_phases else None
+
+    start_it = 0
+    history = []
+    mngr = None
+    if checkpoint_dir:
+        from ..checkpoint import CheckpointManager
+
+        mngr = CheckpointManager(checkpoint_dir)
+        if mngr.latest_step() is not None:
+            template = {"state": state}
+            if separate_phases:
+                template["phase_opts"] = phase_opts
+            restored, meta = mngr.restore(template)
+            state = restored["state"]
+            if separate_phases:
+                phase_opts = tuple(restored["phase_opts"])
+            start_it = int(meta.get("iteration", -1)) + 1
+            history = list(meta.get("history", []))
+
+    if mesh is not None:
+        from ..parallel.mesh import replicated
+
+        state = jax.device_put(state, replicated(mesh))
+        if phase_opts is not None:
+            phase_opts = jax.device_put(phase_opts, replicated(mesh))
+
+    def _save(it):
+        payload = {"state": jax.device_get(state)}
+        if separate_phases:
+            payload["phase_opts"] = jax.device_get(phase_opts)
+        mngr.save(it, payload, metadata={"iteration": it, "history": history}, wait=True)
+
+    put_batch, put_array = _make_put_fns(mesh)
+
     def act_fn(frames, rng):
-        return act_jit(state.params, jnp.asarray(frames), rng)
+        return act_jit(state.params, put_array(np.asarray(frames, np.float32)), rng)
 
     roller = Roller(envs, act_fn, seed=seed)
     rng = jax.random.PRNGKey(seed + 1)
-    history = []
     seg_buffer = []
-    phase_opts = None  # separate pi/vf optimizer states (e_pi != e_vf mode)
     normalizer = (
         RewardNormalizer(config.num_envs, gamma=config.gamma) if config.reward_norm else None
     )
 
-    for it in range(total_iterations):
+    for it in range(start_it, total_iterations):
         seg, rng = roller.collect(rng, config.segment_length)
         if normalizer is not None:
             seg["reward"] = normalizer.normalize_segment(seg["reward"], seg["done"])
@@ -288,35 +338,40 @@ def learn(
             "vtarg": vtarg.reshape(-1).astype(np.float32),
         }
         n = flat["act"].shape[0]
-        metrics = {}
+        # per-phase metric accumulation: reported values are means over every
+        # minibatch of the iteration, not last-minibatch snapshots
+        acc: dict = {}
+
+        def _acc(m, prefix=""):
+            for k, v in m.items():
+                acc.setdefault(prefix + k, []).append(v)
+
         perm_rng = np.random.default_rng(seed + it)
-        if config.ppo_epochs == config.vf_epochs:
+        if not separate_phases:
             # e_pi == e_vf: one combined objective per epoch (reference
             # ppo.py:151-152 uses a single optimizer in this case)
             for _ in range(config.ppo_epochs):
                 order = perm_rng.permutation(n)
                 for mb in np.array_split(order, config.minibatches):
-                    batch = {k: jnp.asarray(v[mb]) for k, v in flat.items()}
-                    state, metrics = ppo_step(state, batch)
+                    state, m = ppo_step(state, put_batch({k: v[mb] for k, v in flat.items()}))
+                    _acc(m)
         else:
             # e_pi != e_vf: separate epochs with separate persistent
             # optimizers, vf FIRST then pi (reference ppo.py:221-234)
-            if phase_opts is None:
-                phase_opts = init_phase_opts(state.params)
             pi_opt, vf_opt = phase_opts
             params = state.params
             for _ in range(config.vf_epochs):
                 order = perm_rng.permutation(n)
                 for mb in np.array_split(order, config.minibatches):
-                    batch = {k: jnp.asarray(v[mb]) for k, v in flat.items()}
+                    batch = put_batch({k: v[mb] for k, v in flat.items()})
                     params, vf_opt, vmetrics = vf_step(params, vf_opt, batch)
-                    metrics.update({f"vf_{k}": v for k, v in vmetrics.items()})
+                    _acc(vmetrics, "vf_")
             for _ in range(config.ppo_epochs):
                 order = perm_rng.permutation(n)
                 for mb in np.array_split(order, config.minibatches):
-                    batch = {k: jnp.asarray(v[mb]) for k, v in flat.items()}
+                    batch = put_batch({k: v[mb] for k, v in flat.items()})
                     params, pi_opt, pmetrics = pi_step(params, pi_opt, batch)
-                    metrics.update(pmetrics)
+                    _acc(pmetrics)
             phase_opts = (pi_opt, vf_opt)
             state = state.replace(params=params)
 
@@ -326,24 +381,57 @@ def learn(
         if (it + 1) % config.n_pi == 0 and config.aux_epochs > 0:
             all_obs = np.concatenate([s["obs"] for s in seg_buffer], axis=0)
             all_vtarg = np.concatenate([s["vtarg"] for s in seg_buffer], axis=0)
-            old_logits = np.asarray(logits_of(state.params, jnp.asarray(all_obs)))
+            old_logits = np.asarray(logits_of(state.params, put_array(all_obs)))
             m = all_obs.shape[0]
             for _ in range(config.aux_epochs):
                 order = perm_rng.permutation(m)
                 for mb in np.array_split(order, config.aux_minibatches):
-                    batch = {
-                        "obs": jnp.asarray(all_obs[mb]),
-                        "vtarg": jnp.asarray(all_vtarg[mb]),
-                        "old_logits": jnp.asarray(old_logits[mb]),
-                    }
+                    batch = put_batch({
+                        "obs": all_obs[mb],
+                        "vtarg": all_vtarg[mb],
+                        "old_logits": old_logits[mb],
+                    })
                     state, aux_metrics = aux_step(state, batch)
-                    metrics.update(aux_metrics)
+                    _acc(aux_metrics)
             seg_buffer = []
 
         ep_ret = float(np.mean(roller.ep_returns[-20:])) if roller.ep_returns else 0.0
-        record = {k: float(np.asarray(v)) for k, v in metrics.items()}
+        record = {k: float(np.mean([np.asarray(x) for x in v])) for k, v in acc.items()}
         record.update(iteration=it, mean_episode_return=ep_ret)
         history.append(record)
         if logger is not None:
             logger.log(record)
+        if mngr is not None and save_every and (
+            (it + 1) % save_every == 0 or it + 1 == total_iterations
+        ):
+            _save(it)
+    if mngr is not None:
+        mngr.close()
     return state, history
+
+
+def _make_put_fns(mesh):
+    """(put_batch, put_array) — host numpy onto the device(s).
+
+    Without a mesh: plain jnp.asarray.  With a mesh: shard the leading
+    (batch) dim over the data axes when divisible, else replicate — uneven
+    trailing ``np.array_split`` minibatches still work, they just run
+    replicated for that minibatch.
+    """
+    if mesh is None:
+        put_array = jnp.asarray
+    else:
+        from ..parallel.mesh import batch_sharding, replicated
+
+        n_data = int(np.prod([mesh.shape[a] for a in ("dp", "fsdp")]))
+
+        def put_array(x):
+            x = np.asarray(x)
+            if x.ndim >= 1 and x.shape[0] % n_data == 0:
+                return jax.make_array_from_process_local_data(batch_sharding(mesh, x.ndim), x)
+            return jax.device_put(x, replicated(mesh))
+
+    def put_batch(batch):
+        return {k: put_array(v) for k, v in batch.items()}
+
+    return put_batch, put_array

@@ -33,6 +33,13 @@ FLAGS_DEF = define_flags_with_default(
     fake_env=False,
     episode_length=1000,
     checkpoint_path="",
+    # data-parallel mesh size for the jitted updates (0/1 = single device);
+    # replaces the reference's MPI rank allreduce (torch_util.py:440-470)
+    mesh_dp=0,
+    # periodic orbax checkpointing + auto-resume (reference
+    # log_save_helper.py:117-139 saves periodically; resume is new here)
+    checkpoint_dir="",
+    save_every=0,
     logging=MetricsLogger.get_default_config(),
 )
 
@@ -74,8 +81,16 @@ def main(argv):
         beta_clone=FLAGS.beta_clone,
         arch=FLAGS.arch,
     )
+    mesh = None
+    if FLAGS.mesh_dp > 1:
+        import jax
+
+        from ..parallel.mesh import MeshConfig, create_mesh
+
+        mesh = create_mesh(MeshConfig(dp=FLAGS.mesh_dp), devices=jax.devices()[: FLAGS.mesh_dp])
     state, history = learn(
-        env_fn, config, total_iterations=FLAGS.total_iterations, seed=FLAGS.seed, logger=logger
+        env_fn, config, total_iterations=FLAGS.total_iterations, seed=FLAGS.seed, logger=logger,
+        mesh=mesh, checkpoint_dir=FLAGS.checkpoint_dir or None, save_every=FLAGS.save_every,
     )
     if FLAGS.checkpoint_path:
         import jax

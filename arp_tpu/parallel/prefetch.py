@@ -13,6 +13,7 @@ from __future__ import annotations
 import collections
 import queue
 import threading
+import time
 from typing import Iterator
 
 from .mesh import shard_batch
@@ -88,9 +89,26 @@ class ThreadedPrefetch:
         """Stop the producer and release queued batches (safe to call early,
         e.g. on the trainer's preemption exit path)."""
         self._closed = True
-        try:  # unblock a producer stuck in queue.put on a full queue
-            while True:
-                self._queue.get_nowait()
-        except queue.Empty:
+
+        def drain():
+            try:
+                while True:
+                    self._queue.get_nowait()
+            except queue.Empty:
+                pass
+
+        # Drain/join cycles: each drain unblocks a producer stuck in
+        # queue.put on a full queue (at capacity=1 it can block twice — on an
+        # item and then on the finally-put of the sentinel).
+        deadline = time.monotonic() + 5.0
+        while True:
+            drain()
+            self._thread.join(timeout=0.1)
+            if not self._thread.is_alive() or time.monotonic() > deadline:
+                break
+        # The drains may have consumed the sentinel; re-arm it so post-close
+        # iteration raises StopIteration instead of blocking forever.
+        try:
+            self._queue.put_nowait(self._SENTINEL)
+        except queue.Full:
             pass
-        self._thread.join(timeout=5.0)

@@ -252,3 +252,70 @@ def test_ppg_separate_pi_vf_epochs():
     assert "pg_loss" in last  # pi-phase metrics not clobbered by vf steps
     for k, v in last.items():
         assert np.isfinite(v), (k, v)
+
+
+def test_ppg_update_mesh_dp_matches_single_device():
+    """VERDICT r2 item 3: a PPG update sharded over the dp mesh produces the
+    same new params as the single-device oracle (GSPMD psum == local mean)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from flax.training.train_state import TrainState
+
+    from arp_tpu.collect.ppg import _make_put_fns, make_ppg_steps
+    from arp_tpu.parallel.mesh import MeshConfig, create_mesh, replicated
+
+    config = PPGConfig(minibatches=1)
+    model = PhasicValueModel(num_actions=15, arch="dual")
+    rng = np.random.default_rng(0)
+    obs = rng.random((16, 16, 16, 3)).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))["params"]
+    state = TrainState.create(apply_fn=model.apply, params=params, tx=optax.adam(1e-3))
+    ppo_step, aux_step, *_ = make_ppg_steps(model, config)
+    batch = {
+        "obs": obs,
+        "act": rng.integers(0, 15, 16).astype(np.int32),
+        "logp_old": -np.abs(rng.random(16)).astype(np.float32),
+        "adv": rng.normal(size=16).astype(np.float32),
+        "vtarg": rng.normal(size=16).astype(np.float32),
+    }
+    s1, _ = ppo_step(state, {k: jnp.asarray(v) for k, v in batch.items()})
+
+    mesh = create_mesh(MeshConfig(dp=8))
+    put_batch, _ = _make_put_fns(mesh)
+    s2, _ = ppo_step(jax.device_put(state, replicated(mesh)), put_batch(batch))
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5
+        ),
+        s1.params, s2.params,
+    )
+
+
+def test_ppg_mesh_learn_and_kill_resume(tmp_path):
+    """Mesh-parallel learn() with periodic checkpoints; a second learn() call
+    (as after a kill) resumes from the saved iteration, including the
+    separate-phase optimizer states."""
+    from arp_tpu.parallel.mesh import MeshConfig, create_mesh
+
+    def env_fn():
+        return FakeProcgen("coinrun", {"episode_length": 12, "image_size": 16, "grid": 3})
+
+    mesh = create_mesh(MeshConfig(dp=8))
+    config = PPGConfig(
+        num_envs=8, segment_length=8, n_pi=2, aux_epochs=1, minibatches=2,
+        aux_minibatches=2, ppo_epochs=1, vf_epochs=2, lr=1e-3,
+    )
+    ckpt = str(tmp_path / "ppg_ckpt")
+    _, hist = learn(env_fn, config, total_iterations=2, seed=0, mesh=mesh,
+                    checkpoint_dir=ckpt, save_every=1)
+    assert [r["iteration"] for r in hist] == [0, 1]
+
+    _, hist2 = learn(env_fn, config, total_iterations=4, seed=0, mesh=mesh,
+                     checkpoint_dir=ckpt, save_every=1)
+    # resumed: history carries iterations 0-1 from the checkpoint, runs 2-3
+    assert [r["iteration"] for r in hist2] == [0, 1, 2, 3]
+    for rec in hist2:
+        for k, v in rec.items():
+            assert np.isfinite(v), (k, v)
+    assert any(k.startswith("vf_") for k in hist2[-1])

@@ -75,3 +75,23 @@ def test_threaded_prefetch_propagates_errors():
         assert False, "should raise"
     except RuntimeError as e:
         assert "boom" in str(e)
+
+
+def test_threaded_prefetch_close_then_next_raises():
+    """close() must leave the sentinel armed: post-close iteration raises
+    StopIteration instead of blocking (ADVICE r2), including at capacity=1
+    where the producer can block twice during shutdown."""
+    tp = ThreadedPrefetch(iter(range(10)), capacity=1)
+    assert next(tp) == 0
+    tp.close()
+    import pytest
+
+    with pytest.raises(StopIteration):
+        next(tp)
+
+    # close after natural exhaustion is also safe
+    tp2 = ThreadedPrefetch(iter(range(2)), capacity=4)
+    assert list(tp2) == [0, 1]
+    tp2.close()
+    with pytest.raises(StopIteration):
+        next(tp2)

@@ -303,3 +303,55 @@ def test_labeler_default_path_matches_collect_contract(tmp_path):
     assert want_dir.endswith("_aisc")
     args.enable_filter = False
     assert "_unfiltered" in default_data_path(args)
+
+
+def test_labeler_streams_host_memory_o_batch(tmp_path):
+    """VERDICT r2 item 2: labeling a 100k-row file must keep host RSS O(batch),
+    not O(file).  The frame dataset is chunked but never written (HDF5 fill
+    value), so an eager ``g[key][:, -1]`` would materialize ~2.6 GB while the
+    streamed path reads 256-row windows.  Runs in a subprocess so ru_maxrss
+    reflects only this workload."""
+    import subprocess
+    import sys
+    import textwrap
+
+    from tests.cli_env import make_cli_env
+
+    script = textwrap.dedent(
+        """
+        import resource, sys
+        import h5py, numpy as np
+
+        path = sys.argv[1]
+        N, F, S = 100_000, 2, 96
+        with h5py.File(path, "w") as g:
+            # chunked + unwritten: reads return the fill value, nothing on disk
+            g.create_dataset("ob", shape=(N, F, S, S, 3), dtype="u1",
+                             chunks=(256, 1, S, S, 3))
+            done = np.zeros((N, F), bool)
+            done[999::1000] = True
+            g.create_dataset("done", data=done)
+
+        class DummyEngine:
+            batch_size = 256
+            def text_rewards(self, frames, text):
+                out = np.zeros(frames.shape[0], np.float32)
+                for s in range(0, frames.shape[0], self.batch_size):
+                    chunk = np.asarray(frames[s : s + self.batch_size])
+                    out[s : s + chunk.shape[0]] = chunk.reshape(chunk.shape[0], -1)[:, 0]
+                return out
+
+        from arp_tpu.reward.labeler import label_rewards
+        stats = label_rewards(path, "x", engine=DummyEngine(), progress=False)
+        assert stats["frames"] == N, stats
+        peak_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+        print(f"PEAK_MB={peak_mb:.0f}")
+        assert peak_mb < 1200, f"labeler materialized the file: peak {peak_mb:.0f} MB"
+        """
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", script, str(tmp_path / "big.hdf5")],
+        env=make_cli_env(), capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr + out.stdout
+    assert "PEAK_MB=" in out.stdout
