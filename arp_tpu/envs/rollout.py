@@ -221,6 +221,9 @@ def parallel_rollout(
     use_normalize: bool = False,
     use_crop: bool = False,
     goal_images=None,
+    initial_states=None,
+    feed_goal_to_policy: bool = False,
+    seed_offset: int = 0,
 ):
     """Lockstep rollout over N host envs with batched device inference.
 
@@ -229,11 +232,24 @@ def parallel_rollout(
     device round-trips per env step).  Finished episodes keep stepping a
     frozen no-op until all are done (standard padding semantics; their
     rewards stop accumulating).
+
+    ``initial_states``: optional length-N list of env state blobs — each env
+    resets then restores its state (goal-conditioned eval parity with
+    batch_rollout's traj_state_{ep}.npy restore).
+    ``feed_goal_to_policy``: window ``goal_images`` into the policy inputs
+    under "goal"/"ob" (GCBC eval).
     """
     n = len(envs)
     image_keys = envs[0].config.image_key.split(", ")
 
-    obs = [env.reset(env.config.rand_seed + i) for i, env in enumerate(envs)]
+    if initial_states is not None:
+        assert len(initial_states) == n, (len(initial_states), n)
+        obs = []
+        for env, state in zip(envs, initial_states):
+            env.reset()
+            obs.append(env.set_state(state))
+    else:
+        obs = [env.reset(env.config.rand_seed + seed_offset + i) for i, env in enumerate(envs)]
     done = np.zeros(n, bool)
     total_reward = np.zeros(n, np.float64)
     ep_lens = np.zeros(n, np.int64)
@@ -264,6 +280,11 @@ def parallel_rollout(
     rtg_now = {key: np.full(n, return_to_go / scale, np.float32) for key in image_keys}
     valid_len = 1
 
+    goal_input = None
+    if feed_goal_to_policy:
+        assert goal_images is not None, "feed_goal_to_policy needs goal_images"
+        goal_input = transform(np.asarray(goal_images))  # (N, ...) constant per episode
+
     def roll_into(buf, new):
         buf[:, :-1] = buf[:, 1:]
         buf[:, -1] = new
@@ -278,6 +299,8 @@ def parallel_rollout(
             "instruct": None,
             "text_padding_mask": None,
         }
+        if goal_input is not None:
+            inputs["goal"] = {"ob": np.repeat(goal_input[:, None], w, axis=1)}
         actions = np.asarray(jax.device_get(policy_fn(inputs=inputs, rngs=rng)))
 
         # rtg decrements use the PRE-step frame — the obs the policy just

@@ -55,6 +55,11 @@ class FaultDetector:
         self.warmup = warmup
         self._history: list = []
 
+    def reset(self):
+        """Clear history (e.g. after a rollback, so the trailing median does
+        not keep comparing against the faulted region)."""
+        self._history.clear()
+
     def check(self, loss: float) -> str:
         loss = float(loss)
         if not np.isfinite(loss):

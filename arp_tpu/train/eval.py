@@ -32,6 +32,8 @@ FLAGS_DEF = define_flags_with_default(
     window_size=4,
     use_text=False,
     num_test_episodes=100,
+    # >1: batched lockstep eval via parallel_rollout (waves of N envs)
+    eval_parallel_envs=0,
     return_to_go=0.0,
     scale=10.0,
     game_name="coinrun",

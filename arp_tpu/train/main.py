@@ -49,7 +49,7 @@ from ..parallel import MeshConfig, create_mesh, gather_to_host, make_train_step,
 from ..parallel.prefetch import ThreadedPrefetch
 from ..parallel.step import make_eval_step, shard_train_state
 from ..profiling import StepTimer
-from ..resilience import FaultDetector, PreemptionHandler
+from ..resilience import FaultDetector, Heartbeat, PreemptionHandler
 from ..rng import next_rng, set_random_seed
 
 FLAGS_DEF = define_flags_with_default(
@@ -77,6 +77,8 @@ FLAGS_DEF = define_flags_with_default(
     val_every_epochs=10,
     test_every_epochs=10,
     num_test_episodes=5,
+    # >1: batched lockstep eval via parallel_rollout (waves of N envs)
+    eval_parallel_envs=0,
     return_to_go=0.0,
     scale=10.0,
     game_name="coinrun",
@@ -106,6 +108,17 @@ FLAGS_DEF = define_flags_with_default(
     patch_dim=16,
     encode_image_size=0,
     explicit_l2_penalty=False,
+    # what to DO on a detected nan/spike (resilience.py): "log" keeps the r2
+    # behavior, "halt" exits non-zero, "rollback" restores the latest orbax
+    # checkpoint and keeps consuming data forward (skips the bad region)
+    fault_policy="log",
+    # heartbeat file for external watchdogs; "" -> <output_dir>/heartbeat,
+    # "off" disables
+    heartbeat_path="",
+    heartbeat_interval=60.0,
+    # chaos-testing hook: poison the batch at this step with NaNs to exercise
+    # the fault-detection/rollback path end to end (-1 = never)
+    fault_inject_step=-1,
 )
 
 FLAGS = flags.FLAGS
@@ -288,16 +301,30 @@ def main(argv):
         preemption = PreemptionHandler()
         faults = FaultDetector()
         step_timer = StepTimer()
+        heartbeat = None
+        if FLAGS.heartbeat_path != "off" and process_index == 0:
+            hb_path = FLAGS.heartbeat_path or os.path.join(
+                logger.config.output_dir, "heartbeat"
+            )
+            heartbeat = Heartbeat(hb_path, interval_s=FLAGS.heartbeat_interval)
 
         best_eval_score = -np.inf
         train_metrics = []
         for step in range(start_step, total_steps):
             batch = next(train_iter)
+            if FLAGS.fault_inject_step >= 0 and step == FLAGS.fault_inject_step:
+                absl_logging.warning("chaos: injecting NaN batch at step %d", step)
+                batch = jax.tree_util.tree_map(
+                    lambda x: x * jnp.nan if jnp.issubdtype(x.dtype, jnp.floating) else x,
+                    batch,
+                )
             epoch = step // steps_per_epoch
             rng, step_rng = jax.random.split(rng)
             gstate, aux = train_step(gstate, batch, step_rng)
             train_metrics.append(aux)
             step_timer.tick()
+            if heartbeat is not None:
+                heartbeat.beat(step)
 
             if preemption.should_stop:
                 absl_logging.warning("preemption signal: checkpointing and exiting at step %d", step)
@@ -311,6 +338,29 @@ def main(argv):
                 if status != "ok":
                     absl_logging.error("fault detector: %s at step %d (loss=%s)", status, step, logged["train_loss"])
                     logged["fault"] = status
+                    if FLAGS.fault_policy == "halt":
+                        logged.update(step=step, epoch=epoch)
+                        logger.log(logged)
+                        train_iter.close()
+                        raise SystemExit(
+                            f"fault detector: {status} at step {step} (fault_policy=halt)"
+                        )
+                    if FLAGS.fault_policy == "rollback":
+                        if ckpt is None or ckpt.latest_step() is None:
+                            train_iter.close()
+                            raise SystemExit(
+                                f"fault detector: {status} at step {step}; rollback "
+                                "requested but no checkpoint exists (--checkpoint_dir)"
+                            )
+                        ckpt.wait()  # an async save may still be finalizing
+                        host_state, meta = ckpt.restore(gather_to_host(gstate, mesh))
+                        gstate = shard_train_state(host_state, mesh)
+                        faults.reset()
+                        logged["rolled_back_to"] = int(meta.get("step", -1))
+                        absl_logging.warning(
+                            "fault rollback: restored step %s, continuing forward at step %d",
+                            meta.get("step"), step,
+                        )
                 logged.update(step=step, epoch=epoch, **step_timer.metrics(FLAGS.batch_size))
                 logger.log(logged)
                 train_metrics = []

@@ -402,3 +402,107 @@ def test_build_test_step_selects_clip_ft_engine(monkeypatch, tmp_path):
     step = tc.build_test_step(flags, M(), DS(), lambda x: x, use_text=False)
     assert built.get("ft") == {"loaded_from": str(tmp_path / "adapter")}
     assert callable(step)
+
+
+def test_trainer_cli_eval_parallel_envs(tmp_path):
+    """--eval_parallel_envs switches eval to the batched lockstep
+    parallel_rollout (VERDICT r2 item 4), including the goal-conditioned
+    path: engine state restore per env, goal images fed to the policy, and
+    wave handling when num_test_episodes % eval_parallel_envs != 0."""
+    from arp_tpu.collect.recorder import collect_demonstrations
+    from arp_tpu.envs.fake import FakeProcgen
+
+    data_root = str(tmp_path / "demos")
+    make_labeled_dataset(data_root)
+
+    eval_dir = os.path.join(data_root, "coinrun_hard_level500to1000_num30_frame8")
+    env = FakeProcgen("coinrun", {"episode_length": 20, "image_size": 32, "grid": 3})
+    rng = np.random.default_rng(0)
+    collect_demonstrations(
+        env, lambda obs: int(rng.integers(0, 4)),
+        os.path.join(eval_dir, "data_train.hdf5"),
+        num_episodes=4, game_name="coinrun", num_frames=8, seed=0,
+    )
+
+    from tests.cli_env import make_cli_env
+
+    out_dir = str(tmp_path / "out")
+    cmd = [
+        sys.executable, "-m", "arp_tpu.train.main",
+        "--epochs=1", "--warmup_epochs=0", "--batch_size=8", "--dataloader_n_workers=0",
+        "--log_freq=2", "--lr=1e-3", "--window_size=4",
+        "--use_vl=False", "--vl_type=GCBC", "--use_crop=False",
+        "--game_name=coinrun", "--val_every_epochs=0",
+        "--test_every_epochs=1", "--num_test_episodes=3", "--episode_length=10",
+        "--eval_parallel_envs=2",
+        "--eval_env=fake", "--eval_with_goal=True",
+        "--model.model_type=vit_debug", "--model.transfer_type=none",
+        "--model.emb_dim=32", "--model.depth=2", "--model.num_heads=4",
+        "--model.mlp_ratio=2", "--model.num_ensembles=2",
+        f"--data.path={data_root}", "--data.image_size=32", "--data.num_frames=8",
+        "--data.window_size=4", "--data.num_demonstrations=20",
+        f"--logging.output_dir={out_dir}",
+    ]
+    proc = subprocess.run(cmd, env=make_cli_env(), capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, f"stderr:\n{proc.stderr[-4000:]}"
+    records = [
+        json.loads(line)
+        for line in open(os.path.join(out_dir, os.listdir(out_dir)[0], "metrics.jsonl"))
+    ]
+    test_recs = [r for r in records if "test/return" in r]
+    assert test_recs, "parallel eval never ran"
+    assert "test/success_rate" in test_recs[-1]  # parallel_rollout's extra metric
+
+
+def test_trainer_fault_rollback_and_heartbeat(tmp_path):
+    """VERDICT r2 item 5: a NaN batch injected mid-training is detected, the
+    trainer restores the last orbax checkpoint and finishes cleanly
+    (fault_policy=rollback); the heartbeat file advances.  With
+    fault_policy=halt the same injection exits non-zero."""
+    from tests.cli_env import make_cli_env
+
+    data_root = str(tmp_path / "demos")
+    make_labeled_dataset(data_root)
+    out_dir = str(tmp_path / "out")
+    ckpt_dir = str(tmp_path / "ckpt")
+
+    def cmd(policy, out, ckpt):
+        return [
+            sys.executable, "-m", "arp_tpu.train.main",
+            "--epochs=4", "--warmup_epochs=0", "--batch_size=8",
+            "--dataloader_n_workers=0", "--log_freq=2", "--lr=1e-3",
+            "--window_size=4", "--use_vl=True", "--vl_type=clip", "--use_crop=False",
+            "--val_every_epochs=0", "--test_every_epochs=0", "--eval_env=none",
+            "--save_model_freq=2", f"--checkpoint_dir={ckpt}",
+            f"--fault_policy={policy}", "--fault_inject_step=5",
+            "--model.model_type=vit_debug", "--model.transfer_type=none",
+            "--model.emb_dim=32", "--model.depth=2", "--model.num_heads=4",
+            "--model.mlp_ratio=2",
+            f"--data.path={data_root}", "--data.image_size=32", "--data.num_frames=8",
+            "--data.window_size=4", "--data.use_vl=True", "--data.num_demonstrations=20",
+            f"--logging.output_dir={out}",
+        ]
+
+    proc = subprocess.run(
+        cmd("rollback", out_dir, ckpt_dir),
+        env=make_cli_env(), capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0, f"stderr:\n{proc.stderr[-4000:]}"
+    run_dir = os.path.join(out_dir, os.listdir(out_dir)[0])
+    records = [json.loads(line) for line in open(os.path.join(run_dir, "metrics.jsonl"))]
+    faulted = [r for r in records if r.get("fault") == "nan"]
+    assert faulted, "NaN injection was never detected"
+    assert faulted[0].get("rolled_back_to", -1) >= 0, faulted[0]
+    # training continued past the fault with finite losses
+    later = [r for r in records if "train_loss" in r and r.get("step", 0) > faulted[0]["step"]]
+    assert later and all(np.isfinite(r["train_loss"]) for r in later), later
+    assert any("final_step" in r for r in records), "trainer did not finish"
+    # heartbeat advanced (default path <output_dir>/heartbeat, beats at step 0)
+    assert os.path.exists(os.path.join(run_dir, "heartbeat"))
+
+    proc = subprocess.run(
+        cmd("halt", str(tmp_path / "out2"), str(tmp_path / "ckpt2")),
+        env=make_cli_env(), capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode != 0, "halt policy must exit non-zero"
+    assert "fault detector" in proc.stderr
