@@ -75,13 +75,34 @@ class Procgen:
         return template.format(game=self.game_name, env_type=self.config.eval_env_type)
 
     def _create_env(self, rand_seed: int = 42):
+        import os
+
+        if os.environ.get("ARP_TPU_FAKE_ENGINE"):
+            # gym3-faithful stub (real state-codec blobs): every branch below
+            # and in get_state/set_state runs exactly as against the real
+            # engine — only the C++ dynamics are simulated
+            from .gym3_stub import make_fake_gym_env
+
+            start_level, num_levels = self._level_range()
+            self._env = make_fake_gym_env(
+                game_name=self.game_name,
+                distribution_mode=self.config.distribution_mode,
+                num_levels=num_levels,
+                start_level=start_level,
+                rand_seed=rand_seed,
+                env_type=self.config.eval_env_type,
+                resolution=256 if self._image_resolution == "high" else 64,
+                episode_length=self.config.episode_length,
+            )
+            return
         try:
             import gym
         except ImportError as e:  # pragma: no cover
             raise ImportError(
                 "The procgen C++ engine (gym + procgen forks) is not installed. "
                 "Install procgen/procgenAISC/procgen_highres, or use "
-                "arp_tpu.envs.FakeProcgen for engine-free rollouts."
+                "arp_tpu.envs.FakeProcgen for engine-free rollouts, or set "
+                "ARP_TPU_FAKE_ENGINE=1 for the gym3-faithful stub."
             ) from e
         start_level, num_levels = self._level_range()
         self._env = gym.make(
