@@ -58,6 +58,8 @@ class ClipRewardEngine:
         tokenizer=None,
         model=None,
         quantize_weights=False,
+        fast_encode: bool = False,
+        fast_int8: bool = False,
     ):
         self.model = model if model is not None else clip_models.MODELS[model_name]()
         if variables is None:
@@ -138,6 +140,80 @@ class ClipRewardEngine:
         self._encode_images_jit = _encode_images
         self._encode_text_jit = _encode_text
 
+        # --- packed fast encode path (ops/vit_infer.py) -----------------------
+        # bf16 fused-QKV scan forward; optional static-int8 MXU matmuls
+        # (calibrated lazily on the first batch).  Requires the packed-patch
+        # pipeline (ViT tower + pil/host resize).
+        self._fast = None
+        self._fast_q = None
+        self._fast_int8 = bool(fast_int8)
+        self._needs_calib = False
+        if (fast_encode or fast_int8) and self._packed:
+            assert self._dequantize is None, (
+                "fast_encode and quantize_weights are mutually exclusive: the "
+                "fast path repacks raw kernels (int8 mode quantizes them itself)"
+            )
+            from ..ops import vit_infer
+
+            heads = self.model.vision_features // 64
+            self._fast = vit_infer.pack_vit_params(variables, self.model.vision_num_layers)
+            self._needs_calib = bool(fast_int8)
+
+            def _finish(feat, normalize):
+                norm_feat = feat / jnp.linalg.norm(feat, axis=-1, keepdims=True)
+                return jnp.where(normalize, norm_feat, feat)
+
+            @jax.jit
+            def _encode_fast(packed, frames, normalize):
+                x = clip_preprocess_packed_patches(
+                    frames, channels=3, image_size=img_size, patch_size=patch_size
+                )
+                return _finish(vit_infer.vit_encode(packed, x, heads), normalize)
+
+            @jax.jit
+            def _encode_fast_int8(qpacked, frames, normalize):
+                x = clip_preprocess_packed_patches(
+                    frames, channels=3, image_size=img_size, patch_size=patch_size
+                )
+                return _finish(vit_infer.vit_encode_int8(qpacked, x, heads), normalize)
+
+            @jax.jit
+            def _calibrate(packed, frames):
+                x = clip_preprocess_packed_patches(
+                    frames, channels=3, image_size=img_size, patch_size=patch_size
+                )
+                return vit_infer.calibrate_vit(packed, x, heads)
+
+            self._encode_fast_jit = _encode_fast
+            self._encode_fast_int8_jit = _encode_fast_int8
+            self._calibrate_jit = _calibrate
+        elif fast_encode or fast_int8:
+            import warnings
+
+            warnings.warn(
+                "fast_encode requires the packed ViT pipeline (ViT tower + "
+                "pil/host resize, no engine-side crop); using the standard path"
+            )
+            self._fast_int8 = False
+
+    def _encode_chunk(self, chunk_dev, normalize):
+        """Dispatch one device batch to the selected encode implementation."""
+        if self._fast is not None:
+            if self._needs_calib:
+                import numpy as _np
+
+                from ..ops import vit_infer
+
+                amax = jax.tree_util.tree_map(
+                    _np.asarray, self._calibrate_jit(self._fast, chunk_dev)
+                )
+                self._fast_q = vit_infer.quantize_packed(self._fast, amax)
+                self._needs_calib = False
+            if self._fast_int8:
+                return self._encode_fast_int8_jit(self._fast_q, chunk_dev, normalize)
+            return self._encode_fast_jit(self._fast, chunk_dev, normalize)
+        return self._encode_images_jit(self.variables, chunk_dev, normalize)
+
     # -- tokenization ---------------------------------------------------------
 
     @property
@@ -193,9 +269,7 @@ class ClipRewardEngine:
                 if k + 2 < len(starts):
                     pending.append(pool.submit(host_stage, starts[k + 2]))
                 chunk = pending.popleft().result()
-                outputs.append(
-                    self._encode_images_jit(self.variables, jax.device_put(chunk), normalize)
-                )
+                outputs.append(self._encode_chunk(jax.device_put(chunk), normalize))
         feats = np.concatenate([np.asarray(o) for o in outputs], axis=0)
         return feats[:n]
 

@@ -1,0 +1,110 @@
+"""Fast ViT encode path (ops/vit_infer.py): oracle parity + quantized modes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from arp_tpu.models.clip import CLIP
+from arp_tpu.ops.vit_infer import (
+    calibrate_vit,
+    pack_vit_params,
+    quantize_packed,
+    vit_encode,
+    vit_encode_int8,
+)
+from tests.test_reward_engine import TINY_CFG
+
+N_LAYERS = TINY_CFG["vision_num_layers"]
+HEADS = TINY_CFG["vision_features"] // 64
+PATCH = TINY_CFG["vision_patch_size"]
+IMG = 32
+N_PATCHES = (IMG // PATCH) ** 2
+
+
+def _setup():
+    model = CLIP(**TINY_CFG)
+    rng = np.random.default_rng(0)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, IMG, IMG, 3), jnp.float32),
+        jnp.zeros((1, 77), jnp.int32),
+    )
+    patches = rng.normal(size=(4, N_PATCHES, PATCH * PATCH * 3)).astype(np.float32)
+    return model, variables, jnp.asarray(patches)
+
+
+def test_fp32_pack_is_oracle_exact():
+    model, variables, patches = _setup()
+    want = model.apply(variables, patches, normalize=False, method=model.encode_image)
+    packed = pack_vit_params(variables, N_LAYERS, dtype=jnp.float32)
+    got = vit_encode(packed, patches, HEADS, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def _cos(a, b):
+    a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+    return float(
+        np.mean(
+            np.sum(a * b, -1)
+            / (np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1) + 1e-12)
+        )
+    )
+
+
+def test_bf16_pack_close_to_fp32():
+    model, variables, patches = _setup()
+    want = np.asarray(model.apply(variables, patches, normalize=False, method=model.encode_image))
+    packed = pack_vit_params(variables, N_LAYERS)  # bf16
+    got = vit_encode(packed, patches, HEADS)
+    assert _cos(got, want) > 0.995, _cos(got, want)
+
+
+def test_int8_static_calibrated_close():
+    model, variables, patches = _setup()
+    want = np.asarray(model.apply(variables, patches, normalize=False, method=model.encode_image))
+    packed = pack_vit_params(variables, N_LAYERS)
+    amax = jax.tree_util.tree_map(np.asarray, calibrate_vit(packed, patches, HEADS))
+    qpacked = quantize_packed(packed, amax)
+    got = vit_encode_int8(qpacked, patches, HEADS)
+    c = _cos(got, want)
+    assert c > 0.98, c
+    # calibration transfers: fresh inputs from the same distribution stay close
+    rng = np.random.default_rng(1)
+    fresh = jnp.asarray(rng.normal(size=patches.shape).astype(np.float32))
+    want2 = np.asarray(model.apply(variables, fresh, normalize=False, method=model.encode_image))
+    got2 = vit_encode_int8(qpacked, fresh, HEADS)
+    c2 = _cos(got2, want2)
+    assert c2 > 0.97, c2
+
+
+def test_engine_fast_paths_match_standard():
+    """ClipRewardEngine(fast_encode=True) rewards match the standard path
+    closely (bf16) and int8 stays within quantization tolerance."""
+    from arp_tpu.reward.engine import ClipRewardEngine
+    from tests.test_reward_engine import IMG_SIZE, TinyTokenizer
+
+    model, variables, _ = _setup()
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, size=(10, 48, 48, 3), dtype=np.uint8)
+    tok = TinyTokenizer()
+
+    base = ClipRewardEngine(model=model, variables=variables, batch_size=4,
+                            resize_mode="pil", image_size=IMG_SIZE, tokenizer=tok,
+                            compute_dtype=jnp.bfloat16)
+    fast = ClipRewardEngine(model=model, variables=variables, batch_size=4,
+                            resize_mode="pil", image_size=IMG_SIZE, tokenizer=tok,
+                            fast_encode=True)
+    q = ClipRewardEngine(model=model, variables=variables, batch_size=4,
+                         resize_mode="pil", image_size=IMG_SIZE, tokenizer=tok,
+                         fast_int8=True)
+    r0 = base.text_rewards(frames, "a coin")
+    r1 = fast.text_rewards(frames, "a coin")
+    r2 = q.text_rewards(frames, "a coin")
+    assert fast._fast is not None and q._fast is not None
+    assert q._fast_q is not None  # lazy calibration ran
+    np.testing.assert_allclose(r1, r0, rtol=0.05, atol=0.05)
+    np.testing.assert_allclose(r2, r0, rtol=0.12, atol=0.12)
+    # goal rewards too (unnormalized feature path)
+    g0 = base.goal_rewards(frames, goal_index=-1)
+    g1 = fast.goal_rewards(frames, goal_index=-1)
+    np.testing.assert_allclose(g1, g0, rtol=0.08, atol=0.3)
