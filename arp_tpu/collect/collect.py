@@ -132,8 +132,13 @@ def main(argv):
         paired_policy_env=paired,
         # reference keeps T < 1000 (trajectory_recorder.py:127); the cap
         # tracks the actual timeout in BOTH directions so timeout-truncated
-        # episodes stay filtered for any --episode_length
-        max_episode_length=FLAGS.episode_length,
+        # episodes stay excluded from EXPERT demos for any --episode_length.
+        # With --enable_filter=False (debug/unfiltered collection) timeout
+        # episodes are deliberately kept — otherwise nothing could ever be
+        # recorded without a success.
+        max_episode_length=(
+            FLAGS.episode_length if FLAGS.enable_filter else FLAGS.episode_length + 1
+        ),
     )
     print(f"[DONE] recorded {rec.num_recorded} episodes ({rec.num_filtered} filtered) -> {data_path}")
 

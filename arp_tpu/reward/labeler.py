@@ -200,6 +200,10 @@ def main():
     parser.add_argument("--resize_mode", type=str, default="pil", choices=["pil", "host", "fast"])
     parser.add_argument("--bf16", action="store_true", help="run the encoder in bfloat16")
     parser.add_argument("--int8", action="store_true", help="int8 weight-only quantization")
+    parser.add_argument("--fast", action="store_true",
+                        help="packed fused-QKV bf16 encode path (ops/vit_infer.py)")
+    parser.add_argument("--fast_int8", action="store_true",
+                        help="static-int8 MXU encode (calibrated on the first batch)")
     args = parser.parse_args()
 
     env_name = args.env_name if args.env_type == "none" else f"{args.env_name}_{args.env_type}"
@@ -230,6 +234,8 @@ def main():
             use_crop=args.use_crop,
             compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
             quantize_weights=args.int8,
+            fast_encode=args.fast,
+            fast_int8=args.fast_int8,
         )
     stats = label_rewards(
         data_path,

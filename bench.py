@@ -66,6 +66,9 @@ def main():
             resize_mode=mode,
             compute_dtype=jnp.bfloat16,  # encoder on the MXU in bf16 (ref: fp16 GPU)
             image_size=image_size,
+            # packed fused-QKV scan forward (ops/vit_infer.py) — same rewards
+            # within bf16 tolerance (tests/test_vit_infer.py), ~1.2x encode
+            fast_encode=not smoke,
         )
         for mode in ("pil", "host")
     }
@@ -83,13 +86,18 @@ def main():
         engine.text_rewards(frames[:batch_size], tokens)
 
     fps = 0.0
+    per_mode = {}
     for p in range(3):
-        for engine in engines.values():
+        for mode, engine in engines.items():
             t0 = time.time()
             rewards = engine.text_rewards(frames, tokens)
-            fps = max(fps, n_frames / (time.time() - t0))
+            mode_fps = n_frames / (time.time() - t0)
+            per_mode[mode] = max(per_mode.get(mode, 0.0), mode_fps)
+            fps = max(fps, mode_fps)
 
     assert np.isfinite(rewards).all()
+    if not smoke:
+        _write_detail(per_mode, model, variables, batch_size, src)
     print(
         json.dumps(
             {
@@ -100,6 +108,76 @@ def main():
             }
         )
     )
+
+
+def _write_detail(per_mode, model, variables, batch_size, src, path="bench_detail.json"):
+    """Side artifact (VERDICT r2 item 7): per-mode fps, the transfer-only
+    ceiling of the link, and device-resident encode rates (scan-amortized,
+    bf16 fast path and static-int8) — so round-over-round regressions in any
+    component stay visible despite tunnel variance.  The driver's one-line
+    stdout contract is unchanged."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    from arp_tpu.ops.vit_infer import (
+        calibrate_vit, pack_vit_params, quantize_packed, vit_encode, vit_encode_int8,
+    )
+
+    detail = {"mode_fps": {k: round(v, 1) for k, v in per_mode.items()},
+              "batch_size": batch_size}
+
+    # transfer-only ceiling: device_put of one packed frame batch + scalar out
+    rng = np.random.default_rng(1)
+    sum_only = jax.jit(lambda x: jnp.sum(x, dtype=jnp.int32))
+    chunk = rng.integers(0, 256, size=(batch_size, src, src * 3), dtype=np.uint8)
+    np.asarray(sum_only(jax.device_put(chunk)))  # compile
+    best = float("inf")
+    for p in range(3):
+        chunk = rng.integers(0, 256, size=(batch_size, src, src * 3), dtype=np.uint8)
+        t0 = time.time()
+        np.asarray(sum_only(jax.device_put(chunk)))
+        best = min(best, time.time() - t0)
+    detail["transfer_only_fps"] = round(batch_size / best, 1)
+
+    # device-resident encode (scan-amortized over ITERS fresh PRNG batches)
+    heads = model.vision_features // 64
+    patch = model.vision_patch_size
+    n_patches = (224 // patch) ** 2
+    packed = pack_vit_params(variables, model.vision_num_layers)
+    calib = jax.jit(lambda p, x: calibrate_vit(p, x, heads))(
+        packed, jax.random.normal(jax.random.PRNGKey(3), (64, n_patches, patch * patch * 3), jnp.float32)
+    )
+    qpacked = quantize_packed(packed, jax.tree_util.tree_map(np.asarray, calib))
+    iters = 16
+
+    def resident_fps(fn, params):
+        @jax.jit
+        def run(key):
+            def body(c, i):
+                x = jax.random.uniform(
+                    jax.random.fold_in(key, i), (batch_size, n_patches, patch * patch * 3), jnp.bfloat16
+                )
+                return c + jnp.sum(fn(params, x).astype(jnp.float32)), None
+
+            c, _ = lax.scan(body, jnp.float32(0), jnp.arange(iters))
+            return c
+
+        np.asarray(run(jax.random.PRNGKey(0)))  # compile
+        best = float("inf")
+        for p in range(3):
+            t0 = time.time()
+            np.asarray(run(jax.random.PRNGKey(p + 1)))
+            best = min(best, time.time() - t0)
+        return round(batch_size * iters / best, 1)
+
+    detail["encode_resident_bf16_fps"] = resident_fps(
+        lambda p, x: vit_encode(p, x, heads), packed
+    )
+    detail["encode_resident_int8_fps"] = resident_fps(
+        lambda p, x: vit_encode_int8(p, x, heads), qpacked
+    )
+    with open(path, "w") as f:
+        json.dump(detail, f, indent=1)
 
 
 if __name__ == "__main__":
