@@ -90,7 +90,6 @@ def pack_vit_params(variables, num_layers: int, dtype=jnp.bfloat16) -> dict:
         "ln_post_b": jnp.asarray(p["ln_post"]["bias"], jnp.float32),
         "proj": w(p["proj"]["kernel"]),
         "layers": layers,
-        "num_layers": num_layers,
     }
 
 
@@ -107,11 +106,17 @@ def _attention(q, k, v, num_heads):
     return out.reshape(b, n, d)
 
 
-def vit_encode(packed, patches, num_heads: int, compute_dtype=jnp.bfloat16):
+def _unstack(layers):
+    n = int(jax.tree_util.tree_leaves(layers)[0].shape[0])  # static under jit
+    return [jax.tree_util.tree_map(lambda a, _i=i: a[_i], layers) for i in range(n)]
+
+
+def vit_encode(packed, patches, num_heads: int, compute_dtype=jnp.bfloat16, unroll: bool = False):
     """Forward pass over pre-patchified inputs (B, N, P*P*C) -> (B, embed_dim).
 
     ``compute_dtype=float32`` is oracle-exact vs the flax model; bfloat16 is
-    the production mode.
+    the production mode.  ``unroll=True`` trades compile time for an unrolled
+    layer loop (lets XLA specialize/pipeline across layers).
     """
     cd = compute_dtype
     x = patches.astype(cd) @ packed["conv1"].astype(cd)
@@ -133,7 +138,11 @@ def vit_encode(packed, patches, num_heads: int, compute_dtype=jnp.bfloat16):
         x = x + ((h @ L["wproj"].astype(cd)).astype(jnp.float32) + L["bproj"]).astype(cd)
         return x, None
 
-    x, _ = jax.lax.scan(layer, x, packed["layers"])
+    if unroll:
+        for L in _unstack(packed["layers"]):
+            x, _ = layer(x, L)
+    else:
+        x, _ = jax.lax.scan(layer, x, packed["layers"])
     feat = _ln(x[:, 0], packed["ln_post_s"], packed["ln_post_b"], cd)
     return (feat @ packed["proj"].astype(cd)).astype(jnp.float32)
 
@@ -208,6 +217,68 @@ def quantize_packed(packed, amax, margin: float = 1.05) -> dict:
     return qpack
 
 
+def fused_int8_matmul(
+    x,
+    a_scale,
+    wq,
+    w_scale,
+    bias=None,
+    act: str = "none",
+    block_m: int = 256,
+    interpret: bool = False,
+):
+    """Pallas TPU kernel: quantize-on-the-fly int8 matmul with fused epilogue.
+
+    x: (M, K) bf16/f32; a_scale: () f32 static activation scale; wq: (K, N)
+    int8 (per-column scales w_scale (1, N) f32); bias (1, N) f32 or None;
+    act: "none" | "quickgelu" fused into the epilogue.  Returns (M, N) bf16.
+
+    Design (pallas guide quantization pattern): the WHOLE weight matrix stays
+    resident in VMEM (ViT-B tiles are <=9.4 MB int8) and the grid walks M
+    only — x is read once, the int32 accumulator never leaves registers/VMEM,
+    and the epilogue (scale + bias + activation) writes bf16 directly.  This
+    is what XLA cannot be relied on to do: its int32 dot output may
+    materialize to HBM before the convert/scale epilogue.
+    """
+    from jax.experimental import pallas as pl
+
+    m, k = x.shape
+    kk, n = wq.shape
+    assert k == kk
+    mp = -(-m // block_m) * block_m
+    if mp != m:
+        x = jnp.pad(x, ((0, mp - m), (0, 0)))
+    a = jnp.reshape(a_scale.astype(jnp.float32), (1, 1))
+    b = jnp.zeros((1, n), jnp.float32) if bias is None else jnp.reshape(bias, (1, n)).astype(jnp.float32)
+
+    def kern(x_ref, a_ref, w_ref, ws_ref, b_ref, o_ref):
+        inv = 127.0 / jnp.maximum(a_ref[0, 0], 1e-12)
+        q = jnp.clip(jnp.round(x_ref[...].astype(jnp.float32) * inv), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            q, w_ref[...], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        out = acc.astype(jnp.float32) * (ws_ref[...] * (a_ref[0, 0] / 127.0)) + b_ref[...]
+        if act == "quickgelu":
+            out = out * jax.nn.sigmoid(1.702 * out)
+        o_ref[...] = out.astype(o_ref.dtype)
+
+    out = pl.pallas_call(
+        kern,
+        grid=(mp // block_m,),
+        in_specs=[
+            pl.BlockSpec((block_m, k), lambda i: (i, 0)),
+            pl.BlockSpec((1, 1), lambda i: (0, 0)),
+            pl.BlockSpec((k, n), lambda i: (0, 0)),
+            pl.BlockSpec((1, n), lambda i: (0, 0)),
+            pl.BlockSpec((1, n), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_m, n), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((mp, n), jnp.bfloat16),
+        interpret=interpret,
+    )(x, a, wq, w_scale.astype(jnp.float32), b)
+    return out[:m]
+
+
 def _qmatmul(y, a_scale, wq, w_scale, bias=None):
     """Static-scale int8 matmul: bf16 activations -> int8 -> MXU int8 dot.
 
@@ -223,11 +294,37 @@ def _qmatmul(y, a_scale, wq, w_scale, bias=None):
     return out
 
 
-def vit_encode_int8(qpacked, patches, num_heads: int):
-    """int8 forward (static activation scales); attention + LN stay bf16/f32."""
+def vit_encode_int8(
+    qpacked,
+    patches,
+    num_heads: int,
+    unroll: bool = False,
+    impl: str = "xla",
+    interpret: bool = False,
+):
+    """int8 forward (static activation scales); attention + LN stay bf16/f32.
+
+    ``impl="pallas"`` routes every int8 matmul through
+    :func:`fused_int8_matmul` (quantize + int8 MXU dot + scale/bias/gelu
+    epilogue in one kernel, weights VMEM-resident); ``"xla"`` uses plain
+    jnp ops and lets XLA schedule.
+    """
     cd = jnp.bfloat16
     L = qpacked["layers"]
-    x = _qmatmul(patches, qpacked["a_conv1"], qpacked["conv1_q"], qpacked["conv1_ws"]).astype(cd)
+
+    def site(y, a, wq, ws, bias, act="none"):
+        if impl == "pallas":
+            lead = y.shape[:-1]
+            out = fused_int8_matmul(
+                y.reshape(-1, y.shape[-1]), a, wq, ws, bias, act=act, interpret=interpret
+            )
+            return out.reshape(*lead, out.shape[-1])
+        out = _qmatmul(y, a, wq, ws, bias).astype(cd)
+        if act == "quickgelu":
+            out = out * jax.nn.sigmoid(jnp.bfloat16(1.702) * out)
+        return out
+
+    x = site(patches, qpacked["a_conv1"], qpacked["conv1_q"], qpacked["conv1_ws"], None)
     b = x.shape[0]
     cls = jnp.broadcast_to(qpacked["cls"].astype(cd), (b, 1, x.shape[-1]))
     x = jnp.concatenate([cls, x], axis=1)
@@ -236,16 +333,19 @@ def vit_encode_int8(qpacked, patches, num_heads: int):
 
     def layer(x, L):
         y = _ln(x, L["ln1_s"], L["ln1_b"], cd)
-        qkv = _qmatmul(y, L["a_qkv"], L["wqkv_q"], L["wqkv_ws"], L["bqkv"])
-        q, k, v = jnp.split(qkv.astype(cd), 3, axis=-1)
+        qkv = site(y, L["a_qkv"], L["wqkv_q"], L["wqkv_ws"], L["bqkv"])
+        q, k, v = jnp.split(qkv, 3, axis=-1)
         a = _attention(q, k, v, num_heads)
-        x = x + _qmatmul(a, L["a_attn_out"], L["wout_q"], L["wout_ws"], L["bout"]).astype(cd)
+        x = x + site(a, L["a_attn_out"], L["wout_q"], L["wout_ws"], L["bout"])
         y = _ln(x, L["ln2_s"], L["ln2_b"], cd)
-        h = _qmatmul(y, L["a_fc"], L["wfc_q"], L["wfc_ws"], L["bfc"]).astype(cd)
-        h = h * jax.nn.sigmoid(jnp.bfloat16(1.702) * h)
-        x = x + _qmatmul(h, L["a_proj"], L["wproj_q"], L["wproj_ws"], L["bproj"]).astype(cd)
+        h = site(y, L["a_fc"], L["wfc_q"], L["wfc_ws"], L["bfc"], act="quickgelu")
+        x = x + site(h, L["a_proj"], L["wproj_q"], L["wproj_ws"], L["bproj"])
         return x, None
 
-    x, _ = jax.lax.scan(layer, x, L)
+    if unroll:
+        for Li in _unstack(L):
+            x, _ = layer(x, Li)
+    else:
+        x, _ = jax.lax.scan(layer, x, L)
     feat = _ln(x[:, 0], qpacked["ln_post_s"], qpacked["ln_post_b"], cd)
-    return _qmatmul(feat, qpacked["a_final"], qpacked["proj_q"], qpacked["proj_ws"])
+    return site(feat, qpacked["a_final"], qpacked["proj_q"], qpacked["proj_ws"], None).astype(jnp.float32)

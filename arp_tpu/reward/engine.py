@@ -198,7 +198,9 @@ class ClipRewardEngine:
 
     def _encode_chunk(self, chunk_dev, normalize):
         """Dispatch one device batch to the selected encode implementation."""
-        if self._fast is not None:
+        # getattr: subclasses (ClipFtRewardEngine) build their own pipelines
+        # and never initialize the fast-path attributes
+        if getattr(self, "_fast", None) is not None:
             if self._needs_calib:
                 import numpy as _np
 

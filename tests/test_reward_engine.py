@@ -351,7 +351,7 @@ def test_labeler_streams_host_memory_o_batch(tmp_path):
     )
     out = subprocess.run(
         [sys.executable, "-c", script, str(tmp_path / "big.hdf5")],
-        env=make_cli_env(), capture_output=True, text=True, timeout=600,
+        env=make_cli_env(), capture_output=True, text=True, timeout=900,
     )
     assert out.returncode == 0, out.stderr + out.stdout
     assert "PEAK_MB=" in out.stdout

@@ -108,3 +108,37 @@ def test_engine_fast_paths_match_standard():
     g0 = base.goal_rewards(frames, goal_index=-1)
     g1 = fast.goal_rewards(frames, goal_index=-1)
     np.testing.assert_allclose(g1, g0, rtol=0.08, atol=0.3)
+
+
+def test_fused_int8_matmul_kernel():
+    """Pallas fused kernel (interpret mode) == the plain XLA int8 matmul."""
+    from arp_tpu.ops.vit_infer import _qmatmul, _quant_w, fused_int8_matmul
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(37, 64)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(64, 48)).astype(np.float32))
+    wq, ws = _quant_w(w)
+    a = jnp.float32(float(np.abs(np.asarray(x)).max()))
+    bias = jnp.asarray(rng.normal(size=(1, 48)).astype(np.float32))
+
+    ref = np.asarray(_qmatmul(x, a, wq, ws, bias))
+    got = np.asarray(fused_int8_matmul(x, a, wq, ws, bias, interpret=True, block_m=16), np.float32)
+    np.testing.assert_allclose(got, ref, rtol=0.02, atol=0.02)
+
+    refg = ref * (1.0 / (1.0 + np.exp(-1.702 * ref)))
+    gotg = np.asarray(
+        fused_int8_matmul(x, a, wq, ws, bias, act="quickgelu", interpret=True, block_m=16),
+        np.float32,
+    )
+    np.testing.assert_allclose(gotg, refg, rtol=0.05, atol=0.05)
+
+
+def test_int8_pallas_impl_matches_xla():
+    """Full int8 forward: pallas impl (interpret) tracks the XLA impl."""
+    model, variables, patches = _setup()
+    packed = pack_vit_params(variables, N_LAYERS)
+    amax = jax.tree_util.tree_map(np.asarray, calibrate_vit(packed, patches, HEADS))
+    qpacked = quantize_packed(packed, amax)
+    a = vit_encode_int8(qpacked, patches, HEADS, impl="xla")
+    b = vit_encode_int8(qpacked, patches, HEADS, impl="pallas", interpret=True, unroll=True)
+    assert _cos(a, b) > 0.999, _cos(a, b)
