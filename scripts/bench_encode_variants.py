@@ -56,6 +56,8 @@ def main():
         "fast_bf16_unroll": (lambda p, x: vit_encode(p, x, heads, unroll=True), packed),
         "fast_int8": (lambda p, x: vit_encode_int8(p, x, heads), qpacked),
         "fast_int8_unroll": (lambda p, x: vit_encode_int8(p, x, heads, unroll=True), qpacked),
+        "fast_int8_pallas": (lambda p, x: vit_encode_int8(p, x, heads, impl="pallas"), qpacked),
+        "fast_int8_pallas_unroll": (lambda p, x: vit_encode_int8(p, x, heads, impl="pallas", unroll=True), qpacked),
     }
 
     for b in args.batches:
