@@ -93,14 +93,20 @@ def pack_vit_params(variables, num_layers: int, dtype=jnp.bfloat16) -> dict:
     }
 
 
-def _attention(q, k, v, num_heads):
-    """(B, N, D) fused attention; fp32 scores/softmax, value matmul in v's dtype."""
+def _attention(q, k, v, num_heads, score_dtype=jnp.float32):
+    """(B, N, D) fused attention; softmax in ``score_dtype`` (fp32 default).
+
+    ``score_dtype=bfloat16`` halves the HBM traffic of the (B, H, N, N)
+    score/probability tensors — the right trade for bulk inference (scores
+    are max-subtracted before exp, so bf16's ~3 significant digits bound the
+    softmax weight error at ~1e-3; accuracy covered by the cosine tests).
+    """
     b, n, d = q.shape
     hd = d // num_heads
     split = lambda t: t.reshape(b, n, num_heads, hd)
     q, k, v = split(q), split(k), split(v)
-    s = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
-    s = s * (hd**-0.5)
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=score_dtype)
+    s = s * jnp.asarray(hd**-0.5, score_dtype)
     p = jax.nn.softmax(s, axis=-1)
     out = jnp.einsum("bhqk,bkhd->bqhd", p.astype(v.dtype), v)
     return out.reshape(b, n, d)
@@ -111,7 +117,8 @@ def _unstack(layers):
     return [jax.tree_util.tree_map(lambda a, _i=i: a[_i], layers) for i in range(n)]
 
 
-def vit_encode(packed, patches, num_heads: int, compute_dtype=jnp.bfloat16, unroll: bool = False):
+def vit_encode(packed, patches, num_heads: int, compute_dtype=jnp.bfloat16, unroll: bool = False,
+               score_dtype=jnp.float32):
     """Forward pass over pre-patchified inputs (B, N, P*P*C) -> (B, embed_dim).
 
     ``compute_dtype=float32`` is oracle-exact vs the flax model; bfloat16 is
@@ -130,7 +137,7 @@ def vit_encode(packed, patches, num_heads: int, compute_dtype=jnp.bfloat16, unro
         y = _ln(x, L["ln1_s"], L["ln1_b"], cd)
         qkv = (y @ L["wqkv"].astype(cd)).astype(jnp.float32) + L["bqkv"]
         q, k, v = jnp.split(qkv.astype(cd), 3, axis=-1)
-        a = _attention(q, k, v, num_heads)
+        a = _attention(q, k, v, num_heads, score_dtype)
         x = x + ((a @ L["wout"].astype(cd)).astype(jnp.float32) + L["bout"]).astype(cd)
         y = _ln(x, L["ln2_s"], L["ln2_b"], cd)
         h = ((y @ L["wfc"].astype(cd)).astype(jnp.float32) + L["bfc"]).astype(cd)
@@ -301,6 +308,7 @@ def vit_encode_int8(
     unroll: bool = False,
     impl: str = "xla",
     interpret: bool = False,
+    score_dtype=jnp.float32,
 ):
     """int8 forward (static activation scales); attention + LN stay bf16/f32.
 
@@ -335,7 +343,7 @@ def vit_encode_int8(
         y = _ln(x, L["ln1_s"], L["ln1_b"], cd)
         qkv = site(y, L["a_qkv"], L["wqkv_q"], L["wqkv_ws"], L["bqkv"])
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        a = _attention(q, k, v, num_heads)
+        a = _attention(q, k, v, num_heads, score_dtype)
         x = x + site(a, L["a_attn_out"], L["wout_q"], L["wout_ws"], L["bout"])
         y = _ln(x, L["ln2_s"], L["ln2_b"], cd)
         h = site(y, L["a_fc"], L["wfc_q"], L["wfc_ws"], L["bfc"], act="quickgelu")

@@ -50,6 +50,9 @@ def main():
         packed, jax.random.normal(jax.random.PRNGKey(3), (64, N_PATCHES, PATCH * PATCH * 3), jnp.float32)
     )
     qpacked = quantize_packed(packed, jax.tree_util.tree_map(np.asarray, calib))
+    bf16_vars = jax.tree_util.tree_map(
+        lambda p: p.astype(jnp.bfloat16) if jnp.issubdtype(p.dtype, jnp.floating) else p, variables
+    )
 
     FNS = {
         "fast_bf16": (lambda p, x: vit_encode(p, x, heads), packed),
@@ -58,6 +61,9 @@ def main():
         "fast_int8_unroll": (lambda p, x: vit_encode_int8(p, x, heads, unroll=True), qpacked),
         "fast_int8_pallas": (lambda p, x: vit_encode_int8(p, x, heads, impl="pallas"), qpacked),
         "fast_int8_pallas_unroll": (lambda p, x: vit_encode_int8(p, x, heads, impl="pallas", unroll=True), qpacked),
+        "fast_int8_sm16": (lambda p, x: vit_encode_int8(p, x, heads, score_dtype=jnp.bfloat16), qpacked),
+        "fast_bf16_sm16": (lambda p, x: vit_encode(p, x, heads, score_dtype=jnp.bfloat16), packed),
+        "model_bf16": (lambda p, x: model.apply(p, x, normalize=False, method=model.encode_image), bf16_vars),
     }
 
     for b in args.batches:
