@@ -342,11 +342,15 @@ def test_labeler_streams_host_memory_o_batch(tmp_path):
                 return out
 
         from arp_tpu.reward.labeler import label_rewards
+        base_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
         stats = label_rewards(path, "x", engine=DummyEngine(), progress=False)
         assert stats["frames"] == N, stats
         peak_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
-        print(f"PEAK_MB={peak_mb:.0f}")
-        assert peak_mb < 1200, f"labeler materialized the file: peak {peak_mb:.0f} MB"
+        print(f"BASE_MB={base_mb:.0f} PEAK_MB={peak_mb:.0f}")
+        # an eager g[key][:, -1] would add ~2.6 GB; the streamed path adds
+        # O(batch).  1.8 GB leaves room for interpreter/cache baseline drift
+        # under a loaded machine while still refuting eager materialization.
+        assert peak_mb < 1800, f"labeler materialized the file: peak {peak_mb:.0f} MB"
         """
     )
     out = subprocess.run(
