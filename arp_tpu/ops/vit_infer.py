@@ -18,6 +18,15 @@ unchanged, only faster).  Differences that buy throughput on the MXU:
     gain, hence static calibration.  int8*int8->int32 hits the MXU's double
     rate natively through XLA (no custom kernel needed).
 
+Full-model results at B=256 (scan-amortized, interleaved stability runs,
+docs/BENCHMARKS.md round-3 section): flax default path 2,957 fps; this
+module's int8 mode **3,114 fps (+5.3%)** — the theoretical 2x matmul gain is
+mostly consumed by the bandwidth-bound LN/quantize/softmax passes between
+matmuls, which dominate once matmuls shrink.  The bf16 packed mode and the
+pallas fused kernel (`fused_int8_matmul`) measured BELOW the XLA paths on
+this chip (2,510 / 2,162 fps) and remain available for hardware where the
+balance differs (impl="pallas", score_dtype options).
+
 Accuracy: the fp32 mode is oracle-exact vs the flax model (parity test);
 bf16/int8 accuracy is bounded by cosine-similarity tests and the engine's
 reward-MAE tests (tests/test_vit_infer.py).

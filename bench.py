@@ -66,9 +66,6 @@ def main():
             resize_mode=mode,
             compute_dtype=jnp.bfloat16,  # encoder on the MXU in bf16 (ref: fp16 GPU)
             image_size=image_size,
-            # packed fused-QKV scan forward (ops/vit_infer.py) — same rewards
-            # within bf16 tolerance (tests/test_vit_infer.py), ~1.2x encode
-            fast_encode=not smoke,
         )
         for mode in ("pil", "host")
     }
@@ -120,7 +117,7 @@ def _write_detail(per_mode, model, variables, batch_size, src, path="bench_detai
     from jax import lax
 
     from arp_tpu.ops.vit_infer import (
-        calibrate_vit, pack_vit_params, quantize_packed, vit_encode, vit_encode_int8,
+        calibrate_vit, pack_vit_params, quantize_packed, vit_encode_int8,
     )
 
     detail = {"mode_fps": {k: round(v, 1) for k, v in per_mode.items()},
@@ -170,8 +167,11 @@ def _write_detail(per_mode, model, variables, batch_size, src, path="bench_detai
             best = min(best, time.time() - t0)
         return round(batch_size * iters / best, 1)
 
+    bf16_vars = jax.tree_util.tree_map(
+        lambda p: p.astype(jnp.bfloat16) if jnp.issubdtype(p.dtype, jnp.floating) else p, variables
+    )
     detail["encode_resident_bf16_fps"] = resident_fps(
-        lambda p, x: vit_encode(p, x, heads), packed
+        lambda p, x: model.apply(p, x, normalize=False, method=model.encode_image), bf16_vars
     )
     detail["encode_resident_int8_fps"] = resident_fps(
         lambda p, x: vit_encode_int8(p, x, heads), qpacked
