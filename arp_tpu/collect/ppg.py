@@ -258,11 +258,15 @@ def learn(
     stay replicated (pure dp).
 
     ``checkpoint_dir`` + ``save_every``: periodic orbax saves of
-    {train state, phase optimizers, iteration, history} with automatic
-    resume from the latest step — the reference's periodic model save
-    (log_save_helper.py:117-139) plus exact optimizer-state resume, which
-    the reference does not have.  Rollout/env state is not saved (matching
-    the reference): a resumed run re-warms its envs.
+    {train state, phase optimizers, reward-normalizer stats, iteration,
+    history} with automatic resume from the latest step — the reference's
+    periodic model save (log_save_helper.py:117-139) plus exact
+    optimizer-state resume, which the reference does not have.
+    Deliberately NOT saved: rollout/env state (matching the reference — a
+    resumed run re-warms its envs) and the aux-phase ``seg_buffer`` (up to
+    n_pi full segments of frames; the first aux phase after a resume
+    distills from however many segments accumulated since — the reference
+    restarts with an empty buffer too, since it cannot resume at all).
     """
     envs = [env_fn() for _ in range(config.num_envs)]
     model = PhasicValueModel(num_actions=15, arch=config.arch)
@@ -279,6 +283,7 @@ def learn(
 
     start_it = 0
     history = []
+    restored_normalizer = None
     mngr = None
     if checkpoint_dir:
         from ..checkpoint import CheckpointManager
@@ -288,10 +293,15 @@ def learn(
             template = {"state": state}
             if separate_phases:
                 template["phase_opts"] = phase_opts
+            if config.reward_norm:
+                template["normalizer"] = RewardNormalizer(
+                    config.num_envs, gamma=config.gamma
+                ).state_dict()
             restored, meta = mngr.restore(template)
             state = restored["state"]
             if separate_phases:
                 phase_opts = tuple(restored["phase_opts"])
+            restored_normalizer = restored.get("normalizer")
             start_it = int(meta.get("iteration", -1)) + 1
             history = list(meta.get("history", []))
 
@@ -306,6 +316,8 @@ def learn(
         payload = {"state": jax.device_get(state)}
         if separate_phases:
             payload["phase_opts"] = jax.device_get(phase_opts)
+        if normalizer is not None:
+            payload["normalizer"] = normalizer.state_dict()
         mngr.save(it, payload, metadata={"iteration": it, "history": history}, wait=True)
 
     put_batch, put_array = _make_put_fns(mesh)
@@ -319,6 +331,8 @@ def learn(
     normalizer = (
         RewardNormalizer(config.num_envs, gamma=config.gamma) if config.reward_norm else None
     )
+    if normalizer is not None and restored_normalizer is not None:
+        normalizer.load_state_dict(restored_normalizer)
 
     for it in range(start_it, total_iterations):
         seg, rng = roller.collect(rng, config.segment_length)
@@ -392,7 +406,8 @@ def learn(
                         "old_logits": old_logits[mb],
                     })
                     state, aux_metrics = aux_step(state, batch)
-                    _acc(aux_metrics)
+                    # "loss" would collide with the ppo/pi-phase loss key
+                    _acc({("aux_loss" if k == "loss" else k): v for k, v in aux_metrics.items()})
             seg_buffer = []
 
         ep_ret = float(np.mean(roller.ep_returns[-20:])) if roller.ep_returns else 0.0
@@ -401,8 +416,8 @@ def learn(
         history.append(record)
         if logger is not None:
             logger.log(record)
-        if mngr is not None and save_every and (
-            (it + 1) % save_every == 0 or it + 1 == total_iterations
+        if mngr is not None and (
+            (save_every and (it + 1) % save_every == 0) or it + 1 == total_iterations
         ):
             _save(it)
     if mngr is not None:

@@ -41,6 +41,21 @@ class RewardNormalizer:
         self.epsilon = epsilon
         self._ret = np.zeros(num_envs, np.float64)
 
+    def state_dict(self) -> dict:
+        """Running statistics for checkpoint/resume (PPG periodic saves)."""
+        return {
+            "mean": np.asarray(self.rms.mean, np.float64),
+            "var": np.asarray(self.rms.var, np.float64),
+            "count": np.float64(self.rms.count),
+            "ret": np.asarray(self._ret, np.float64).copy(),
+        }
+
+    def load_state_dict(self, d: dict):
+        self.rms.mean = np.asarray(d["mean"], np.float64)
+        self.rms.var = np.asarray(d["var"], np.float64)
+        self.rms.count = float(d["count"])
+        self._ret = np.asarray(d["ret"], np.float64).copy()
+
     def __call__(self, rewards: np.ndarray, dones: np.ndarray) -> np.ndarray:
         self._ret = self._ret * self.gamma + rewards
         self.rms.update(self._ret)

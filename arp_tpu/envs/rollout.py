@@ -62,6 +62,37 @@ def compute_step_reward(engine, vl_type: str, obs_image, text=None, goal_image=N
     raise ValueError(vl_type)
 
 
+def open_goal_eval(eval_data_path: str, data_name: str, num_episodes: int):
+    """Open a goal-eval demo file and compute trajectory boundaries.
+
+    Shared by batch_rollout and the parallel eval driver (train/common.py) so
+    the boundary/goal conventions cannot diverge.  Returns (h5file, traj_idx);
+    caller closes the file.
+    """
+    import h5py
+
+    f = h5py.File(os.path.join(eval_data_path, data_name), "r")
+    traj_idx = list(np.nonzero(f["done"][:, -1])[0] + 1)
+    traj_idx.insert(0, 0)
+    # needs one MORE boundary than episodes: episode ep reads traj_idx[ep + 1]
+    # (the reference's plain >= IndexErrors on the final episode when counts
+    # are exactly equal)
+    assert len(traj_idx) - 1 >= num_episodes, (
+        f"eval file has {len(traj_idx) - 1} trajectories < num_episodes {num_episodes}"
+    )
+    return f, traj_idx
+
+
+def load_goal_and_state(eval_data_path: str, eval_hdf5, traj_idx, ep: int):
+    """Episode ep's goal frame (last frame of its eval trajectory) and the
+    engine state blob to restore at t=0 (traj_state_{ep}.npy row 0)."""
+    goal = eval_hdf5["ob"][traj_idx[ep + 1] - 1, -1]
+    state = np.load(
+        os.path.join(eval_data_path, f"traj_state_{ep}.npy"), allow_pickle=True
+    )[0]
+    return goal, state
+
+
 def batch_rollout(
     rng,
     data_aug_rng,
@@ -94,15 +125,7 @@ def batch_rollout(
     eval_hdf5 = None
     eval_traj_idx = None
     if eval_data_path is not None:
-        eval_hdf5 = h5py.File(os.path.join(eval_data_path, data_name), "r")
-        eval_traj_idx = list(np.nonzero(eval_hdf5["done"][:, -1])[0] + 1)
-        eval_traj_idx.insert(0, 0)
-        # needs one MORE boundary than episodes: episode ep reads
-        # eval_traj_idx[ep + 1] (the reference's plain >= IndexErrors on the
-        # final episode when counts are exactly equal)
-        assert len(eval_traj_idx) - 1 >= num_episodes, (
-            f"eval file has {len(eval_traj_idx) - 1} trajectories < num_episodes {num_episodes}"
-        )
+        eval_hdf5, eval_traj_idx = open_goal_eval(eval_data_path, data_name, num_episodes)
 
     batch_fn = lambda x: np.asarray(x)[None, None, ...]
     concat_fn = lambda a, b: np.concatenate([a, b], axis=1)
@@ -137,19 +160,19 @@ def batch_rollout(
         all_inputs: dict = {}
         done = False
         goal_image = None
+        initial_state = None
         if eval_hdf5 is not None:
-            goal_image = eval_hdf5["ob"][eval_traj_idx[ep + 1] - 1, -1]
+            goal_image, initial_state = load_goal_and_state(
+                eval_data_path, eval_hdf5, eval_traj_idx, ep
+            )
 
         obs = None
         next_obs = None
         for t in range(episode_length):
             if t == 0:
                 if eval_data_path is not None:
-                    traj_state = np.load(
-                        os.path.join(eval_data_path, f"traj_state_{ep}.npy"), allow_pickle=True
-                    )
                     env.reset()
-                    obs = env.set_state(traj_state[0])
+                    obs = env.set_state(initial_state)
                     obs["goal"] = {"ob": goal_image}
                 else:
                     obs = env.reset(env.config.rand_seed + ep)

@@ -106,8 +106,12 @@ class ThreadedPrefetch:
             self._thread.join(timeout=0.1)
             if not self._thread.is_alive() or time.monotonic() > deadline:
                 break
-        # The drains may have consumed the sentinel; re-arm it so post-close
-        # iteration raises StopIteration instead of blocking forever.
+        # A producer that finished between the last drain and join can have
+        # left [item..., sentinel] queued; drain once more so post-close
+        # next() cannot return stale data ahead of the sentinel.
+        drain()
+        # The drains consumed the sentinel; re-arm it so post-close iteration
+        # raises StopIteration instead of blocking forever.
         try:
             self._queue.put_nowait(self._SENTINEL)
         except queue.Full:

@@ -156,7 +156,12 @@ class ClipRewardEngine:
             from ..ops import vit_infer
 
             heads = self.model.vision_features // 64
-            self._fast = vit_infer.pack_vit_params(variables, self.model.vision_num_layers)
+            # the bf16-vs-f32 choice follows compute_dtype, same as the
+            # standard path (int8 calibration runs on the bf16 pack)
+            fast_dtype = jnp.bfloat16 if fast_int8 else compute_dtype
+            self._fast = vit_infer.pack_vit_params(
+                variables, self.model.vision_num_layers, dtype=fast_dtype
+            )
             self._needs_calib = bool(fast_int8)
 
             def _finish(feat, normalize):
@@ -168,7 +173,9 @@ class ClipRewardEngine:
                 x = clip_preprocess_packed_patches(
                     frames, channels=3, image_size=img_size, patch_size=patch_size
                 )
-                return _finish(vit_infer.vit_encode(packed, x, heads), normalize)
+                return _finish(
+                    vit_infer.vit_encode(packed, x, heads, compute_dtype=fast_dtype), normalize
+                )
 
             @jax.jit
             def _encode_fast_int8(qpacked, frames, normalize):

@@ -52,7 +52,12 @@ class LastFrameWindow:
 
     def __getitem__(self, sl):
         if not isinstance(sl, slice):
-            sl = slice(sl, sl + 1)
+            idx = int(sl)
+            if idx < 0:
+                idx += self.shape[0]
+            if not 0 <= idx < self.shape[0]:
+                raise IndexError(sl)
+            return self._ds[self._start + idx, -1]
         lo, hi, step = sl.indices(self.shape[0])
         assert step == 1, "LastFrameWindow supports contiguous slices only"
         return self._ds[self._start + lo : self._start + hi, -1]

@@ -373,8 +373,6 @@ def build_test_step(flags_obj, model, train_dataset, eval_transform, use_text, m
             return [Procgen(flags_obj.game_name, dict(env_conf)) for _ in range(k)]
 
         def parallel_test_step_fn(gstate, rng):
-            import h5py
-
             if mesh is not None:
                 params = gather_to_host(gstate.params, mesh)
             else:
@@ -383,52 +381,50 @@ def build_test_step(flags_obj, model, train_dataset, eval_transform, use_text, m
             def policy(inputs, rngs):
                 return policy_fn_jit(params, inputs)
 
+            from ..envs.rollout import load_goal_and_state, open_goal_eval
+
             total = flags_obj.num_test_episodes
             eval_hdf5 = traj_idx = None
             if eval_data_path is not None:
-                eval_hdf5 = h5py.File(os.path.join(eval_data_path, eval_data_name), "r")
-                traj_idx = list(np.nonzero(eval_hdf5["done"][:, -1])[0] + 1)
-                traj_idx.insert(0, 0)
-                assert len(traj_idx) - 1 >= total, (
-                    f"eval file has {len(traj_idx) - 1} trajectories < num_test_episodes {total}"
-                )
+                eval_hdf5, traj_idx = open_goal_eval(eval_data_path, eval_data_name, total)
 
             metrics, weights = [], []
-            for wave_start in range(0, total, n_parallel):
-                eps = list(range(wave_start, min(wave_start + n_parallel, total)))
-                goals = states = None
+            try:
+                for wave_start in range(0, total, n_parallel):
+                    eps = list(range(wave_start, min(wave_start + n_parallel, total)))
+                    goals = states = None
+                    if eval_hdf5 is not None:
+                        pairs = [
+                            load_goal_and_state(eval_data_path, eval_hdf5, traj_idx, ep)
+                            for ep in eps
+                        ]
+                        goals = np.stack([g for g, _ in pairs])
+                        states = [s for _, s in pairs]
+                    m = parallel_rollout(
+                        rng=rng,
+                        envs=_make_envs(len(eps)),
+                        policy_fn=policy,
+                        transform_obs_fn=transform_obs,
+                        episode_length=flags_obj.episode_length,
+                        window_size=flags_obj.window_size,
+                        return_to_go=return_to_go,
+                        scale=scale,
+                        reward_engine=reward_engine,
+                        vl_type=flags_obj.vl_type,
+                        text=text,
+                        reward_min=getattr(train_dataset, "reward_min", 0.0),
+                        use_normalize=flags_obj.data.use_normalize,
+                        use_crop=flags_obj.use_crop,
+                        goal_images=goals,
+                        initial_states=states,
+                        feed_goal_to_policy=eval_hdf5 is not None,
+                        seed_offset=wave_start,
+                    )
+                    metrics.append(m)
+                    weights.append(len(eps))
+            finally:
                 if eval_hdf5 is not None:
-                    goals = np.stack([eval_hdf5["ob"][traj_idx[ep + 1] - 1, -1] for ep in eps])
-                    states = [
-                        np.load(
-                            os.path.join(eval_data_path, f"traj_state_{ep}.npy"), allow_pickle=True
-                        )[0]
-                        for ep in eps
-                    ]
-                m = parallel_rollout(
-                    rng=rng,
-                    envs=_make_envs(len(eps)),
-                    policy_fn=policy,
-                    transform_obs_fn=transform_obs,
-                    episode_length=flags_obj.episode_length,
-                    window_size=flags_obj.window_size,
-                    return_to_go=return_to_go,
-                    scale=scale,
-                    reward_engine=reward_engine,
-                    vl_type=flags_obj.vl_type,
-                    text=text,
-                    reward_min=getattr(train_dataset, "reward_min", 0.0),
-                    use_normalize=flags_obj.data.use_normalize,
-                    use_crop=flags_obj.use_crop,
-                    goal_images=goals,
-                    initial_states=states,
-                    feed_goal_to_policy=eval_hdf5 is not None,
-                    seed_offset=wave_start,
-                )
-                metrics.append(m)
-                weights.append(len(eps))
-            if eval_hdf5 is not None:
-                eval_hdf5.close()
+                    eval_hdf5.close()
             wsum = sum(weights)
             metric = {
                 k: np.float32(sum(float(m[k]) * w for m, w in zip(metrics, weights)) / wsum)

@@ -124,6 +124,17 @@ FLAGS_DEF = define_flags_with_default(
 FLAGS = flags.FLAGS
 
 
+def _state_finite(state) -> bool:
+    """True iff every floating param leaf is finite (one fused abs-sum reduce;
+    inf/nan propagate into the total)."""
+    leaves = [
+        l for l in jax.tree_util.tree_leaves(state.params)
+        if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating)
+    ]
+    total = sum(jnp.sum(jnp.abs(l.astype(jnp.float32))) for l in leaves)
+    return bool(np.isfinite(np.asarray(total)))
+
+
 def main(argv):
     del argv
     variant = get_user_flags(FLAGS, FLAGS_DEF)
@@ -310,6 +321,7 @@ def main(argv):
 
         best_eval_score = -np.inf
         train_metrics = []
+        last_rollback_step = None  # livelock guard for fault_policy=rollback
         for step in range(start_step, total_steps):
             batch = next(train_iter)
             if FLAGS.fault_inject_step >= 0 and step == FLAGS.fault_inject_step:
@@ -354,9 +366,27 @@ def main(argv):
                             )
                         ckpt.wait()  # an async save may still be finalizing
                         host_state, meta = ckpt.restore(gather_to_host(gstate, mesh))
+                        restored_step = int(meta.get("step", -1))
+                        if not _state_finite(host_state):
+                            # the poison reached a save before detection — a
+                            # restore->fault->restore livelock otherwise
+                            train_iter.close()
+                            raise SystemExit(
+                                f"fault detector: {status} at step {step}; latest "
+                                f"checkpoint (step {restored_step}) is itself "
+                                "non-finite — halting instead of looping"
+                            )
+                        if restored_step == last_rollback_step:
+                            train_iter.close()
+                            raise SystemExit(
+                                f"fault detector: {status} recurred immediately "
+                                f"after restoring step {restored_step} — data or "
+                                "model divergence, not a transient; halting"
+                            )
+                        last_rollback_step = restored_step
                         gstate = shard_train_state(host_state, mesh)
                         faults.reset()
-                        logged["rolled_back_to"] = int(meta.get("step", -1))
+                        logged["rolled_back_to"] = restored_step
                         absl_logging.warning(
                             "fault rollback: restored step %s, continuing forward at step %d",
                             meta.get("step"), step,
@@ -393,13 +423,21 @@ def main(argv):
                     logger.log_video(f"media/test_step{step}", videos[0])
                 score = float(metric["return"])
                 if ckpt is not None:
-                    ckpt.save_best(step, gather_to_host(gstate, mesh), score, metadata={"step": step})
+                    if np.isfinite(score) and _state_finite(gstate):
+                        ckpt.save_best(step, gather_to_host(gstate, mesh), score, metadata={"step": step})
+                    else:
+                        absl_logging.error("skipping best-save at step %d: non-finite score/params", step)
                 best_eval_score = max(best_eval_score, score)
 
             if ckpt is not None and step and (
                 (save_model_freq > 0 and step % save_model_freq == 0) or step == total_steps - 1
             ):
-                ckpt.save(step, gather_to_host(gstate, mesh), metadata={"step": step, "epoch": epoch})
+                # never persist poisoned state: a NaN checkpoint would defeat
+                # fault_policy=rollback (restore->fault->restore livelock)
+                if _state_finite(gstate):
+                    ckpt.save(step, gather_to_host(gstate, mesh), metadata={"step": step, "epoch": epoch})
+                else:
+                    absl_logging.error("skipping checkpoint at step %d: non-finite params", step)
 
         if train_metrics:  # flush whatever the log cadence left over
             logged = _mean_metrics(train_metrics, prefix="train_")

@@ -93,8 +93,8 @@ def main():
             fps = max(fps, mode_fps)
 
     assert np.isfinite(rewards).all()
-    if not smoke:
-        _write_detail(per_mode, model, variables, batch_size, src)
+    # headline FIRST: the detail stage adds many device programs on the flaky
+    # shared tunnel and must never cost the round its measured metric
     print(
         json.dumps(
             {
@@ -103,8 +103,16 @@ def main():
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(fps / (TARGET_MULTIPLIER * A100_REFERENCE_FPS), 3),
             }
-        )
+        ),
+        flush=True,
     )
+    if not smoke:
+        try:
+            _write_detail(per_mode, model, variables, batch_size, src)
+        except Exception as e:  # detail is best-effort telemetry
+            import sys
+
+            print(f"bench_detail skipped: {type(e).__name__}: {e}", file=sys.stderr)
 
 
 def _write_detail(per_mode, model, variables, batch_size, src, path="bench_detail.json"):

@@ -20,6 +20,11 @@ import argparse
 import json
 import time
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -43,14 +48,7 @@ def vit_flops(cfg, n_tokens):
     return f
 
 
-def timed_best(fn, passes, make_arg):
-    best = float("inf")
-    for p in range(passes):
-        a = make_arg(p)
-        t0 = time.time()
-        np.asarray(fn(a))  # host fetch forces completion on this backend
-        best = min(best, time.time() - t0)
-    return best
+from _bench_common import timed_best  # noqa: E402
 
 
 def main():

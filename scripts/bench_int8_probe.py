@@ -14,6 +14,11 @@ import argparse
 import json
 import time
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -23,14 +28,7 @@ M = 256 * 197  # ViT-B/16 batch-256 token rows
 D, H = 768, 3072
 
 
-def timed_best(fn, passes, make_arg):
-    best = float("inf")
-    for p in range(passes):
-        a = make_arg(p)
-        t0 = time.time()
-        np.asarray(fn(a))
-        best = min(best, time.time() - t0)
-    return best
+from _bench_common import timed_best  # noqa: E402
 
 
 def main():

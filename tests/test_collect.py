@@ -319,3 +319,28 @@ def test_ppg_mesh_learn_and_kill_resume(tmp_path):
         for k, v in rec.items():
             assert np.isfinite(v), (k, v)
     assert any(k.startswith("vf_") for k in hist2[-1])
+
+
+def test_ppg_final_save_and_normalizer_state(tmp_path):
+    """checkpoint_dir without save_every still saves the final iteration;
+    the reward normalizer's running stats round-trip through state_dict."""
+    from arp_tpu.checkpoint import CheckpointManager
+    from arp_tpu.collect.reward_normalizer import RewardNormalizer
+
+    def env_fn():
+        return FakeProcgen("coinrun", {"episode_length": 12, "image_size": 16, "grid": 3})
+
+    config = PPGConfig(num_envs=2, segment_length=8, minibatches=2, n_pi=4,
+                       aux_epochs=0, reward_norm=True, lr=1e-3)
+    ckpt = str(tmp_path / "ck")
+    learn(env_fn, config, total_iterations=2, seed=0, checkpoint_dir=ckpt)
+    assert CheckpointManager(ckpt).latest_step() == 1
+
+    rn = RewardNormalizer(2)
+    rn(np.array([1.0, 2.0]), np.array([0, 0]))
+    rn2 = RewardNormalizer(2)
+    rn2.load_state_dict(rn.state_dict())
+    out1 = rn(np.array([0.5, 1.0]), np.array([0, 1]))
+    out2 = rn2(np.array([0.5, 1.0]), np.array([0, 1]))
+    np.testing.assert_allclose(out1, out2)
+    np.testing.assert_allclose(rn._ret, rn2._ret)
