@@ -189,6 +189,12 @@ def convert_hdf5(hdf5_path: str, out_dir: str, keys=None, compress: bool = True)
             if data.dtype not in _DTYPE_CODES:
                 data = data.astype(np.float32)
             path = os.path.join(out_dir, f"{key}.arps")
-            write_arps(path, data, compress=compress)
+            # atomic publish: write under a per-process temp name then rename,
+            # so a concurrent host (per-host sharding) or a crashed conversion
+            # can never expose a truncated shard to the existence check in
+            # ProcgenDataset._init_arps
+            tmp = f"{path}.tmp.{os.getpid()}"
+            write_arps(tmp, data, compress=compress)
+            os.replace(tmp, path)
             written[key] = path
     return written

@@ -29,10 +29,14 @@ def cache_clip_embeddings(
     batch_note: bool = True,
 ) -> dict:
     """Write L2-normalized CLIP embeddings for every step's last frame."""
+    from ..reward.labeler import LastFrameWindow
+
     stats = {}
     with h5py.File(data_path, "a") as g:
         for key in image_keys.split(", "):
-            frames = g[key][:, -1]
+            # lazy window: O(batch) host memory for any file size (an eager
+            # g[key][:, -1] is tens of GB at production scale)
+            frames = LastFrameWindow(g[key])
             emb = engine.encode_image_features(frames, normalize=True)
             out_key = f"{key}_{name}_emb"
             if out_key in g:

@@ -85,10 +85,8 @@ class DataLoader:
             self.dataset.set_epoch_seed(self.seed * 100003 + self._epoch)
         return idx
 
-    def _iter_epoch(self) -> Iterator[dict]:
-        idx = self._epoch_indices()
-        self._epoch += 1
-        batches = [idx[i : i + self.batch_size] for i in range(0, len(idx), self.batch_size)]
+    def _iter_batches(self, batches) -> Iterator[dict]:
+        """Collate index batches through the worker pool (prefetch in flight)."""
         if self.num_workers <= 0:
             for b in batches:
                 yield _collate([self.dataset[int(i)] for i in b])
@@ -116,6 +114,12 @@ class DataLoader:
         finally:
             pool.shutdown(wait=False, cancel_futures=True)
 
+    def _iter_epoch(self) -> Iterator[dict]:
+        idx = self._epoch_indices()
+        self._epoch += 1
+        batches = [idx[i : i + self.batch_size] for i in range(0, len(idx), self.batch_size)]
+        yield from self._iter_batches(batches)
+
     def __iter__(self):
         return self._iter_epoch()
 
@@ -142,8 +146,9 @@ class DataLoader:
                 batches = [
                     idx[i : i + self.batch_size] for i in range(0, len(idx), self.batch_size)
                 ][skip_batches:]
-                for b in batches:
-                    yield _collate([self.dataset[int(i)] for i in b])
+                # same pooled prefetch as a normal epoch — the remainder of a
+                # resumed epoch must not run single-threaded
+                yield from self._iter_batches(batches)
                 first = False
                 continue
             first = False

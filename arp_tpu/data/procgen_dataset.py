@@ -144,22 +144,27 @@ class ProcgenDataset:
         )
         self.window_size = self.config.window_size
 
+        self.tokenizer = build_instruction_tokenizer(
+            self.config.use_bert_tokenizer, self.config.tokenizer_max_length
+        )
+        self.h5_file_traj_idx = self.get_traj_idx()
+
+        # AFTER h5_file_traj_idx: __len__ reads it when num_subset != -1
         if self.config.random_start:
             self.random_start_offset = np.random.default_rng().choice(len(self))
         elif start_offset_ratio is not None:
             self.random_start_offset = int(len(self) * start_offset_ratio) % len(self)
         else:
             self.random_start_offset = 0
-
-        self.tokenizer = build_instruction_tokenizer(
-            self.config.use_bert_tokenizer, self.config.tokenizer_max_length
-        )
-        self.h5_file_traj_idx = self.get_traj_idx()
         self.idx_to_traj = self.index_to_traj()
         self._arps = {}
         if self.config.use_arps:
             self._init_arps(path)
-        if self.config.use_vl:
+        if self.config.use_vl and not self.config.use_task_reward:
+            # task-reward mode reads h5["rtg"] directly and never touches the
+            # VL rtgs; the reference's unconditional preprocess (its
+            # data_procgen.py:97) would demand VL labels AND overwrite
+            # config.scale with a VL-derived value the task path divides by
             self.rtgs = self.preprocess_rtgs()
         # tokenized instruction is constant per dataset — compute once.
         instruct = get_m3ae_instruct(self.env_name) or ""

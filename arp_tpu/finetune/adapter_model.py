@@ -55,6 +55,12 @@ class ClipMultiscaleAdapter(nn.Module):
     def setup(self):
         cfg = CONFIGS[self.clip_model_name]
         self.clip_model = CLIP(**cfg)
+        # deliberately the TEXT tower's depth: the reference reads
+        # clip_model.transformer.layers (clip_multiscale_adapter.py:59), which
+        # is the text transformer — equal to the vision depth for ViT-B/16
+        # (the only backbone it instantiates) but a reference quirk we keep
+        # for checkpoint parity.  For vit_l14 this would read only the lower
+        # 12 of 24 visual layers, exactly as the reference would.
         self.num_clip_layers = cfg["text_num_layers"]
         self.visual_dim = cfg["vision_features"]
         self.text_dim = cfg["text_features"]

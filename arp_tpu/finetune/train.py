@@ -60,7 +60,11 @@ def main(argv):
     train_dataset = ProcgenActionDataset(FLAGS.data, dataset_name=FLAGS.dataset_name, split="train")
     val_dataset = ProcgenActionDataset(FLAGS.data, dataset_name=FLAGS.dataset_name, split="val")
     train_loader = DataLoader(train_dataset, FLAGS.batch_size, shuffle=True, seed=FLAGS.seed)
-    val_loader = DataLoader(val_dataset, FLAGS.batch_size, shuffle=False, seed=FLAGS.seed)
+    # drop_last=False: a val split smaller than batch_size must not crash, and
+    # val loss / best-checkpoint selection should see the tail batch
+    val_loader = DataLoader(
+        val_dataset, FLAGS.batch_size, shuffle=False, seed=FLAGS.seed, drop_last=False
+    )
 
     import os as _os
 
@@ -128,7 +132,12 @@ def main(argv):
 
     with mesh:
         gstate = shard_train_state(state, mesh)
-        clip_vars_dev = clip_variables  # frozen backbone, replicated by GSPMD
+        # one-time host->device transfer of the frozen backbone: numpy jit
+        # arguments are re-copied EVERY call, which would re-upload the whole
+        # CLIP tree per step
+        from ..parallel.mesh import replicated
+
+        clip_vars_dev = jax.device_put(clip_variables, replicated(mesh))
 
         rng = jax.random.PRNGKey(FLAGS.seed)
         step = 0

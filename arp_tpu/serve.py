@@ -29,6 +29,13 @@ import jax
 import numpy as np
 
 
+class UnknownSession(Exception):
+    """Raised for an expired/invalid session_id (-> HTTP 410, not 400)."""
+
+    def __init__(self, sid):
+        super().__init__(f"unknown or expired session {sid!r}")
+
+
 class PolicySession:
     """Sliding-window state for one rollout episode."""
 
@@ -98,7 +105,9 @@ class PolicyServer:
 
     def act(self, body: dict) -> dict:
         sid = body["session_id"]
-        session = self.sessions[sid]
+        session = self.sessions.get(sid)
+        if session is None:
+            raise UnknownSession(sid)
         obs = np.asarray(body["observation"], np.uint8)
         if self.transform_obs_fn is not None:
             obs = np.asarray(self.transform_obs_fn(obs))
@@ -152,6 +161,8 @@ class PolicyServer:
                         self._reply(200, server_self.close_session(body))
                     else:
                         self._reply(404, {"error": "not found"})
+                except UnknownSession as e:
+                    self._reply(410, {"error": str(e)})
                 except KeyError as e:
                     self._reply(400, {"error": f"missing field {e}"})
                 except Exception as e:  # surface errors to the client
@@ -217,6 +228,9 @@ def main():
         # serving random weights behind HTTP 200 is a production incident
         restored, meta = mngr.restore_params()
         params = jax.tree_util.tree_map(lambda t, r: np.asarray(r, dtype=t.dtype), params, restored)
+        # commit to device once: numpy jit arguments are re-copied on EVERY
+        # call, which would re-upload the whole policy per /v1/act request
+        params = jax.device_put(params)
         print(f"restored checkpoint step={meta.get('step')} from {args.checkpoint_dir}")
 
     @jax.jit

@@ -182,3 +182,40 @@ def test_loader_skip_batches_resume(tmp_path):
     resumed = resumed_loader.epochs(skip_batches=4)
     for k in range(4, 7):
         np.testing.assert_array_equal(next(resumed)["action"], reference_batches[k])
+
+
+def test_num_subset_with_offset_constructs(tmp_path):
+    """Regression (r3 review): num_subset != -1 made __len__ read
+    h5_file_traj_idx before __init__ assigned it when an offset/random_start
+    was requested -> AttributeError at construction."""
+    make_file(tmp_path)
+    cfg = {"path": str(tmp_path), "image_size": 8, "num_frames": 8,
+           "window_size": 4, "num_subset": 2}
+    ds = ProcgenDataset(cfg, dataset_name=NAME, split="train", start_offset_ratio=0.5)
+    assert len(ds) == ds.h5_file_traj_idx[2]
+    assert ds.random_start_offset == len(ds) // 2
+    _ = ds[0]  # item fetch works
+
+    cfg2 = dict(cfg, random_start=True)
+    ds2 = ProcgenDataset(cfg2, dataset_name=NAME, split="train")
+    assert 0 <= ds2.random_start_offset < len(ds2)
+
+
+def test_task_reward_mode_needs_no_vl_labels(tmp_path):
+    """Regression (r3 review): use_task_reward reads h5['rtg'] directly —
+    it must not require VL-labeled rewards nor let a VL-derived scale
+    overwrite config.scale."""
+    import h5py
+
+    make_file(tmp_path)
+    path = str(tmp_path / NAME / "data_train.hdf5")
+    with h5py.File(path, "a") as g:
+        n, f = g["ob"].shape[:2]
+        g.create_dataset("rtg", data=np.linspace(10, 0, n * f).reshape(n, f).astype(np.float32))
+        # NO ob_clip_reward datasets exist: preprocess_rtgs would raise
+    cfg = {"path": str(tmp_path), "image_size": 8, "num_frames": 8,
+           "window_size": 4, "use_vl": True, "use_task_reward": True, "scale": 10.0}
+    ds = ProcgenDataset(cfg, dataset_name=NAME, split="train")
+    item = ds[0]
+    assert item["rtg"]["ob"].shape == (4, 1)
+    assert ds.config.scale == 10.0  # not overwritten by a VL-derived scale
