@@ -90,3 +90,15 @@ def test_serve_bad_request(server_url):
 
 
 import urllib.error  # noqa: E402
+
+
+def test_serve_unknown_session_is_410(server_url):
+    """An expired/invalid session_id must map to 410, not 400 'missing field'
+    (the client DID send the field) — r3 review finding."""
+    obs = np.zeros((32, 32, 3), np.uint8).tolist()
+    try:
+        _post(server_url + "/v1/act", {"session_id": "deadbeef", "observation": obs})
+        assert False, "should have errored"
+    except urllib.error.HTTPError as e:
+        assert e.code == 410
+        assert "unknown or expired session" in json.loads(e.read())["error"]
