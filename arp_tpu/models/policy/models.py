@@ -266,6 +266,12 @@ class BasePolicy(nn.Module):
             # precomputed frozen-encoder embeddings (data/cache_embeddings.py):
             # no encoder lives in the model; text conditioning still loads the
             # CLIP text tower when use_text is set.
+            assert not self.use_goal, (
+                f"GCBC with {transfer_type}: cached embeddings carry no goal "
+                "frames, so goal conditioning would silently train as plain "
+                "BC — use the live encoder, or extend the cache with goal "
+                "embeddings first"
+            )
             assert not (cfg.use_text and not transfer_type.startswith("clip")), (
                 f"use_text with {transfer_type}: cached mode has no live text "
                 "tower for non-CLIP encoders — cache text embeddings or use "
@@ -309,11 +315,11 @@ class BasePolicy(nn.Module):
     # -- helpers --------------------------------------------------------------
 
     def patchify(self, x):
-        p = self.patch_dim
-        b, h, w, c = x.shape
-        x = x.reshape(b, h // p, p, w // p, p, c)
-        x = jnp.swapaxes(x, 2, 3)
-        return x.reshape(b, (h // p) * (w // p), p * p * c)
+        # single home for the layout-critical (p_row, p_col, channel) patch
+        # transform that converted checkpoints assume
+        from ..m3ae import extract_patches
+
+        return extract_patches(x, self.patch_dim)
 
     def _apply_adapter(self, emb):
         adapter = AdapterMLP(hidden_dim=emb.shape[-1], output_dim=emb.shape[-1], num_layers=2)
@@ -389,7 +395,12 @@ class BasePolicy(nn.Module):
             # the CLIP text tower (use_text + clip_*_cached); BC/GCBC batches
             # always carry instruct ids, so gate on the config, not on `text`
             if cfg.use_text and transfer_type.startswith("clip") and text is not None:
-                text_emb = self._frozen_clip_apply(self.pt_model.encode_text, text)
+                if cfg.use_from_scratch:
+                    # setup() builds no pt_params in this combination — run
+                    # the (trainable) text tower directly, like the live path
+                    text_emb = self.pt_model.encode_text(text)
+                else:
+                    text_emb = self._frozen_clip_apply(self.pt_model.encode_text, text)
                 text_emb = jnp.tile(jnp.expand_dims(text_emb, axis=1), (1, img_emb.shape[1], 1))
                 image_text_emb = jnp.concatenate([img_emb, text_emb], axis=-1)
             else:

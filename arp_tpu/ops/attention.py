@@ -58,7 +58,7 @@ def _xla_attention(q, k, v, spec: MaskSpec, kv_padding, scale, bias=None):
 
 
 def _flash_kernel(
-    q_ref, k_ref, v_ref, kvmask_ref, o_ref, *, spec, scale, block_q, block_k, seq_len, num_heads
+    q_ref, k_ref, v_ref, kvmask_ref, o_ref, *, spec, scale, block_q, block_k, seq_len
 ):
     j_q = pl.program_id(1)
     q = q_ref[0].astype(jnp.float32)  # (block_q, D)
@@ -106,9 +106,11 @@ def _flash_kernel(
 
 def _pallas_attention(q, k, v, spec: MaskSpec, kv_padding, scale, block_q=128, block_k=128):
     b, h, n, d = q.shape
-    block_q = min(block_q, max(8, n))
-    block_k = min(block_k, max(128, 128))
-    n_pad = -(-n // max(block_q, block_k)) * max(block_q, block_k)
+    # n_pad is a multiple of 128, so 128-blocks are always mosaic-legal
+    # (a block_q = n for 8 < n < 128 would violate the sublane tiling rule
+    # on real hardware — interpret-mode tests would not catch it)
+    block_q = block_k = 128
+    n_pad = -(-n // 128) * 128
 
     def pad(x):
         return jnp.pad(x, ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
@@ -132,13 +134,13 @@ def _pallas_attention(q, k, v, spec: MaskSpec, kv_padding, scale, block_q=128, b
         args.append(kvm)
         kernel = functools.partial(
             _flash_kernel, spec=spec, scale=scale, block_q=block_q, block_k=block_k,
-            seq_len=n, num_heads=h,
+            seq_len=n,
         )
     else:
         def kernel(q_ref, k_ref, v_ref, o_ref):
             _flash_kernel(
                 q_ref, k_ref, v_ref, None, o_ref, spec=spec, scale=scale,
-                block_q=block_q, block_k=block_k, seq_len=n, num_heads=h,
+                block_q=block_q, block_k=block_k, seq_len=n,
             )
 
     out = pl.pallas_call(

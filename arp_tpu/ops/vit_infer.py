@@ -205,11 +205,9 @@ def calibrate_vit(packed, patches, num_heads: int):
 
 def _quant_w(w):
     """Per-output-channel symmetric int8: (..., K, N) -> int8 + (..., 1, N) f32 scales."""
-    wf = jnp.asarray(w, jnp.float32)
-    absmax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)
-    scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
-    q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
-    return q, scale
+    from .quantization import quantize_array  # single home for the int8 math
+
+    return quantize_array(jnp.asarray(w, jnp.float32), axis=-2)
 
 
 def quantize_packed(packed, amax, margin: float = 1.05) -> dict:

@@ -23,17 +23,20 @@ def initialize(
 
     Returns (process_index, process_count).
     """
-    try:
-        if coordinator_address is not None:
-            jax.distributed.initialize(
-                coordinator_address=coordinator_address,
-                num_processes=num_processes,
-                process_id=process_id,
-            )
-        else:
+    if coordinator_address is not None:
+        # explicit coordinator: a failure here is a real misconfiguration —
+        # swallowing it would silently degrade the job to N independent
+        # single-process runs writing conflicting checkpoints
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    else:
+        try:
             # Cloud TPU / GKE: everything is discoverable from the metadata env
             jax.distributed.initialize()
-    except (ValueError, RuntimeError):
-        # single-process run (already initialized, or no cluster env)
-        pass
+        except (ValueError, RuntimeError):
+            # single-process run (already initialized, or no cluster env)
+            pass
     return jax.process_index(), jax.process_count()

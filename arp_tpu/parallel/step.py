@@ -1,8 +1,9 @@
 """jit-compiled train / eval step factories over a device mesh.
 
 Replaces the reference's pmap step functions (arp_dt/main_procgen.py:104-168)
-with GSPMD: the step is a single ``jax.jit`` whose input/output shardings are
-derived from the mesh; XLA inserts the gradient all-reduce over ICI (and param
+with GSPMD: inputs are committed to the mesh up front (``shard_train_state`` /
+``shard_batch``) and the step is a single ``jax.jit`` through which those
+shardings propagate; XLA inserts the gradient all-reduce over ICI (and param
 all-gathers under fsdp) automatically.  The donated train state keeps
 optimizer memory in place (reference donates pmap buffers the same way via
 ``donate_argnums``).
@@ -20,7 +21,6 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from .mesh import partition_params
 
 
 def l2_weight_penalty(params) -> jnp.ndarray:
@@ -53,6 +53,12 @@ def make_train_step(
 
     ``loss_fn(params, batch, rng) -> (loss, aux_dict)`` must be pure.
     Returns ``step(state, batch, rng) -> (new_state, aux)``.
+
+    Device placement is NOT enforced here: commit the state with
+    :func:`shard_train_state` and batches with ``shard_batch`` first — GSPMD
+    then propagates those shardings through the jitted step (and inserts the
+    gradient reductions).  ``mesh`` is accepted so callers build the step in
+    the same breath as the mesh; it is intentionally unused beyond that.
     """
 
     def _loss_with_penalty(params, batch, rng):
