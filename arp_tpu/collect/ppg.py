@@ -436,14 +436,14 @@ def _make_put_fns(mesh):
     if mesh is None:
         put_array = jnp.asarray
     else:
-        from ..parallel.mesh import batch_sharding, replicated
+        from ..parallel.mesh import replicated, shard_array
 
         n_data = int(np.prod([mesh.shape[a] for a in ("dp", "fsdp")]))
 
         def put_array(x):
             x = np.asarray(x)
             if x.ndim >= 1 and x.shape[0] % n_data == 0:
-                return jax.make_array_from_process_local_data(batch_sharding(mesh, x.ndim), x)
+                return shard_array(x, mesh)
             return jax.device_put(x, replicated(mesh))
 
     def put_batch(batch):

@@ -325,6 +325,11 @@ def parallel_rollout(
         if goal_input is not None:
             inputs["goal"] = {"ob": np.repeat(goal_input[:, None], w, axis=1)}
         actions = np.asarray(jax.device_get(policy_fn(inputs=inputs, rngs=rng)))
+        # write the chosen action into the CURRENT frame's slot (it was a 0
+        # placeholder during the policy call, exactly like batch_rollout's
+        # prepare_input appends action=0 for the step being decided): slot k
+        # must pair a_k with obs_k, the pairing training used
+        act_window[:, -1] = actions.astype(np.int32)
 
         # rtg decrements use the PRE-step frame — the obs the policy just
         # acted on — matching batch_rollout and the reference
@@ -363,11 +368,12 @@ def parallel_rollout(
                 raw_frames[key].append(np.asarray(o["image"][key]))
         total_reward += step_rewards
 
-        # update windows with the new obs
+        # update windows with the new obs; its action slot starts as the 0
+        # placeholder until the next policy call fills it
         for key in image_keys:
             roll_into(img_window[key], transform(np.stack(raw_frames[key])))
             roll_into(rtg_window[key], rtg_now[key][:, None])
-        roll_into(act_window, actions.astype(np.int32))
+        roll_into(act_window, np.zeros(n, np.int32))
         valid_len += 1
 
         if done.all():

@@ -160,6 +160,13 @@ def partition_params(params, mesh: Mesh):
     return jax.tree_util.tree_unflatten(treedef, specs)
 
 
+def shard_array(x, mesh: Mesh):
+    """Put one host-local array onto the mesh, sharded on the leading dim."""
+    x = np.asarray(x)
+    sharding = NamedSharding(mesh, batch_spec(x.ndim))
+    return jax.make_array_from_process_local_data(sharding, x)
+
+
 def shard_batch(batch, mesh: Mesh):
     """Put a host-local batch onto the mesh, sharded on the leading dim.
 
@@ -168,13 +175,7 @@ def shard_batch(batch, mesh: Mesh):
     global array (reference equivalent: the reshape-to-devices generator at
     main_procgen.py:642-701 + ``device_put_sharded``).
     """
-
-    def _put(x):
-        x = np.asarray(x)
-        sharding = NamedSharding(mesh, batch_spec(x.ndim))
-        return jax.make_array_from_process_local_data(sharding, x)
-
-    return jax.tree_util.tree_map(_put, batch)
+    return jax.tree_util.tree_map(lambda x: shard_array(x, mesh), batch)
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -279,12 +279,12 @@ def build_test_step(flags_obj, model, train_dataset, eval_transform, use_text, m
         "num_levels": flags_obj.env_num_levels,
         "start_level": flags_obj.env_start_level,
     }
-    if flags_obj.eval_env == "fake":
-        environment = FakeProcgen(flags_obj.game_name, {"episode_length": flags_obj.episode_length})
-    else:
+    def _make_sequential_env():
+        if flags_obj.eval_env == "fake":
+            return FakeProcgen(flags_obj.game_name, {"episode_length": flags_obj.episode_length})
         from ..envs.procgen import Procgen
 
-        environment = Procgen(flags_obj.game_name, env_conf)
+        return Procgen(flags_obj.game_name, env_conf)
 
     instruct_info = {"instruct": None, "text_padding_mask": None}
     if use_text:
@@ -336,7 +336,11 @@ def build_test_step(flags_obj, model, train_dataset, eval_transform, use_text, m
     @jax.jit
     def policy_fn_jit(params, inputs):
         merged = dict(inputs)
-        merged.update(instruct_info)
+        # fill instruct only when the caller left it unset — the parallel
+        # eval path tiles it to its env batch first
+        for k, v in instruct_info.items():
+            if merged.get(k) is None:
+                merged[k] = v
         return model.apply({"params": params}, merged, method=model.greedy_action)
 
     return_to_go = (
@@ -363,14 +367,22 @@ def build_test_step(flags_obj, model, train_dataset, eval_transform, use_text, m
         from ..envs.rollout import parallel_rollout
 
         def _make_envs(k):
+            # record_video off: parallel_rollout returns no videos, so the
+            # per-env frame buffers would only burn host RAM
             if flags_obj.eval_env == "fake":
                 return [
-                    FakeProcgen(flags_obj.game_name, {"episode_length": flags_obj.episode_length})
+                    FakeProcgen(
+                        flags_obj.game_name,
+                        {"episode_length": flags_obj.episode_length, "record_video": False},
+                    )
                     for _ in range(k)
                 ]
             from ..envs.procgen import Procgen
 
-            return [Procgen(flags_obj.game_name, dict(env_conf)) for _ in range(k)]
+            return [
+                Procgen(flags_obj.game_name, dict(env_conf, record_video=False))
+                for _ in range(k)
+            ]
 
         def parallel_test_step_fn(gstate, rng):
             if mesh is not None:
@@ -379,6 +391,15 @@ def build_test_step(flags_obj, model, train_dataset, eval_transform, use_text, m
                 params = jax.device_get(gstate.params)
 
             def policy(inputs, rngs):
+                if instruct_info["instruct"] is not None:
+                    b = inputs["action"].shape[0]
+                    inputs = dict(
+                        inputs,
+                        instruct=np.repeat(np.asarray(instruct_info["instruct"]), b, axis=0),
+                        text_padding_mask=np.repeat(
+                            np.asarray(instruct_info["text_padding_mask"]), b, axis=0
+                        ),
+                    )
                 return policy_fn_jit(params, inputs)
 
             from ..envs.rollout import load_goal_and_state, open_goal_eval
@@ -425,6 +446,13 @@ def build_test_step(flags_obj, model, train_dataset, eval_transform, use_text, m
             finally:
                 if eval_hdf5 is not None:
                     eval_hdf5.close()
+            if not metrics:  # num_test_episodes == 0: degrade like a skipped eval
+                nan = np.float32("nan")
+                return (
+                    {"return": nan, "episode_length": nan, "success_rate": nan},
+                    {"episode_len": 0.0},
+                    [],
+                )
             wsum = sum(weights)
             metric = {
                 k: np.float32(sum(float(m[k]) * w for m, w in zip(metrics, weights)) / wsum)
@@ -433,6 +461,8 @@ def build_test_step(flags_obj, model, train_dataset, eval_transform, use_text, m
             return metric, {"episode_len": float(metric["episode_length"])}, []
 
         return parallel_test_step_fn
+
+    environment = _make_sequential_env()
 
     def test_step_fn(gstate, rng):
         if mesh is not None:

@@ -276,3 +276,45 @@ def test_parallel_rollout_rewards_use_prestep_frames():
     first = stub.frames_seen[0]
     for i in range(2):
         np.testing.assert_array_equal(first[i], expected_first[i])
+
+
+def test_parallel_rollout_inputs_match_batch_rollout():
+    """r3 review: the action window must pair a_k with obs_k and carry the 0
+    placeholder in the current slot — exactly what batch_rollout feeds the
+    policy.  Compare the inputs both paths present to the SAME deterministic
+    policy on the same env seed, step by step."""
+    seen_seq, seen_par = [], []
+
+    def make_policy(sink):
+        counter = {"t": 0}
+
+        def policy_fn(inputs, rngs):
+            sink.append(
+                (np.asarray(inputs["action"]).copy(), np.asarray(inputs["image"]["ob"]).copy())
+            )
+            b = np.asarray(inputs["action"]).shape[0]
+            a = 1 + (counter["t"] % 3)  # deterministic non-trivial actions
+            counter["t"] += 1
+            return jnp.full((b,), a, jnp.int32)
+
+        return policy_fn
+
+    conf = {"episode_length": 6, "image_size": 16, "grid": 5, "rand_seed": 42}
+    batch_rollout(
+        rng=jax.random.PRNGKey(0), data_aug_rng=jax.random.PRNGKey(1),
+        env=FakeProcgen("coinrun", dict(conf)), policy_fn=make_policy(seen_seq),
+        episode_length=6, window_size=3, num_episodes=1,
+        return_to_go=10.0, scale=10.0,
+    )
+    parallel_rollout(
+        rng=jax.random.PRNGKey(0), envs=[FakeProcgen("coinrun", dict(conf))],
+        policy_fn=make_policy(seen_par), episode_length=6, window_size=3,
+        return_to_go=10.0, scale=10.0,
+    )
+    assert len(seen_seq) == len(seen_par), (len(seen_seq), len(seen_par))
+    for t, ((act_s, img_s), (act_p, img_p)) in enumerate(zip(seen_seq, seen_par)):
+        np.testing.assert_array_equal(act_p, act_s, err_msg=f"action window differs at t={t}")
+        np.testing.assert_array_equal(
+            img_p, (img_s if img_s.dtype == img_p.dtype else img_s.astype(img_p.dtype)),
+            err_msg=f"image window differs at t={t}",
+        )
