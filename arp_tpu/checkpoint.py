@@ -33,13 +33,29 @@ class CheckpointManager:
         self.best_score = -np.inf
         # survive resume: without this, the first post-restart eval would
         # overwrite a genuinely better saved best model
-        best_meta_dir = os.path.join(self.directory, "best", "metadata")
-        if os.path.isdir(best_meta_dir):
+        best_meta_dir = self._best_item_dir("metadata")
+        if best_meta_dir is not None:
             try:
                 meta = ocp.Checkpointer(ocp.JsonCheckpointHandler()).restore(best_meta_dir)
                 self.best_score = float(meta.get("score", -np.inf))
             except Exception:  # unreadable best metadata only costs the score
                 pass
+
+    def _best_item_dir(self, item: str) -> Optional[str]:
+        """Resolve the current best-model item dir via the atomic CURRENT
+        pointer; falls back to the legacy flat layout (pre-r3 checkpoints)."""
+        best_dir = os.path.join(self.directory, "best")
+        ptr = os.path.join(best_dir, "CURRENT")
+        if os.path.exists(ptr):
+            with open(ptr) as f:
+                vdir = os.path.join(best_dir, f.read().strip(), item)
+            return vdir if os.path.isdir(vdir) else None
+        legacy = os.path.join(best_dir, item)
+        return legacy if os.path.isdir(legacy) else None
+
+    def best_state_dir(self) -> Optional[str]:
+        """Directory of the current best model state (for external loaders)."""
+        return self._best_item_dir("state")
 
     def save(self, step: int, state, metadata: Optional[dict] = None, wait: bool = False):
         """Save train state + json-able metadata at `step` (async by default)."""
@@ -52,17 +68,35 @@ class CheckpointManager:
             self._mngr.wait_until_finished()
 
     def save_best(self, step: int, state, score: float, metadata: Optional[dict] = None):
-        """Track the best eval score; saves under a 'best' subdir when improved."""
+        """Track the best eval score; saves under a 'best' subdir when improved.
+
+        Crash-consistent: state+metadata land in a fresh version dir and only
+        become "the best" when the CURRENT pointer file is atomically
+        replaced — a crash mid-save can never pair a new state with a stale
+        score (or vice versa).
+        """
         if score <= self.best_score:
             return False
         self.best_score = score
         best_dir = os.path.join(self.directory, "best")
+        vname = f"v{step}"
+        vdir = os.path.join(best_dir, vname)
         ckptr = ocp.Checkpointer(ocp.StandardCheckpointHandler())
-        ckptr.save(os.path.join(best_dir, "state"), state, force=True)
+        ckptr.save(os.path.join(vdir, "state"), state, force=True)
         meta = dict(metadata or {}, step=step, score=float(score))
         ocp.Checkpointer(ocp.JsonCheckpointHandler()).save(
-            os.path.join(best_dir, "metadata"), meta, force=True
+            os.path.join(vdir, "metadata"), meta, force=True
         )
+        ptr_tmp = os.path.join(best_dir, f".CURRENT.tmp.{os.getpid()}")
+        with open(ptr_tmp, "w") as f:
+            f.write(vname)
+        os.replace(ptr_tmp, os.path.join(best_dir, "CURRENT"))
+        # prune superseded versions (and the legacy flat layout), best-effort
+        import shutil
+
+        for d in os.listdir(best_dir):
+            if (d.startswith("v") and d != vname) or d in ("state", "metadata"):
+                shutil.rmtree(os.path.join(best_dir, d), ignore_errors=True)
         return True
 
     def latest_step(self) -> Optional[int]:

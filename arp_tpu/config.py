@@ -31,6 +31,7 @@ _SCALAR_DEFINERS = (
 )
 _MULTI_DEFINERS = {
     int: absl.flags.DEFINE_multi_integer,
+    float: absl.flags.DEFINE_multi_float,
     str: absl.flags.DEFINE_multi_string,
 }
 
@@ -44,6 +45,11 @@ def _flag_definer(value: Any) -> Optional[Callable[[str, Any], None]]:
             return lambda name, default, _d=define, _t=typ: _d(
                 name, default, f"auto-registered {_t.__name__} flag"
             )
+    if isinstance(value, (list, tuple)) and not value:
+        raise ValueError(
+            "empty list/tuple default: the element type cannot be inferred — "
+            "use a typed non-empty default or a comma-separated string flag"
+        )
     if isinstance(value, (list, tuple)) and value:
         define = _MULTI_DEFINERS.get(type(value[0]))
         if define is not None:

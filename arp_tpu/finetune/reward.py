@@ -24,7 +24,16 @@ def load_adapter_params(path: str):
     if os.path.isdir(path):
         import orbax.checkpoint as ocp
 
-        for cand in (os.path.join(path, "best", "state"), path):
+        # best-model layouts: pointer-based (best/CURRENT -> vN/state, r3),
+        # legacy flat (best/state), or the checkpoint dir itself
+        best_dir = os.path.join(path, "best")
+        cands = []
+        ptr = os.path.join(best_dir, "CURRENT")
+        if os.path.exists(ptr):
+            with open(ptr) as f:
+                cands.append(os.path.join(best_dir, f.read().strip(), "state"))
+        cands += [os.path.join(best_dir, "state"), path]
+        for cand in cands:
             if os.path.isdir(cand):
                 restored = ocp.Checkpointer(ocp.StandardCheckpointHandler()).restore(cand)
                 if isinstance(restored, dict) and "params" in restored:

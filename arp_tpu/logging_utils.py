@@ -64,6 +64,10 @@ class MetricsLogger:
             with open(os.path.join(self.config.output_dir, "variant.json"), "w") as f:
                 json.dump(_jsonable(self._variant), f, indent=2, default=str)
             if self.config.online:
+                if self.config.random_delay > 0:
+                    # stagger wandb.init across workers (reference
+                    # utils.py WandBLogger random_delay semantics)
+                    time.sleep(np.random.uniform(0, self.config.random_delay))
                 try:
                     import wandb
 
@@ -99,7 +103,9 @@ class MetricsLogger:
             from .video import save_video
 
             path = os.path.join(self.config.output_dir, f"{key.replace('/', '_')}.mp4")
-            save_video(frames, path, fps=fps)
+            # save_video may fall back to .gif when no mp4 backend exists —
+            # log the path it actually wrote
+            path = save_video(frames, path, fps=fps)
             self.log({f"{key}_path": path})
         except Exception as e:  # video encoding is best-effort
             self.log({f"{key}_error": str(e)})

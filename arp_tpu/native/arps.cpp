@@ -70,6 +70,17 @@ void* arps_open(const char* path) {
   if (fread(af->shape, 8, af->ndim, f) != af->ndim) goto fail;
   if (fread(&af->dtype, 4, 1, f) != 1) goto fail;
   if (fread(&af->count, 8, 1, f) != 1) goto fail;
+  // bound the header count by the file size BEFORE allocating: a corrupt
+  // count would otherwise wrap (count+1 == 0), bad_alloc across the ctypes
+  // boundary, or index an undersized offsets table out of bounds
+  {
+    long header_pos = ftell(f);
+    if (header_pos < 0 || fseek(f, 0, SEEK_END) != 0) goto fail;
+    uint64_t file_size = (uint64_t)ftell(f);
+    if (fseek(f, header_pos, SEEK_SET) != 0) goto fail;
+    uint64_t remaining = file_size > (uint64_t)header_pos ? file_size - (uint64_t)header_pos : 0;
+    if (af->count == UINT64_MAX || (af->count + 1) > remaining / 8) goto fail;
+  }
   af->record_bytes = dtype_size(af->dtype);
   for (uint32_t i = 0; i < af->ndim; i++) af->record_bytes *= af->shape[i];
   af->offsets.resize(af->count + 1);

@@ -14,6 +14,7 @@ from collections import defaultdict
 from typing import Dict, Optional
 
 import jax
+import numpy as np
 
 
 class ProfileAccumulator:
@@ -30,8 +31,11 @@ class ProfileAccumulator:
             yield
         finally:
             if sync:
-                # drain the device queue so the measurement covers the work
-                jax.effects_barrier()
+                # drain the device compute stream: enqueue a trivial op and
+                # block on it — TPU executes one stream in order, so this
+                # waits for all previously dispatched work.  (effects_barrier
+                # only waits on effect tokens, NOT async compute.)
+                jax.block_until_ready(jax.device_put(np.float32(0)) + 0)
             dt = time.perf_counter() - start
             self.totals[f"wait_{name}"] += dt
             self.counts[name] += 1

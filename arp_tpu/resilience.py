@@ -27,7 +27,7 @@ class PreemptionHandler:
     instead of dying mid-write.
     """
 
-    def __init__(self, signals=(signal.SIGTERM,)):
+    def __init__(self, signals=(signal.SIGTERM, signal.SIGINT)):
         self.should_stop = False
         self._original = {}
         for sig in signals:
@@ -69,7 +69,10 @@ class FaultDetector:
             self._history.pop(0)
         if len(self._history) >= self.warmup:
             med = float(np.median(self._history))
-            if med > 0 and loss > self.spike_factor * med:
+            # deviation-based so zero/negative-median objectives (log-lik
+            # style losses) still trip: for positive medians this reduces to
+            # (1 + factor) * med ~ the old factor * med rule
+            if loss - med > self.spike_factor * max(abs(med), 1e-2):
                 return "spike"
         return "ok"
 

@@ -57,13 +57,9 @@ def compute_scale(return_to_go) -> float:
     Same digit heuristic as the reference (arp_dt/utils.py:453-463): a power of
     ten sized so the normalized return-to-go lands in roughly [0.5, 5].
     """
-    s = str(int(return_to_go))
-    if return_to_go >= 0:
-        max_digit = int(s[0])
-        n = len(s) - 1 if max_digit < 5 else len(s)
-    else:
-        max_digit = int(s[1])
-        n = len(s) - 2 if max_digit < 5 else len(s) - 1
+    s = str(abs(int(return_to_go)))  # int(-0.5) is "0": sign-free digits
+    max_digit = int(s[0])
+    n = len(s) - 1 if max_digit < 5 else len(s)
     return pow(10, n)
 
 

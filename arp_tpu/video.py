@@ -37,8 +37,11 @@ class VideoRecorder:
     def record(self, frame: np.ndarray):
         self.frames.append(np.asarray(frame))
 
-    def save(self, name: str) -> str:
+    def save(self, name: str) -> str | None:
+        """Write buffered frames; no-op (returns None) when nothing recorded."""
+        if not self.frames:
+            return None
         path = os.path.join(self.save_dir, name if name.endswith(".mp4") else name + ".mp4")
-        save_video(np.stack(self.frames), path, fps=self.fps)
+        path = save_video(np.stack(self.frames), path, fps=self.fps)
         self.frames.clear()
         return path
