@@ -97,6 +97,17 @@ class ClipMultiscaleAdapter(nn.Module):
 
     # -- encoders --------------------------------------------------------------
 
+    def adapt_image_features(self, intermediate_cls, final):
+        """Adapter head over trunk outputs: per-layer CLS tokens
+        (B, L*visual_dim, layer order 0..L-1) + the projected final embedding
+        (B, embed_dim).  Shared by the flax trunk path (encode_image) and the
+        packed fast trunk (ops/vit_infer.py) — one home for the head math."""
+        intermediate = self.image_intermediate_linear(intermediate_cls)
+        feature = jnp.concatenate([intermediate, final], axis=-1)
+        res = nn.sigmoid(self.image_residual_weight)
+        adapted = res * feature + (1.0 - res) * self.image_adapter(feature)
+        return adapted / jnp.linalg.norm(adapted, axis=-1, keepdims=True)
+
     def encode_image(self, clip_variables, image):
         """image: preprocessed (B, 224, 224, 3) -> normalized multiscale feature."""
         final, state = self.clip_model.apply(
@@ -111,11 +122,7 @@ class ClipMultiscaleAdapter(nn.Module):
         feats = [
             inter[f"intermediate_layer_{i}"][0][:, 0, :] for i in range(self.num_clip_layers)
         ]
-        intermediate = self.image_intermediate_linear(jnp.concatenate(feats, axis=-1))
-        feature = jnp.concatenate([intermediate, final], axis=-1)
-        res = nn.sigmoid(self.image_residual_weight)
-        adapted = res * feature + (1.0 - res) * self.image_adapter(feature)
-        return adapted / jnp.linalg.norm(adapted, axis=-1, keepdims=True)
+        return self.adapt_image_features(jnp.concatenate(feats, axis=-1), final)
 
     def encode_text(self, clip_variables, text):
         """text: (B, 77) or (B, n_text, 77) int tokens."""

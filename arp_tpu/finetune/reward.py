@@ -12,6 +12,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.clip import load_model_vars
+from ..models.clip.model import CONFIGS
 from ..ops.preprocess import clip_preprocess
 from ..reward.engine import ClipRewardEngine
 from .adapter_model import ClipMultiscaleAdapter
@@ -61,6 +62,9 @@ class ClipFtRewardEngine(ClipRewardEngine):
         image_size: int = 224,
         tokenizer=None,
         adapter: ClipMultiscaleAdapter | None = None,
+        fast_encode: bool = False,
+        fast_int8: bool = False,
+        clip_config: dict | None = None,
     ):
         adapter = adapter or ClipMultiscaleAdapter(clip_model_name=clip_model_name)
         if clip_variables is None:
@@ -99,6 +103,64 @@ class ClipFtRewardEngine(ClipRewardEngine):
 
         self._encode_images_jit = _encode_images
         self._encode_text_jit = _encode_text
+
+        # --- packed fast trunk (ops/vit_infer.py): the CLIP forward (the
+        # dominant cost) runs repacked/fused (optionally static-int8); the
+        # adapter head reuses its single flax implementation
+        # (adapt_image_features).  Text stays on the standard path (tiny).
+        self._fast = None
+        self._fast_q = None
+        self._fast_int8 = bool(fast_int8)
+        self._needs_calib = False
+        cfg = clip_config or CONFIGS[clip_model_name]
+        if (fast_encode or fast_int8) and cfg.get("vision_patch_size") is not None:
+            from ..ops import vit_infer
+            from ..ops.preprocess import clip_preprocess as _pre
+            heads = cfg["vision_features"] // 64
+            patch = cfg["vision_patch_size"]
+            n_layers_used = cfg["text_num_layers"]  # adapter quirk, see model
+            self._fast = vit_infer.pack_vit_params(clip_variables, cfg["vision_num_layers"])
+            self._needs_calib = bool(fast_int8)
+
+            def _patchify(frames):
+                from ..models.m3ae import extract_patches
+
+                x = _pre(frames, image_size=image_size, resize_mode="fast", crop_half=use_crop)
+                return extract_patches(x, patch)
+
+            def _adapt(final, inter):
+                # (L, B, D) layer-ordered CLS tokens -> (B, L*D), same concat
+                # order as the flax capture_intermediates path
+                inter = inter[:n_layers_used]
+                cls_cat = jnp.transpose(inter, (1, 0, 2)).reshape(inter.shape[1], -1)
+                return adapter.apply(
+                    {"params": adapter_params},
+                    cls_cat,
+                    final,
+                    method=adapter.adapt_image_features,
+                )
+
+            @jax.jit
+            def _encode_fast(packed, frames, normalize):
+                final, inter = vit_infer.vit_encode(
+                    packed, _patchify(frames), heads, return_intermediates=True
+                )
+                return _adapt(final, inter)
+
+            @jax.jit
+            def _encode_fast_int8(qpacked, frames, normalize):
+                final, inter = vit_infer.vit_encode_int8(
+                    qpacked, _patchify(frames), heads, return_intermediates=True
+                )
+                return _adapt(final, inter)
+
+            @jax.jit
+            def _calibrate(packed, frames):
+                return vit_infer.calibrate_vit(packed, _patchify(frames), heads)
+
+            self._encode_fast_jit = _encode_fast
+            self._encode_fast_int8_jit = _encode_fast_int8
+            self._calibrate_jit = _calibrate
 
     def text_rewards(self, frames, text):
         """logit_scale * (img @ text.T), averaged over texts (label_reward.py:200-230)."""

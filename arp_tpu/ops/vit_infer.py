@@ -127,12 +127,15 @@ def _unstack(layers):
 
 
 def vit_encode(packed, patches, num_heads: int, compute_dtype=jnp.bfloat16, unroll: bool = False,
-               score_dtype=jnp.float32):
+               score_dtype=jnp.float32, return_intermediates: bool = False):
     """Forward pass over pre-patchified inputs (B, N, P*P*C) -> (B, embed_dim).
 
     ``compute_dtype=float32`` is oracle-exact vs the flax model; bfloat16 is
     the production mode.  ``unroll=True`` trades compile time for an unrolled
     layer loop (lets XLA specialize/pipeline across layers).
+    ``return_intermediates=True`` additionally returns the per-layer CLS
+    tokens as (L, B, D) f32 — what the multiscale adapter consumes
+    (finetune/adapter_model.py; flax equivalent: capture_intermediates).
     """
     cd = compute_dtype
     x = patches.astype(cd) @ packed["conv1"].astype(cd)
@@ -152,15 +155,21 @@ def vit_encode(packed, patches, num_heads: int, compute_dtype=jnp.bfloat16, unro
         h = ((y @ L["wfc"].astype(cd)).astype(jnp.float32) + L["bfc"]).astype(cd)
         h = h * jax.nn.sigmoid(jnp.float32(1.702).astype(cd) * h)
         x = x + ((h @ L["wproj"].astype(cd)).astype(jnp.float32) + L["bproj"]).astype(cd)
-        return x, None
+        return x, x[:, 0].astype(jnp.float32)
 
     if unroll:
+        inter = []
         for L in _unstack(packed["layers"]):
-            x, _ = layer(x, L)
+            x, cls_i = layer(x, L)
+            inter.append(cls_i)
+        inter = jnp.stack(inter) if inter else jnp.zeros((0,) + x[:, 0].shape, jnp.float32)
     else:
-        x, _ = jax.lax.scan(layer, x, packed["layers"])
+        x, inter = jax.lax.scan(layer, x, packed["layers"])
     feat = _ln(x[:, 0], packed["ln_post_s"], packed["ln_post_b"], cd)
-    return (feat @ packed["proj"].astype(cd)).astype(jnp.float32)
+    out = (feat @ packed["proj"].astype(cd)).astype(jnp.float32)
+    if return_intermediates:
+        return out, inter
+    return out
 
 
 # --- int8 static-scale mode ---------------------------------------------------
@@ -316,6 +325,7 @@ def vit_encode_int8(
     impl: str = "xla",
     interpret: bool = False,
     score_dtype=jnp.float32,
+    return_intermediates: bool = False,
 ):
     """int8 forward (static activation scales); attention + LN stay bf16/f32.
 
@@ -355,12 +365,18 @@ def vit_encode_int8(
         y = _ln(x, L["ln2_s"], L["ln2_b"], cd)
         h = site(y, L["a_fc"], L["wfc_q"], L["wfc_ws"], L["bfc"], act="quickgelu")
         x = x + site(h, L["a_proj"], L["wproj_q"], L["wproj_ws"], L["bproj"])
-        return x, None
+        return x, x[:, 0].astype(jnp.float32)
 
     if unroll:
+        inter = []
         for Li in _unstack(L):
-            x, _ = layer(x, Li)
+            x, cls_i = layer(x, Li)
+            inter.append(cls_i)
+        inter = jnp.stack(inter) if inter else jnp.zeros((0,) + x[:, 0].shape, jnp.float32)
     else:
-        x, _ = jax.lax.scan(layer, x, L)
+        x, inter = jax.lax.scan(layer, x, L)
     feat = _ln(x[:, 0], qpacked["ln_post_s"], qpacked["ln_post_b"], cd)
-    return site(feat, qpacked["a_final"], qpacked["proj_q"], qpacked["proj_ws"], None).astype(jnp.float32)
+    out = site(feat, qpacked["a_final"], qpacked["proj_q"], qpacked["proj_ws"], None).astype(jnp.float32)
+    if return_intermediates:
+        return out, inter
+    return out

@@ -231,6 +231,8 @@ def main():
             adapter_params=adapter_params,
             batch_size=args.batch_size,
             use_crop=args.use_crop,
+            fast_encode=args.fast,
+            fast_int8=args.fast_int8,
         )
     else:
         engine = ClipRewardEngine(

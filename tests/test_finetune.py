@@ -314,3 +314,27 @@ def test_clip_ft_reward_engine(adapter_setup):
     assert np.isfinite(rewards).all()
     goal = engine.goal_rewards(frames, goal_index=-1)
     assert goal.shape == (6,) and np.isfinite(goal).all() and goal[-1] == 0.0
+
+
+def test_clip_ft_engine_fast_paths(adapter_setup):
+    """The packed fast trunk (bf16 / static-int8) matches the flax
+    capture_intermediates trunk through the SAME adapter head."""
+    from arp_tpu.finetune.reward import ClipFtRewardEngine
+
+    model, clip_vars, params = adapter_setup
+    kw = dict(adapter_params=params, clip_variables=clip_vars, adapter=model,
+              batch_size=4, image_size=224, tokenizer=lambda text: tiny_tokens(1),
+              clip_config=TINY_CFG)
+    base = ClipFtRewardEngine(**kw)
+    fast = ClipFtRewardEngine(**kw, fast_encode=True)
+    q = ClipFtRewardEngine(**kw, fast_int8=True)
+    assert fast._fast is not None and q._fast is not None
+
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 256, size=(6, 32, 32, 3), dtype=np.uint8)
+    r0 = base.text_rewards(frames, "get the coin")
+    r1 = fast.text_rewards(frames, "get the coin")
+    r2 = q.text_rewards(frames, "get the coin")
+    assert q._fast_q is not None  # lazy calibration ran
+    np.testing.assert_allclose(r1, r0, rtol=0.05, atol=0.05)
+    np.testing.assert_allclose(r2, r0, rtol=0.15, atol=0.15)
