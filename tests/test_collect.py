@@ -298,8 +298,15 @@ def test_ppg_mesh_learn_and_kill_resume(tmp_path):
     separate-phase optimizer states."""
     from arp_tpu.parallel.mesh import MeshConfig, create_mesh
 
+    steps = {"n": 0}
+
+    class CountingEnv(FakeProcgen):
+        def step(self, action):
+            steps["n"] += 1
+            return super().step(action)
+
     def env_fn():
-        return FakeProcgen("coinrun", {"episode_length": 12, "image_size": 16, "grid": 3})
+        return CountingEnv("coinrun", {"episode_length": 12, "image_size": 16, "grid": 3})
 
     mesh = create_mesh(MeshConfig(dp=8))
     config = PPGConfig(
@@ -310,11 +317,17 @@ def test_ppg_mesh_learn_and_kill_resume(tmp_path):
     _, hist = learn(env_fn, config, total_iterations=2, seed=0, mesh=mesh,
                     checkpoint_dir=ckpt, save_every=1)
     assert [r["iteration"] for r in hist] == [0, 1]
+    steps_first = steps["n"]
 
+    steps["n"] = 0
     _, hist2 = learn(env_fn, config, total_iterations=4, seed=0, mesh=mesh,
                      checkpoint_dir=ckpt, save_every=1)
     # resumed: history carries iterations 0-1 from the checkpoint, runs 2-3
     assert [r["iteration"] for r in hist2] == [0, 1, 2, 3]
+    # falsifiable resume marker: a silently-from-scratch rerun of the same
+    # seed would produce the SAME history, but it would step the envs for
+    # all 4 iterations — a resumed run steps only ~2 iterations' worth
+    assert steps["n"] <= steps_first + config.num_envs, (steps["n"], steps_first)
     for rec in hist2:
         for k, v in rec.items():
             assert np.isfinite(v), (k, v)

@@ -80,18 +80,36 @@ def test_threaded_prefetch_propagates_errors():
 def test_threaded_prefetch_close_then_next_raises():
     """close() must leave the sentinel armed: post-close iteration raises
     StopIteration instead of blocking (ADVICE r2), including at capacity=1
-    where the producer can block twice during shutdown."""
-    tp = ThreadedPrefetch(iter(range(10)), capacity=1)
-    assert next(tp) == 0
-    tp.close()
+    where the producer can block twice during shutdown.  Runs under a
+    watchdog so the deadlock-class regression FAILS instead of hanging CI."""
+    import threading
+
     import pytest
 
-    with pytest.raises(StopIteration):
-        next(tp)
+    def scenario():
+        tp = ThreadedPrefetch(iter(range(10)), capacity=1)
+        assert next(tp) == 0
+        tp.close()
+        with pytest.raises(StopIteration):
+            next(tp)
 
-    # close after natural exhaustion is also safe
-    tp2 = ThreadedPrefetch(iter(range(2)), capacity=4)
-    assert list(tp2) == [0, 1]
-    tp2.close()
-    with pytest.raises(StopIteration):
-        next(tp2)
+        # close after natural exhaustion is also safe
+        tp2 = ThreadedPrefetch(iter(range(2)), capacity=4)
+        assert list(tp2) == [0, 1]
+        tp2.close()
+        with pytest.raises(StopIteration):
+            next(tp2)
+
+    failures = []
+
+    def run():
+        try:
+            scenario()
+        except BaseException as e:  # surfaced in the main thread
+            failures.append(e)
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout=30.0)
+    assert not t.is_alive(), "prefetch close/next deadlocked (watchdog hit)"
+    assert not failures, failures

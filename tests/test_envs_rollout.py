@@ -314,7 +314,5 @@ def test_parallel_rollout_inputs_match_batch_rollout():
     assert len(seen_seq) == len(seen_par), (len(seen_seq), len(seen_par))
     for t, ((act_s, img_s), (act_p, img_p)) in enumerate(zip(seen_seq, seen_par)):
         np.testing.assert_array_equal(act_p, act_s, err_msg=f"action window differs at t={t}")
-        np.testing.assert_array_equal(
-            img_p, (img_s if img_s.dtype == img_p.dtype else img_s.astype(img_p.dtype)),
-            err_msg=f"image window differs at t={t}",
-        )
+        assert img_p.dtype == img_s.dtype, (img_p.dtype, img_s.dtype)
+        np.testing.assert_array_equal(img_p, img_s, err_msg=f"image window differs at t={t}")

@@ -15,7 +15,10 @@ from arp_tpu.models.clip import CLIP
 TINY_CFG = dict(
     embed_dim=16,
     vocab_size=97,
-    vision_num_layers=2,
+    # vision DEEPER than text on purpose: the adapter consumes only the
+    # first text_num_layers visual intermediates (reference quirk) — equal
+    # depths would make that slice a no-op no test could falsify
+    vision_num_layers=3,
     vision_features=64,
     vision_patch_size=8,
     text_features=16,
@@ -328,6 +331,7 @@ def test_clip_ft_engine_fast_paths(adapter_setup):
     base = ClipFtRewardEngine(**kw)
     fast = ClipFtRewardEngine(**kw, fast_encode=True)
     q = ClipFtRewardEngine(**kw, fast_int8=True)
+    assert base._fast is None  # oracle must run the flax trunk
     assert fast._fast is not None and q._fast is not None
 
     rng = np.random.default_rng(5)

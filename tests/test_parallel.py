@@ -148,5 +148,10 @@ def test_multislice_fallback_is_loud(caplog):
             self.id = i
             self.slice_index = i // 4
 
-    with pytest.raises(Exception):
-        create_mesh(MeshConfig(dp=-1, dcn_dp=2), devices=[Dev(i) for i in range(8)])
+    caplog.clear()
+    with caplog.at_level(_logging.WARNING):
+        with pytest.raises(Exception):
+            create_mesh(MeshConfig(dp=-1, dcn_dp=2), devices=[Dev(i) for i in range(8)])
+    # the raise must come from the HYBRID branch, not a silent fallback that
+    # failed later: no contiguous-emulation warning may have fired
+    assert not any("slice_index" in r.getMessage() for r in caplog.records)

@@ -475,6 +475,7 @@ def test_trainer_fault_rollback_and_heartbeat(tmp_path):
             "--val_every_epochs=0", "--test_every_epochs=0", "--eval_env=none",
             "--save_model_freq=2", f"--checkpoint_dir={ckpt}",
             f"--fault_policy={policy}", "--fault_inject_step=5",
+            "--heartbeat_interval=0.0",
             "--model.model_type=vit_debug", "--model.transfer_type=none",
             "--model.emb_dim=32", "--model.depth=2", "--model.num_heads=4",
             "--model.mlp_ratio=2",
@@ -497,8 +498,10 @@ def test_trainer_fault_rollback_and_heartbeat(tmp_path):
     later = [r for r in records if "train_loss" in r and r.get("step", 0) > faulted[0]["step"]]
     assert later and all(np.isfinite(r["train_loss"]) for r in later), later
     assert any("final_step" in r for r in records), "trainer did not finish"
-    # heartbeat advanced (default path <output_dir>/heartbeat, beats at step 0)
-    assert os.path.exists(os.path.join(run_dir, "heartbeat"))
+    # heartbeat ADVANCED (interval 0 -> every step writes "time step"):
+    # existence alone would be satisfied by the single step-0 beat
+    hb = open(os.path.join(run_dir, "heartbeat")).read().split()
+    assert int(hb[1]) > 0, hb
 
     proc = subprocess.run(
         cmd("halt", str(tmp_path / "out2"), str(tmp_path / "ckpt2")),

@@ -100,6 +100,7 @@ def test_engine_fast_paths_match_standard():
     r0 = base.text_rewards(frames, "a coin")
     r1 = fast.text_rewards(frames, "a coin")
     r2 = q.text_rewards(frames, "a coin")
+    assert base._fast is None  # oracle must run the standard path
     assert fast._fast is not None and q._fast is not None
     assert q._fast_q is not None  # lazy calibration ran
     np.testing.assert_allclose(r1, r0, rtol=0.05, atol=0.05)
