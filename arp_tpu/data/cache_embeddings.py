@@ -53,6 +53,10 @@ def main():
     p.add_argument("--model_name", default="vit_b16")
     p.add_argument("--batch_size", type=int, default=256)
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--fast", action="store_true",
+                   help="packed fused-QKV encode path (ops/vit_infer.py)")
+    p.add_argument("--fast_int8", action="store_true",
+                   help="static-int8 MXU encode (calibrated on the first batch)")
     args = p.parse_args()
 
     import jax.numpy as jnp
@@ -64,6 +68,8 @@ def main():
         batch_size=args.batch_size,
         resize_mode="pil",
         compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        fast_encode=args.fast,
+        fast_int8=args.fast_int8,
     )
     stats = cache_clip_embeddings(args.data_path, engine, args.image_keys)
     print(f"[DONE] cached embeddings: {stats}")
