@@ -20,8 +20,16 @@ EVAL_WITH_GOAL=${11:-False}
 NUM_FRAMES=8
 WINDOW_SIZE=4
 
+# pickles (reference-format checkpoints) route via --load_checkpoint;
+# orbax checkpoint DIRECTORIES via --checkpoint_dir (train/eval.py contract)
+if [ -f "$CHECKPOINT" ]; then
+    CKPT_FLAG=--load_checkpoint
+else
+    CKPT_FLAG=--checkpoint_dir
+fi
+
 python3 -m arp_tpu.train.eval \
-    --checkpoint_dir="$CHECKPOINT" \
+    "$CKPT_FLAG=$CHECKPOINT" \
     --game_name="$GAME_NAME" \
     --env_eval_env_type="$EVAL_ENV_TYPE" \
     --use_vl="$USE_VL" \

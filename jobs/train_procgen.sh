@@ -1,10 +1,12 @@
 #!/bin/bash
 # Policy training launcher (parity with the reference jobs/train_procgen.sh
-# positional interface; TPU mesh controls added).
+# positional interface).  Any flags AFTER the 12 positionals are forwarded to
+# arp_tpu.train.main verbatim — that is how the TPU mesh/perf knobs are set,
+# e.g.: ... EVAL_WITH_GOAL --mesh_fsdp=2 --mesh_tp=2 --accum_steps=4
 #
 # usage: sh jobs/train_procgen.sh GAME TRAIN_ENV_TYPE EVAL_ENV_TYPE SEED \
 #          NUM_DEMOS DATA_PATH USE_VL VL_TYPE USE_NORMALIZE COMMENT \
-#          LAMBDA_RETURN_PRED EVAL_WITH_GOAL
+#          LAMBDA_RETURN_PRED EVAL_WITH_GOAL [extra --flags ...]
 
 GAME_NAME=${1:-coinrun}
 TRAIN_ENV_TYPE=${2:-none}
@@ -18,6 +20,7 @@ USE_NORMALIZE=${9:-False}
 COMMENT=${10:-run}
 LAMBDA_RETURN_PRED=${11:-1.0}
 EVAL_WITH_GOAL=${12:-False}
+shift $(( $# < 12 ? $# : 12 ))
 
 DIST_MODE=hard
 START_LEVEL=0
@@ -69,4 +72,5 @@ python3 -m arp_tpu.train.main \
     --data.vl_type="$VL_TYPE" \
     --data.use_normalize="$USE_NORMALIZE" \
     --checkpoint_dir="./checkpoints/${GAME_NAME}_${COMMENT}" \
-    --logging.notes="$COMMENT"
+    --logging.notes="$COMMENT" \
+    "$@"

@@ -119,21 +119,13 @@ def main():
     fpf = vit_flops(cfg, N_PATCHES + 1)
     print(json.dumps({"note": "vit_b16 true fwd", "gflop_per_frame": round(fpf / 1e9, 1)}), flush=True)
 
+    from _bench_common import scan_encode_seconds
+
     for b in args.batches:
-        @jax.jit
-        def encode_scan(key, _vars=bf16_vars, _b=b):
-            def body(c, i):
-                patches = jax.random.uniform(
-                    jax.random.fold_in(key, i), (_b, N_PATCHES, PATCH * PATCH * 3), jnp.bfloat16
-                )
-                feat = model.apply(_vars, patches, normalize=False, method=model.encode_image)
-                return c + jnp.sum(feat.astype(jnp.float32)), None
-
-            c, _ = lax.scan(body, jnp.float32(0), jnp.arange(it))
-            return c
-
-        encode_scan(jax.random.PRNGKey(7))
-        secs = timed_best(encode_scan, args.passes, jax.random.PRNGKey)
+        secs = scan_encode_seconds(
+            lambda v, x: model.apply(v, x, normalize=False, method=model.encode_image),
+            bf16_vars, b, it, args.passes,
+        )
         record(f"encode_scan_b{b}", secs, fpf * b * it, frames=b * it)
 
     if args.out:

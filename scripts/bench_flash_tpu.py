@@ -62,18 +62,23 @@ def main():
                     return masked(q, k, v)
                 return xla_attn(q, k, v)
 
-            rng = np.random.default_rng(0)
-            q, k, v = (
-                jnp.asarray(rng.normal(size=shape).astype(np.float32), jnp.bfloat16)
-                for _ in range(3)
-            )
+            def fresh(seed):
+                rng = np.random.default_rng(seed)
+                return tuple(
+                    jnp.asarray(rng.normal(size=shape).astype(np.float32), jnp.bfloat16)
+                    for _ in range(3)
+                )
+
             flops = 4 * B * H * seq * seq * D * (0.5 if causal else 1.0) * ITERS
             for name, fn in (("xla", xla), ("flash", flash)):
                 loop = make_loop(fn)
                 try:
-                    _ = float(loop(q, k, v))  # compile
+                    _ = float(loop(*fresh(0)))  # compile
                     best = np.inf
-                    for _ in range(4):
+                    # fresh inputs per pass: identical (program, input) pairs
+                    # can be served from a backend cache on this tunnel
+                    for p in range(4):
+                        q, k, v = fresh(p + 1)
                         t0 = time.time()
                         _ = float(loop(q, k, v))
                         best = min(best, time.time() - t0)

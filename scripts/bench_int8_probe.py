@@ -52,10 +52,10 @@ def main():
         b = jax.random.normal(jax.random.fold_in(key, 1), (S, S), jnp.bfloat16)
 
         def body(c, _):
-            o = jnp.dot(a * c.astype(jnp.bfloat16), b, preferred_element_type=jnp.float32)
-            return jnp.max(o) * 0 + 1.0, None
+            o = jnp.dot(a + c.astype(jnp.bfloat16), b, preferred_element_type=jnp.float32)
+            return jnp.max(o), None  # REAL carry: keeps the dot loop-variant
 
-        c, _ = lax.scan(body, jnp.float32(1), jnp.arange(it))
+        c, _ = lax.scan(body, jnp.float32(0), jnp.arange(it))
         return c
 
     peak_bf16(jax.random.PRNGKey(0))

@@ -25,6 +25,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+from _bench_common import timed_best as timed  # noqa: E402
+
 from arp_tpu.models.clip import CLIP, CONFIGS
 from arp_tpu.ops.preprocess import clip_preprocess_packed_patches, resize_bicubic_pil_packed
 from arp_tpu.reward.engine import ClipRewardEngine
@@ -33,16 +39,6 @@ SRC = 256  # source frame side (Procgen highres)
 IMG = 224
 
 
-def timed(fn, passes, make_input):
-    """Best-of-N full-round-trip seconds; fresh input per pass (dedup quirk)."""
-    best = float("inf")
-    for p in range(passes):
-        inp = make_input(p)
-        t0 = time.time()
-        out = fn(inp)
-        np.asarray(out)  # host fetch forces materialization on this backend
-        best = min(best, time.time() - t0)
-    return best
 
 
 def main():

@@ -101,7 +101,7 @@ def main():
     # identical step sequences, not merely equal lengths (equal lengths are
     # the norm for unrelated runs sharing epochs/log_freq)
     same_steps = all(s == series[0][1] for _, s, _ in series)
-    if len(series) > 2 and same_steps:
+    if len(series) >= 2 and same_steps:
         arr = np.asarray([v for _, _, v in series])
         steps = series[0][1]
         ax.plot(steps, arr.mean(0), label=f"mean of {len(series)} runs")
