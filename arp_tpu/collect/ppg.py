@@ -257,6 +257,16 @@ def learn(
     reference's MPI flat-buffer allreduce (torch_util.py:440-470).  Params
     stay replicated (pure dp).
 
+    Multi-process (a global mesh under ``jax.distributed``): each process
+    rolls its OWN ``num_envs`` envs with process-offset seeds — the
+    reference's per-MPI-rank collection (train.py + roller) — acts on its
+    local devices with a per-iteration snapshot of the replicated params,
+    and the updates assemble the global batch from every rank's local
+    segments (``make_array_from_process_local_data``), so gradients see all
+    ranks' data exactly like the MPI allreduce.  Reward normalization and
+    advantage whitening stay per-rank (as in the reference).  Checkpointing
+    under multi-process is not supported yet (asserted loudly).
+
     ``checkpoint_dir`` + ``save_every``: periodic orbax saves of
     {train state, phase optimizers, reward-normalizer stats, iteration,
     history} with automatic resume from the latest step — the reference's
@@ -268,10 +278,18 @@ def learn(
     distills from however many segments accumulated since — the reference
     restarts with an empty buffer too, since it cannot resume at all).
     """
+    multiproc = mesh is not None and jax.process_count() > 1
+    # per-rank env exploration: offset the ENV seeds by process (params init
+    # below keeps the shared `seed` so all ranks start identical)
+    env_seed = seed + (jax.process_index() * 100003 if multiproc else 0)
+    assert not (multiproc and checkpoint_dir), (
+        "multi-process PPG checkpointing is not coordinated yet — run saves "
+        "from a single-process job"
+    )
     envs = [env_fn() for _ in range(config.num_envs)]
     model = PhasicValueModel(num_actions=15, arch=config.arch)
     key = envs[0].config.image_key.split(", ")[0]
-    probe = envs[0].reset(seed)
+    probe = envs[0].reset(env_seed)
     frame_shape = np.asarray(probe["image"][key]).shape
     params = model.init(jax.random.PRNGKey(seed), jnp.zeros((1,) + frame_shape, jnp.float32))["params"]
     state = TrainState.create(apply_fn=model.apply, params=params, tx=optax.adam(config.lr))
@@ -322,11 +340,22 @@ def learn(
 
     put_batch, put_array = _make_put_fns(mesh)
 
+    act_params = {"v": None}  # multiproc: local-device snapshot of the params
+
+    def _refresh_act_params():
+        if multiproc:
+            act_params["v"] = jax.device_put(jax.device_get(state.params))
+
     def act_fn(frames, rng):
+        if multiproc:
+            # acting is per-rank on LOCAL devices: global arrays cannot be
+            # fetched per-step, and each rank's frames differ (no replication)
+            return act_jit(act_params["v"], jnp.asarray(np.asarray(frames, np.float32)), rng)
         return act_jit(state.params, put_array(np.asarray(frames, np.float32)), rng)
 
-    roller = Roller(envs, act_fn, seed=seed)
-    rng = jax.random.PRNGKey(seed + 1)
+    _refresh_act_params()
+    roller = Roller(envs, act_fn, seed=env_seed)
+    rng = jax.random.PRNGKey(env_seed + 1)
     seg_buffer = []
     normalizer = (
         RewardNormalizer(config.num_envs, gamma=config.gamma) if config.reward_norm else None
@@ -335,6 +364,7 @@ def learn(
         normalizer.load_state_dict(restored_normalizer)
 
     for it in range(start_it, total_iterations):
+        _refresh_act_params()
         seg, rng = roller.collect(rng, config.segment_length)
         if normalizer is not None:
             seg["reward"] = normalizer.normalize_segment(seg["reward"], seg["done"])
@@ -395,7 +425,11 @@ def learn(
         if (it + 1) % config.n_pi == 0 and config.aux_epochs > 0:
             all_obs = np.concatenate([s["obs"] for s in seg_buffer], axis=0)
             all_vtarg = np.concatenate([s["vtarg"] for s in seg_buffer], axis=0)
-            old_logits = np.asarray(logits_of(state.params, put_array(all_obs)))
+            if multiproc:
+                _refresh_act_params()  # post-update params for the KL anchor
+                old_logits = np.asarray(logits_of(act_params["v"], jnp.asarray(all_obs)))
+            else:
+                old_logits = np.asarray(logits_of(state.params, put_array(all_obs)))
             m = all_obs.shape[0]
             for _ in range(config.aux_epochs):
                 order = perm_rng.permutation(m)
