@@ -50,9 +50,21 @@ def convert_reference_policy_params(ref_params, num_ensembles: int = 5):
         for i in range(1, num_ensembles):
             ref_params.pop(f"{prefix}_{i}", None)
         flat = flax.traverse_util.flatten_dict(head0)
+        layer_map = {"layers_0": "Dense_0", "layers_2": "Dense_1"}
+        unknown = sorted({p[0] for p in flat if p[0] not in layer_map})
+        if unknown:
+            # reference checkpoints trained with output_head_depth > 0 carry
+            # deeper MLP heads this 2-layer mapper does not cover yet — fail
+            # loudly rather than KeyError mid-conversion or silently
+            # passing leaves through unconverted
+            raise NotImplementedError(
+                f"head {prefix!r} has unmapped layers {unknown}: checkpoints "
+                "with output_head_depth > 0 need the head mapper extended "
+                "(models/policy/convert.py)"
+            )
         for path, v in flat.items():
             # layers_0 -> Dense_0, layers_2 -> Dense_1 (relu is not a module)
-            name = {"layers_0": "Dense_0", "layers_2": "Dense_1"}[path[0]]
+            name = layer_map[path[0]]
             tiled = jnp.broadcast_to(
                 jnp.asarray(v)[None], (num_ensembles,) + np.shape(v)
             )

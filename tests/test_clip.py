@@ -155,7 +155,9 @@ def test_vit_image_parity(torch_and_flax):
     with torch.no_grad():
         expected = tmodel.encode_image(torch.from_numpy(img.transpose(0, 3, 1, 2))).numpy()
     got = fmodel.apply(variables, jnp.asarray(img), normalize=False, method=fmodel.encode_image)
-    np.testing.assert_allclose(np.asarray(got), expected, atol=2e-4)
+    # 2e-5: tight enough to catch an LN-epsilon regression to flax's
+    # default 1e-6 (measured drift ~1e-4; correct-eps agreement ~5e-7)
+    np.testing.assert_allclose(np.asarray(got), expected, atol=2e-5)
 
 
 def test_text_parity(torch_and_flax):
@@ -170,7 +172,9 @@ def test_text_parity(torch_and_flax):
     with torch.no_grad():
         expected = tmodel.encode_text(torch.from_numpy(text)).numpy()
     got = fmodel.apply(variables, jnp.asarray(text.astype(np.int32)), normalize=False, method=fmodel.encode_text)
-    np.testing.assert_allclose(np.asarray(got), expected, atol=2e-4)
+    # 2e-5: tight enough to catch an LN-epsilon regression to flax's
+    # default 1e-6 (measured drift ~1e-4; correct-eps agreement ~5e-7)
+    np.testing.assert_allclose(np.asarray(got), expected, atol=2e-5)
 
 
 def test_full_clip_logits(torch_and_flax):

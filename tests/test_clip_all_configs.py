@@ -73,7 +73,16 @@ def _rn_state_dict(cfg, resolution):
     return tmodel, sd
 
 
-@pytest.mark.parametrize("name", ["vit_b32", "vit_b16", "vit_l14"])
+# derived from CONFIGS so a new entry cannot silently escape coverage
+_VIT_NAMES = sorted(
+    n for n, c in CONFIGS.items() if not isinstance(c["vision_num_layers"], (tuple, list))
+)
+_RN_NAMES = sorted(
+    n for n, c in CONFIGS.items() if isinstance(c["vision_num_layers"], (tuple, list))
+)
+
+
+@pytest.mark.parametrize("name", _VIT_NAMES)
 def test_vit_config_conversion(name):
     cfg = _shrunk(name)
     res = 4 * cfg["vision_patch_size"]
@@ -99,13 +108,11 @@ def test_vit_config_conversion(name):
         want_txt = tmodel.encode_text(torch.from_numpy(tokens)).numpy()
     got_img = fmodel.apply(variables, jnp.asarray(img), normalize=False, method=fmodel.encode_image)
     got_txt = fmodel.apply(variables, jnp.asarray(tokens), normalize=False, method=fmodel.encode_text)
-    np.testing.assert_allclose(np.asarray(got_img), want_img, atol=5e-4, err_msg=name)
-    np.testing.assert_allclose(np.asarray(got_txt), want_txt, atol=5e-4, err_msg=name)
+    np.testing.assert_allclose(np.asarray(got_img), want_img, atol=5e-5, err_msg=name)
+    np.testing.assert_allclose(np.asarray(got_txt), want_txt, atol=5e-5, err_msg=name)
 
 
-@pytest.mark.parametrize(
-    "name", ["resnet_50", "resnet_101", "resnet_50x4", "resnet_50x16", "resnet_50x64"]
-)
+@pytest.mark.parametrize("name", _RN_NAMES)
 def test_resnet_config_conversion(name):
     cfg = _shrunk(name)
     res = 64
@@ -128,4 +135,4 @@ def test_resnet_config_conversion(name):
     got = fmodel.apply(
         variables, jnp.asarray(img), normalize=False, method=fmodel.encode_image, mutable=False
     )
-    np.testing.assert_allclose(np.asarray(got), want, atol=5e-4, err_msg=name)
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-5, err_msg=name)

@@ -224,7 +224,12 @@ def test_m3ae_remat_bf16_paths():
     """remat=True matches the plain forward/gradients exactly (the policy-level
     --model.remat/--model.compute_dtype flags propagate to this config), and
     compute_dtype=bfloat16 keeps fp32 params/outputs while tracking fp32 values."""
-    base_cfg = dict(emb_dim=32, depth=2, num_heads=4, dec_emb_dim=16, dec_depth=1, dec_num_heads=2)
+    # model_type="debug" (a no-clobber preset is monkeypatched suite-wide by
+    # tiny_cfg, but this test builds configs directly): without it the
+    # default model_type="base" preset OVERWRITES these tiny dims and the
+    # test silently runs a full 768-dim/12-layer model
+    base_cfg = dict(model_type="debug", emb_dim=32, depth=2, num_heads=4,
+                    dec_emb_dim=16, dec_depth=1, dec_num_heads=2)
     small = my_m3ae.MaskedMultimodalAutoencoder(config_updates=base_cfg, text_vocab_size=50)
     rmt = my_m3ae.MaskedMultimodalAutoencoder(
         config_updates=dict(base_cfg, remat=True), text_vocab_size=50
@@ -258,3 +263,29 @@ def test_m3ae_remat_bf16_paths():
     out_b = fwd(bf16, params)
     assert out_b.dtype == jnp.float32
     np.testing.assert_allclose(np.asarray(out), np.asarray(out_b), atol=0.05, rtol=0.1)
+
+
+def test_m3ae_size_presets_match_reference(ref_m3ae):
+    """The small/base/large/huge/debug preset dicts must equal the
+    reference's (reference m3ae/model.py:926-968) — the parity oracles run
+    with the preset hook no-op'd (tiny_cfg), so drift here would ship a
+    mismatched architecture for real converted checkpoints.  This test does
+    NOT use tiny_cfg, so both hooks are the real ones."""
+    from ml_collections import ConfigDict
+
+    keys = ("emb_dim", "dec_emb_dim", "depth", "dec_depth", "num_heads",
+            "dec_num_heads", "mlp_ratio")
+
+    def presets(fn):
+        out = {}
+        for name in ("small", "base", "large", "huge", "debug"):
+            cfg = ConfigDict()
+            for k in keys:
+                setattr(cfg, k, -1)
+            fn(name, cfg)
+            out[name] = {k: getattr(cfg, k) for k in keys}
+        return out
+
+    assert presets(my_m3ae.get_transformer_by_config) == presets(
+        ref_m3ae.get_transformer_by_config
+    )

@@ -29,8 +29,15 @@ def test_fast_resize_close_to_pil():
     imgs = rng.integers(0, 256, size=(2, 256, 256, 3), dtype=np.uint8)
     fast = np.asarray(resize_bicubic_fast(imgs, 224, 224))
     pil = np.asarray(resize_bicubic_pil(imgs, 224, 224)).astype(np.float32)
-    # float path differs only by fixed-point rounding (~1 LSB)
-    assert np.abs(fast - pil).mean() < 1.0
+    # float path: mean error ~0.37 LSB but a heavy tail is inherent to the
+    # mode (measured p99.9 ~= 10.8, max ~= 29.8 — PIL's edge handling).
+    # Bound shape, not just the mean: a mean-only bound would miss a single
+    # corrupt edge row/column (avg err ~85) entirely.
+    err = np.abs(fast - pil)
+    assert err.mean() < 1.0
+    assert err.mean(axis=(0, 2, 3)).max() < 5.0  # no corrupt row
+    assert err.mean(axis=(0, 1, 3)).max() < 5.0  # no corrupt column
+    assert err.max() < 64.0
 
 
 def test_center_crop_matches_reference_arithmetic():
@@ -39,6 +46,15 @@ def test_center_crop_matches_reference_arithmetic():
     got = np.asarray(center_crop(imgs, 128, 128))
     start = int((256 - 128) / 2)
     np.testing.assert_array_equal(got, imgs[:, start : start + 128, start : start + 128, :])
+    # odd height-difference: we pin the FLOOR arithmetic of the reference's
+    # own numpy helper (label_reward.py:15-36).  NOTE the reference's
+    # use_crop torchvision chain (CenterCrop) rounds half-to-even instead —
+    # the two reference paths agree for every production size (procgen
+    # frames are 64/256; diffs always even) but diverge for odd diffs;
+    # this test documents which semantics we implement.
+    odd = rng.integers(0, 256, size=(1, 135, 135, 3), dtype=np.uint8)
+    got_odd = np.asarray(center_crop(odd, 128, 128))
+    np.testing.assert_array_equal(got_odd, odd[:, 3:131, 3:131, :])
 
 
 def test_clip_preprocess_matches_reference_pipeline():
@@ -83,7 +99,9 @@ def test_packed_resize_bit_exact():
     got = np.asarray(resize_bicubic_pil_packed(packed, 3, 224, 224)).reshape(3, 224, 224, 3)
     for i in range(3):
         expected = np.asarray(Image.fromarray(imgs[i]).resize((224, 224), Image.BICUBIC))
-        np.testing.assert_array_equal(got[i].astype(np.uint8), expected)
+        # compare the FLOAT output against the uint8 oracle: an astype
+        # truncation here would mask fractional drift up to ~1 LSB
+        np.testing.assert_array_equal(got[i], expected.astype(got.dtype))
 
 
 def test_packed_patches_match_standard_pipeline():
