@@ -114,6 +114,7 @@ class ClipFtRewardEngine(ClipRewardEngine):
         self._needs_calib = False
         cfg = clip_config or CONFIGS[clip_model_name]
         if (fast_encode or fast_int8) and cfg.get("vision_patch_size") is not None:
+            from ..models.m3ae import extract_patches
             from ..ops import vit_infer
             from ..ops.preprocess import clip_preprocess as _pre
             heads = cfg["vision_features"] // 64
@@ -123,8 +124,6 @@ class ClipFtRewardEngine(ClipRewardEngine):
             self._needs_calib = bool(fast_int8)
 
             def _patchify(frames):
-                from ..models.m3ae import extract_patches
-
                 x = _pre(frames, image_size=image_size, resize_mode="fast", crop_half=use_crop)
                 return extract_patches(x, patch)
 

@@ -180,6 +180,11 @@ def calibrate_vit(packed, patches, num_heads: int):
 
     Returns {"conv1": scalar, "final": scalar, "layers": {site: (L,)}} with
     sites qkv/attn_out/fc/proj — the inputs of each int8 matmul.
+
+    KEEP IN LOCKSTEP with :func:`vit_encode`'s layer body: the amax sites
+    must see exactly the activations the int8 forward will quantize, so any
+    change to the forward's math or dtypes must be mirrored here (the
+    int8-accuracy tests only weakly detect drift through cosine loss).
     """
     cd = jnp.bfloat16
     x = patches.astype(cd)

@@ -29,6 +29,13 @@ from ..models import clip as clip_models
 from ..ops.preprocess import clip_preprocess, clip_preprocess_packed_patches
 
 
+def _finish_features(feat, normalize):
+    """f32 features -> L2-normalized or raw per the traced `normalize` flag."""
+    feat = feat.astype(jnp.float32)
+    norm_feat = feat / jnp.linalg.norm(feat, axis=-1, keepdims=True)
+    return jnp.where(normalize, norm_feat, feat)
+
+
 class ClipRewardEngine:
     """Streams uint8 frames through a jitted preprocess+encode+score pipeline.
 
@@ -127,9 +134,7 @@ class ClipRewardEngine:
                 )
             variables, x = _cast(variables, x)
             feat = model.apply(variables, x, normalize=False, method=model.encode_image)
-            feat = feat.astype(jnp.float32)
-            norm_feat = feat / jnp.linalg.norm(feat, axis=-1, keepdims=True)
-            return jnp.where(normalize, norm_feat, feat)
+            return _finish_features(feat, normalize)
 
         @jax.jit
         def _encode_text(variables, tokens):
@@ -164,16 +169,12 @@ class ClipRewardEngine:
             )
             self._needs_calib = bool(fast_int8)
 
-            def _finish(feat, normalize):
-                norm_feat = feat / jnp.linalg.norm(feat, axis=-1, keepdims=True)
-                return jnp.where(normalize, norm_feat, feat)
-
             @jax.jit
             def _encode_fast(packed, frames, normalize):
                 x = clip_preprocess_packed_patches(
                     frames, channels=3, image_size=img_size, patch_size=patch_size
                 )
-                return _finish(
+                return _finish_features(
                     vit_infer.vit_encode(packed, x, heads, compute_dtype=fast_dtype), normalize
                 )
 
@@ -182,7 +183,7 @@ class ClipRewardEngine:
                 x = clip_preprocess_packed_patches(
                     frames, channels=3, image_size=img_size, patch_size=patch_size
                 )
-                return _finish(vit_infer.vit_encode_int8(qpacked, x, heads), normalize)
+                return _finish_features(vit_infer.vit_encode_int8(qpacked, x, heads), normalize)
 
             @jax.jit
             def _calibrate(packed, frames):
