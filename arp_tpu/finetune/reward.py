@@ -65,6 +65,7 @@ class ClipFtRewardEngine(ClipRewardEngine):
         fast_encode: bool = False,
         fast_int8: bool = False,
         clip_config: dict | None = None,
+        mesh=None,
     ):
         adapter = adapter or ClipMultiscaleAdapter(clip_model_name=clip_model_name)
         if clip_variables is None:
@@ -160,6 +161,10 @@ class ClipFtRewardEngine(ClipRewardEngine):
             self._encode_fast_jit = _encode_fast
             self._encode_fast_int8_jit = _encode_fast_int8
             self._calibrate_jit = _calibrate
+
+        # adapter_params are closed over in the jits (GSPMD replicates
+        # captured constants); only self.variables/_fast need the explicit put
+        self._init_mesh(mesh)
 
     def text_rewards(self, frames, text):
         """logit_scale * (img @ text.T), averaged over texts (label_reward.py:200-230)."""

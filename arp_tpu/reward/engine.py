@@ -51,6 +51,13 @@ class ClipRewardEngine:
         only image_size^2 bytes over the link — best when transfer-bound),
         or "fast" (float bicubic, not bit-exact).
       compute_dtype: jnp.bfloat16 runs the encoder in bf16 on the MXU.
+      mesh: optional ``jax.sharding.Mesh`` (parallel.mesh.create_mesh
+        convention — axes dp/fsdp/tp/pp).  When given, each device batch is
+        sharded over the data axes (dp, fsdp) and the weights are replicated,
+        so one engine labels data-parallel across every chip of a slice —
+        the pod-scale path for the north-star labeling component.  The jitted
+        programs are unchanged; GSPMD partitions them from the input
+        shardings alone.
     """
 
     def __init__(
@@ -67,6 +74,7 @@ class ClipRewardEngine:
         quantize_weights=False,
         fast_encode: bool = False,
         fast_int8: bool = False,
+        mesh=None,
     ):
         self.model = model if model is not None else clip_models.MODELS[model_name]()
         if variables is None:
@@ -204,6 +212,42 @@ class ClipRewardEngine:
             )
             self._fast_int8 = False
 
+        self._init_mesh(mesh)
+
+    def _init_mesh(self, mesh) -> None:
+        """Optional GSPMD data parallelism for the encode batches.
+
+        Shards every device batch's leading dim over the mesh's data axes
+        (dp, fsdp) and replicates the weights; jit then partitions the
+        existing encode programs across all chips from the input shardings
+        alone — no separate multi-chip code path.  Single-process scope: for
+        multi-host labeling shard *files* across hosts (each with its own
+        engine over the local mesh), not batches.
+        """
+        self.mesh = mesh
+        self._frames_sharding = None
+        if mesh is None:
+            return
+        from ..parallel.mesh import batch_sharding, replicated
+
+        n_data = int(mesh.shape.get("dp", 1)) * int(mesh.shape.get("fsdp", 1))
+        assert self.batch_size % max(n_data, 1) == 0, (
+            f"batch_size={self.batch_size} must be divisible by the mesh "
+            f"data parallelism dp*fsdp={n_data}"
+        )
+        # packed pipeline hands (B, H, W*C); otherwise (B, H, W, C)
+        self._frames_sharding = batch_sharding(mesh, ndim=3 if self._packed else 4)
+        self._replicated_sharding = replicated(mesh)
+        self.variables = jax.device_put(self.variables, self._replicated_sharding)
+        if getattr(self, "_fast", None) is not None:
+            self._fast = jax.device_put(self._fast, self._replicated_sharding)
+
+    def _put_chunk(self, chunk):
+        """Host chunk -> device, sharded over the mesh data axes if present."""
+        if getattr(self, "_frames_sharding", None) is not None:
+            return jax.device_put(chunk, self._frames_sharding)
+        return jax.device_put(chunk)
+
     def _encode_chunk(self, chunk_dev, normalize):
         """Dispatch one device batch to the selected encode implementation."""
         # getattr: subclasses (ClipFtRewardEngine) build their own pipelines
@@ -218,6 +262,8 @@ class ClipRewardEngine:
                     _np.asarray, self._calibrate_jit(self._fast, chunk_dev)
                 )
                 self._fast_q = vit_infer.quantize_packed(self._fast, amax)
+                if getattr(self, "_frames_sharding", None) is not None:
+                    self._fast_q = jax.device_put(self._fast_q, self._replicated_sharding)
                 self._needs_calib = False
             if self._fast_int8:
                 return self._encode_fast_int8_jit(self._fast_q, chunk_dev, normalize)
@@ -279,7 +325,7 @@ class ClipRewardEngine:
                 if k + 2 < len(starts):
                     pending.append(pool.submit(host_stage, starts[k + 2]))
                 chunk = pending.popleft().result()
-                outputs.append(self._encode_chunk(jax.device_put(chunk), normalize))
+                outputs.append(self._encode_chunk(self._put_chunk(chunk), normalize))
         feats = np.concatenate([np.asarray(o) for o in outputs], axis=0)
         return feats[:n]
 

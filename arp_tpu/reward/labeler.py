@@ -209,6 +209,9 @@ def main():
                         help="packed fused-QKV bf16 encode path (ops/vit_infer.py)")
     parser.add_argument("--fast_int8", action="store_true",
                         help="static-int8 MXU encode (calibrated on the first batch)")
+    parser.add_argument("--mesh_dp", type=int, default=0,
+                        help="shard encode batches data-parallel over a mesh of this "
+                             "many devices (-1 = all local devices; 0 = single device)")
     args = parser.parse_args()
 
     env_name = args.env_name if args.env_type == "none" else f"{args.env_name}_{args.env_type}"
@@ -222,6 +225,13 @@ def main():
 
     import jax.numpy as jnp
 
+    mesh = None
+    if args.mesh_dp:
+        from ..parallel.mesh import MeshConfig, create_mesh
+
+        mesh = create_mesh(MeshConfig(dp=args.mesh_dp))
+        print(f"[INFO] labeling data-parallel over {mesh.devices.size} devices")
+
     if args.model_type.startswith("clip_ft"):
         assert args.model_ckpt_dir is not None, "specify --model_ckpt_dir (adapter checkpoint)"
         from ..finetune.reward import ClipFtRewardEngine, load_adapter_params
@@ -233,6 +243,7 @@ def main():
             use_crop=args.use_crop,
             fast_encode=args.fast,
             fast_int8=args.fast_int8,
+            mesh=mesh,
         )
     else:
         engine = ClipRewardEngine(
@@ -243,6 +254,7 @@ def main():
             quantize_weights=args.int8,
             fast_encode=args.fast,
             fast_int8=args.fast_int8,
+            mesh=mesh,
         )
     stats = label_rewards(
         data_path,

@@ -342,3 +342,29 @@ def test_clip_ft_engine_fast_paths(adapter_setup):
     assert q._fast_q is not None  # lazy calibration ran
     np.testing.assert_allclose(r1, r0, rtol=0.05, atol=0.05)
     np.testing.assert_allclose(r2, r0, rtol=0.15, atol=0.15)
+
+
+def test_clip_ft_engine_mesh_matches_single_device(adapter_setup):
+    """The adapter engine under GSPMD data parallelism (mesh=8 devices)
+    reproduces the single-device rewards exactly — the subclass inherits the
+    sharded streaming path from ClipRewardEngine."""
+    from arp_tpu.finetune.reward import ClipFtRewardEngine
+    from arp_tpu.parallel import MeshConfig, create_mesh
+
+    model, clip_vars, params = adapter_setup
+    kw = dict(adapter_params=params, clip_variables=clip_vars, adapter=model,
+              batch_size=8, image_size=224, tokenizer=lambda text: tiny_tokens(1))
+    base = ClipFtRewardEngine(**kw)
+    sharded = ClipFtRewardEngine(**kw, mesh=create_mesh(MeshConfig(dp=-1)))
+    rng = np.random.default_rng(23)
+    frames = rng.integers(0, 256, size=(11, 32, 32, 3), dtype=np.uint8)
+    # partitioning changes XLA's fusion order under the float ("fast") resize
+    # path -> ~1-ulp drift; bound it tightly instead of expecting equality
+    np.testing.assert_allclose(
+        sharded.text_rewards(frames, "get the coin"),
+        base.text_rewards(frames, "get the coin"),
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        sharded.goal_rewards(frames), base.goal_rewards(frames), rtol=1e-5, atol=1e-6
+    )

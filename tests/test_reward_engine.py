@@ -363,3 +363,71 @@ def test_labeler_streams_host_memory_o_batch(tmp_path):
     )
     assert out.returncode == 0, out.stderr + out.stdout
     assert "PEAK_MB=" in out.stdout
+
+
+def test_mesh_sharded_engine_matches_single_device(tiny_engine):
+    """mesh=8-device GSPMD data parallelism must reproduce the single-device
+    rewards exactly: the encode is per-image independent, so sharding the
+    batch dim changes placement, not arithmetic."""
+    from arp_tpu.parallel import MeshConfig, create_mesh
+
+    mesh = create_mesh(MeshConfig(dp=-1))
+    mesh_engine = ClipRewardEngine(
+        model=tiny_engine.model,
+        variables=tiny_engine.variables,
+        batch_size=8,
+        resize_mode="pil",
+        image_size=IMG_SIZE,
+        tokenizer=TinyTokenizer(),
+        mesh=mesh,
+    )
+    rng = np.random.default_rng(11)
+    frames = rng.integers(0, 256, (19, 64, 64, 3), np.uint8)  # non-multiple of batch
+    np.testing.assert_array_equal(
+        mesh_engine.text_rewards(frames, "collect the coin."),
+        tiny_engine.text_rewards(frames, "collect the coin."),
+    )
+    np.testing.assert_array_equal(
+        mesh_engine.goal_rewards(frames), tiny_engine.goal_rewards(frames)
+    )
+
+
+def test_mesh_sharded_fast_int8_runs_calibration(tiny_engine):
+    """The lazy int8 calibration + quantized encode must work under the mesh
+    (sharded calibration batch, replicated quantized pack)."""
+    from arp_tpu.parallel import MeshConfig, create_mesh
+
+    mesh = create_mesh(MeshConfig(dp=-1))
+    eng = ClipRewardEngine(
+        model=tiny_engine.model,
+        variables=tiny_engine.variables,
+        batch_size=8,
+        resize_mode="pil",
+        image_size=IMG_SIZE,
+        tokenizer=TinyTokenizer(),
+        fast_int8=True,
+        mesh=mesh,
+    )
+    rng = np.random.default_rng(12)
+    frames = rng.integers(0, 256, (16, 64, 64, 3), np.uint8)
+    got = eng.text_rewards(frames, "collect the coin.")
+    want = tiny_engine.text_rewards(frames, "collect the coin.")
+    assert eng._fast_q is not None  # calibration ran
+    # int8 path is approximate; bound the drift, don't expect equality
+    assert np.max(np.abs(got - want)) < 0.15 * max(1.0, np.max(np.abs(want)))
+
+
+def test_mesh_engine_rejects_indivisible_batch(tiny_engine):
+    from arp_tpu.parallel import MeshConfig, create_mesh
+
+    mesh = create_mesh(MeshConfig(dp=-1))
+    with pytest.raises(AssertionError, match="divisible"):
+        ClipRewardEngine(
+            model=tiny_engine.model,
+            variables=tiny_engine.variables,
+            batch_size=12,  # not divisible by 8 devices
+            resize_mode="pil",
+            image_size=IMG_SIZE,
+            tokenizer=TinyTokenizer(),
+            mesh=mesh,
+        )
