@@ -57,11 +57,21 @@ def main():
                    help="packed fused-QKV encode path (ops/vit_infer.py)")
     p.add_argument("--fast_int8", action="store_true",
                    help="static-int8 MXU encode (calibrated on the first batch)")
+    p.add_argument("--mesh_dp", type=int, default=0,
+                   help="shard encode batches data-parallel over a mesh of this "
+                        "many devices (-1 = all local devices; 0 = single device)")
     args = p.parse_args()
 
     import jax.numpy as jnp
 
     from ..reward.engine import ClipRewardEngine
+
+    mesh = None
+    if args.mesh_dp:
+        from ..parallel.mesh import MeshConfig, create_mesh
+
+        mesh = create_mesh(MeshConfig(dp=args.mesh_dp))
+        print(f"[INFO] encoding data-parallel over {mesh.devices.size} devices")
 
     engine = ClipRewardEngine(
         model_name=args.model_name,
@@ -70,6 +80,7 @@ def main():
         compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         fast_encode=args.fast,
         fast_int8=args.fast_int8,
+        mesh=mesh,
     )
     stats = cache_clip_embeddings(args.data_path, engine, args.image_keys)
     print(f"[DONE] cached embeddings: {stats}")
