@@ -66,11 +66,10 @@ def main():
 
     from ..reward.engine import ClipRewardEngine
 
-    mesh = None
-    if args.mesh_dp:
-        from ..parallel.mesh import MeshConfig, create_mesh
+    from ..parallel.mesh import mesh_from_count
 
-        mesh = create_mesh(MeshConfig(dp=args.mesh_dp))
+    mesh = mesh_from_count(args.mesh_dp)
+    if mesh is not None:
         print(f"[INFO] encoding data-parallel over {mesh.devices.size} devices")
 
     engine = ClipRewardEngine(

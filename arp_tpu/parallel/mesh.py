@@ -97,6 +97,28 @@ def create_mesh(config: MeshConfig = MeshConfig(), devices=None) -> Mesh:
     return Mesh(device_array, axis_names=("dp", "fsdp", "tp", "pp"))
 
 
+def mesh_from_count(n: int, devices=None) -> Optional[Mesh]:
+    """Data-parallel mesh over the first ``n`` local devices (CLI ``--mesh_dp``).
+
+    ``n == 0`` -> None (single device, no mesh); ``n == -1`` -> all local
+    devices; otherwise the first ``n``.  Single-process scope only: batch
+    sharding device_puts host arrays, which requires every mesh device to be
+    addressable — on a multi-host slice shard *files* per host instead.
+    """
+    if not n:
+        return None
+    assert jax.process_count() == 1, (
+        "mesh_from_count shards host batches over addressable devices only; "
+        "under multi-host (process_count "
+        f"{jax.process_count()}) shard files per host instead"
+    )
+    devices = list(devices if devices is not None else jax.devices())
+    if n == -1:
+        n = len(devices)
+    assert 1 <= n <= len(devices), f"requested {n} devices, have {len(devices)}"
+    return create_mesh(MeshConfig(dp=n), devices=devices[:n])
+
+
 def batch_spec(ndim: int = 1) -> P:
     """PartitionSpec for a batch-leading array: batch over (dp, fsdp)."""
     return P(DATA_AXES, *([None] * (ndim - 1)))

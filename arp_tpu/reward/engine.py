@@ -228,6 +228,10 @@ class ClipRewardEngine:
         self._frames_sharding = None
         if mesh is None:
             return
+        assert jax.process_count() == 1, (
+            "engine mesh sharding device_puts host batches, which needs every "
+            "mesh device addressable; under multi-host shard files per host"
+        )
         from ..parallel.mesh import batch_sharding, replicated
 
         n_data = int(mesh.shape.get("dp", 1)) * int(mesh.shape.get("fsdp", 1))

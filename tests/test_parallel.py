@@ -155,3 +155,16 @@ def test_multislice_fallback_is_loud(caplog):
     # the raise must come from the HYBRID branch, not a silent fallback that
     # failed later: no contiguous-emulation warning may have fired
     assert not any("slice_index" in r.getMessage() for r in caplog.records)
+
+
+def test_mesh_from_count_contract():
+    """--mesh_dp semantics: 0 -> no mesh, -1 -> all devices, N -> first N
+    (NOT 'all devices with dp=N', which asserts unless N == device count)."""
+    from arp_tpu.parallel import mesh_from_count
+
+    assert mesh_from_count(0) is None
+    assert mesh_from_count(-1).devices.size == 8
+    m4 = mesh_from_count(4)
+    assert m4.devices.size == 4 and m4.shape["dp"] == 4
+    with pytest.raises(AssertionError, match="have 8"):
+        mesh_from_count(9)
