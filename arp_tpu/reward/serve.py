@@ -1,0 +1,146 @@
+"""Reward inference server — ``python -m arp_tpu.reward.serve``.
+
+Serves the batched CLIP reward engine (the north-star component) over HTTP so
+CPU rollout fleets can query multimodal rewards from one TPU host — the
+serving-side counterpart of the offline labeler.  The reference computes
+rewards only in-process (arp_dt/envs/vl_reward.py); here the same engine that
+powers labeling/eval sits behind a thin stdlib JSON front (swap in an ASGI
+server when deploying for real), optionally mesh-sharded (``--mesh_dp``) and
+int8 (``--fast_int8``).
+
+API (JSON over HTTP):
+  POST /v1/reward/text  {"frames": [[...]] uint8 (N,H,W,C), "text": str | [str]}
+                        -> {"rewards": [N floats]}
+                        logit_scale * cos(f_img, f_text), averaged over texts
+                        (label_reward.py:132-146 semantics); text features are
+                        cached per distinct text across requests.
+  POST /v1/reward/goal  {"frames": ..., "goal": [[...]] uint8 (H,W,C) optional}
+                        -> {"rewards": [N floats]}
+                        -||f_img - f_goal||_2 on unnormalized features; the
+                        goal defaults to the last frame (label_reward.py:148-163).
+  GET  /v1/health       -> {"status": "ok", "engine": ..., "batch_size": N}
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+
+import numpy as np
+
+from ..serve import make_json_http_server
+
+
+class RewardServer:
+    """HTTP front over a ClipRewardEngine (or the ClipFt adapter subclass).
+
+    One device-side engine is shared across requests; a lock serializes
+    encode dispatches (concurrent batched encodes would contend for the same
+    chip anyway — scale out with ``mesh=`` instead).
+    """
+
+    def __init__(self, engine):
+        self.engine = engine
+        self._text_feats: dict[str, np.ndarray] = {}
+        self._lock = threading.Lock()
+
+    def text_rewards(self, body: dict) -> dict:
+        frames = np.asarray(body["frames"], np.uint8)
+        text = body["text"]
+        key = json.dumps(text) if isinstance(text, (list, tuple)) else str(text)
+        with self._lock:
+            feat = self._text_feats.get(key)
+            if feat is None:
+                feat = self.engine.encode_text_features(text)
+                self._text_feats[key] = feat
+            rewards = self.engine.text_rewards_with_features(frames, feat)
+        return {"rewards": np.asarray(rewards, np.float32).tolist()}
+
+    def goal_rewards(self, body: dict) -> dict:
+        frames = np.asarray(body["frames"], np.uint8)
+        with self._lock:
+            if body.get("goal") is not None:
+                rewards = self.engine.goal_rewards_vs(
+                    frames, np.asarray(body["goal"], np.uint8)
+                )
+            else:
+                rewards = self.engine.goal_rewards(frames, goal_index=-1)
+        return {"rewards": np.asarray(rewards, np.float32).tolist()}
+
+    def health(self) -> dict:
+        return {
+            "status": "ok",
+            "engine": type(self.engine).__name__,
+            "batch_size": self.engine.batch_size,
+            "cached_texts": len(self._text_feats),
+        }
+
+    def make_http_server(self, host: str = "127.0.0.1", port: int = 8788):
+        return make_json_http_server(
+            get_routes={"/v1/health": self.health},
+            post_routes={
+                "/v1/reward/text": self.text_rewards,
+                "/v1/reward/goal": self.goal_rewards,
+            },
+            host=host,
+            port=port,
+        )
+
+
+def main():
+    import argparse
+
+    import jax.numpy as jnp
+
+    from ..parallel.mesh import mesh_from_count
+    from .engine import ClipRewardEngine
+
+    parser = argparse.ArgumentParser(description="Serve CLIP rewards over HTTP (TPU).")
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8788)
+    parser.add_argument("--model_type", default="clip",
+                        help="clip | clip_ft (requires --model_ckpt_dir)")
+    parser.add_argument("--model_ckpt_dir", default=None)
+    parser.add_argument("--batch_size", type=int, default=64,
+                        help="device batch; online request batches pad up to it")
+    parser.add_argument("--resize_mode", default="pil", choices=["pil", "host", "fast"])
+    parser.add_argument("--use_crop", type=lambda s: s.lower() in ("1", "true"), default=False)
+    parser.add_argument("--bf16", action="store_true")
+    parser.add_argument("--fast", action="store_true")
+    parser.add_argument("--fast_int8", action="store_true")
+    parser.add_argument("--mesh_dp", type=int, default=0,
+                        help="shard encode batches data-parallel over a mesh of this "
+                             "many devices (-1 = all local devices; 0 = single device)")
+    args = parser.parse_args()
+
+    mesh = mesh_from_count(args.mesh_dp)
+    if args.model_type.startswith("clip_ft"):
+        assert args.model_ckpt_dir is not None, "clip_ft needs --model_ckpt_dir"
+        from ..finetune.reward import ClipFtRewardEngine, load_adapter_params
+
+        engine = ClipFtRewardEngine(
+            adapter_params=load_adapter_params(args.model_ckpt_dir),
+            batch_size=args.batch_size,
+            use_crop=args.use_crop,
+            fast_encode=args.fast,
+            fast_int8=args.fast_int8,
+            mesh=mesh,
+        )
+    else:
+        engine = ClipRewardEngine(
+            batch_size=args.batch_size,
+            resize_mode=args.resize_mode,
+            use_crop=args.use_crop,
+            compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+            fast_encode=args.fast,
+            fast_int8=args.fast_int8,
+            mesh=mesh,
+        )
+    server = RewardServer(engine)
+    httpd = server.make_http_server(args.host, args.port)
+    print(f"serving {type(engine).__name__} rewards on http://{args.host}:{args.port}")
+    httpd.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

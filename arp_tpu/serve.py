@@ -129,46 +129,61 @@ class PolicyServer:
     # -- http --------------------------------------------------------------
 
     def make_http_server(self, host: str = "127.0.0.1", port: int = 8787) -> ThreadingHTTPServer:
-        server_self = self
+        return make_json_http_server(
+            get_routes={"/v1/health": self.health},
+            post_routes={
+                "/v1/session": self.create_session,
+                "/v1/act": self.act,
+                "/v1/session/close": self.close_session,
+            },
+            host=host,
+            port=port,
+        )
 
-        class Handler(BaseHTTPRequestHandler):
-            def log_message(self, fmt, *args):
-                pass
 
-            def _reply(self, code: int, payload: dict):
-                raw = json.dumps(payload).encode()
-                self.send_response(code)
-                self.send_header("Content-Type", "application/json")
-                self.send_header("Content-Length", str(len(raw)))
-                self.end_headers()
-                self.wfile.write(raw)
+def make_json_http_server(
+    get_routes: dict, post_routes: dict, host: str = "127.0.0.1", port: int = 8787
+) -> ThreadingHTTPServer:
+    """Thin stdlib JSON-over-HTTP front shared by the policy and reward
+    servers: path -> handler(body) dicts, uniform error mapping
+    (UnknownSession -> 410, missing field -> 400, anything else -> 500)."""
 
-            def do_GET(self):
-                if self.path == "/v1/health":
-                    self._reply(200, server_self.health())
-                else:
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):
+            pass
+
+        def _reply(self, code: int, payload: dict):
+            raw = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(raw)))
+            self.end_headers()
+            self.wfile.write(raw)
+
+        def do_GET(self):
+            fn = get_routes.get(self.path)
+            if fn is None:
+                self._reply(404, {"error": "not found"})
+            else:
+                self._reply(200, fn())
+
+        def do_POST(self):
+            length = int(self.headers.get("Content-Length", 0))
+            fn = post_routes.get(self.path)
+            try:
+                body = json.loads(self.rfile.read(length) or b"{}")
+                if fn is None:
                     self._reply(404, {"error": "not found"})
+                else:
+                    self._reply(200, fn(body))
+            except UnknownSession as e:
+                self._reply(410, {"error": str(e)})
+            except KeyError as e:
+                self._reply(400, {"error": f"missing field {e}"})
+            except Exception as e:  # surface errors to the client
+                self._reply(500, {"error": str(e)})
 
-            def do_POST(self):
-                length = int(self.headers.get("Content-Length", 0))
-                try:
-                    body = json.loads(self.rfile.read(length) or b"{}")
-                    if self.path == "/v1/session":
-                        self._reply(200, server_self.create_session(body))
-                    elif self.path == "/v1/act":
-                        self._reply(200, server_self.act(body))
-                    elif self.path == "/v1/session/close":
-                        self._reply(200, server_self.close_session(body))
-                    else:
-                        self._reply(404, {"error": "not found"})
-                except UnknownSession as e:
-                    self._reply(410, {"error": str(e)})
-                except KeyError as e:
-                    self._reply(400, {"error": f"missing field {e}"})
-                except Exception as e:  # surface errors to the client
-                    self._reply(500, {"error": str(e)})
-
-        return ThreadingHTTPServer((host, port), Handler)
+    return ThreadingHTTPServer((host, port), Handler)
 
 
 def main():

@@ -102,3 +102,89 @@ def test_serve_unknown_session_is_410(server_url):
     except urllib.error.HTTPError as e:
         assert e.code == 410
         assert "unknown or expired session" in json.loads(e.read())["error"]
+
+
+# --- reward server -----------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def reward_server_url():
+    """RewardServer over the tiny CLIP engine from the reward-engine tests."""
+    from arp_tpu.models.clip import CLIP
+    from arp_tpu.reward.engine import ClipRewardEngine
+    from arp_tpu.reward.serve import RewardServer
+    from tests.test_reward_engine import IMG_SIZE, TINY_CFG, TinyTokenizer
+
+    model = CLIP(**TINY_CFG)
+    rng = np.random.default_rng(0)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(rng.normal(size=(1, IMG_SIZE, IMG_SIZE, 3)).astype(np.float32)),
+        jnp.asarray(TinyTokenizer()("x")),
+    )
+    engine = ClipRewardEngine(
+        model=model, variables=variables, batch_size=8, resize_mode="pil",
+        image_size=IMG_SIZE, tokenizer=TinyTokenizer(),
+    )
+    server = RewardServer(engine)
+    httpd = server.make_http_server("127.0.0.1", 0)
+    port = httpd.server_address[1]
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{port}", engine
+    httpd.shutdown()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(), headers={"Content-Type": "application/json"}
+    )
+    with urllib.request.urlopen(req) as resp:
+        return json.loads(resp.read())
+
+
+def test_reward_serve_text_matches_engine(reward_server_url):
+    url, engine = reward_server_url
+    rng = np.random.default_rng(31)
+    frames = rng.integers(0, 256, (5, 48, 48, 3), np.uint8)
+    got = _post(f"{url}/v1/reward/text",
+                {"frames": frames.tolist(), "text": "collect the coin."})["rewards"]
+    want = engine.text_rewards(frames, "collect the coin.")
+    np.testing.assert_allclose(np.asarray(got, np.float32), want, rtol=1e-5, atol=1e-6)
+    # cached text features must not change the answer on a second request
+    got2 = _post(f"{url}/v1/reward/text",
+                 {"frames": frames.tolist(), "text": "collect the coin."})["rewards"]
+    np.testing.assert_array_equal(got, got2)
+    health = json.loads(urllib.request.urlopen(f"{url}/v1/health").read())
+    assert health["status"] == "ok" and health["cached_texts"] >= 1
+
+
+def test_reward_serve_goal_semantics(reward_server_url):
+    url, engine = reward_server_url
+    rng = np.random.default_rng(32)
+    frames = rng.integers(0, 256, (4, 48, 48, 3), np.uint8)
+    # default goal = last frame -> its own reward is 0
+    got = _post(f"{url}/v1/reward/goal", {"frames": frames.tolist()})["rewards"]
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), engine.goal_rewards(frames), rtol=1e-5, atol=1e-6
+    )
+    assert got[-1] == 0.0
+    # explicit goal image
+    goal = rng.integers(0, 256, (48, 48, 3), np.uint8)
+    got2 = _post(f"{url}/v1/reward/goal",
+                 {"frames": frames.tolist(), "goal": goal.tolist()})["rewards"]
+    np.testing.assert_allclose(
+        np.asarray(got2, np.float32), engine.goal_rewards_vs(frames, goal),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_reward_serve_missing_field_is_400(reward_server_url):
+    url, _ = reward_server_url
+    req = urllib.request.Request(
+        f"{url}/v1/reward/text", data=json.dumps({"frames": [[0]]}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(req)
+    assert exc.value.code == 400
