@@ -19,16 +19,34 @@ API (JSON over HTTP):
                         -||f_img - f_goal||_2 on unnormalized features; the
                         goal defaults to the last frame (label_reward.py:148-163).
   GET  /v1/health       -> {"status": "ok", "engine": ..., "batch_size": N}
+
+Frame wire formats: nested JSON lists (debug-friendly) or — for production
+batches, ~100x cheaper to encode/parse — raw uint8 bytes as
+``{"frames_b64": base64(arr.tobytes()), "frames_shape": [N,H,W,C]}``
+(same for ``goal_b64``/``goal_shape``).
 """
 
 from __future__ import annotations
 
+import base64
 import json
 import threading
 
 import numpy as np
 
 from ..serve import make_json_http_server
+
+
+def _decode_frames(body: dict, key: str):
+    """uint8 array from JSON lists (``key``) or base64 raw bytes
+    (``key_b64`` + ``key_shape``); None if neither field is present."""
+    b64 = body.get(f"{key}_b64")
+    if b64 is not None:
+        arr = np.frombuffer(base64.b64decode(b64), np.uint8)
+        return arr.reshape(body[f"{key}_shape"])
+    if body.get(key) is not None:
+        return np.asarray(body[key], np.uint8)
+    return None
 
 
 class RewardServer:
@@ -45,7 +63,9 @@ class RewardServer:
         self._lock = threading.Lock()
 
     def text_rewards(self, body: dict) -> dict:
-        frames = np.asarray(body["frames"], np.uint8)
+        frames = _decode_frames(body, "frames")
+        if frames is None:
+            raise KeyError("frames")
         text = body["text"]
         key = json.dumps(text) if isinstance(text, (list, tuple)) else str(text)
         with self._lock:
@@ -57,12 +77,13 @@ class RewardServer:
         return {"rewards": np.asarray(rewards, np.float32).tolist()}
 
     def goal_rewards(self, body: dict) -> dict:
-        frames = np.asarray(body["frames"], np.uint8)
+        frames = _decode_frames(body, "frames")
+        if frames is None:
+            raise KeyError("frames")
+        goal = _decode_frames(body, "goal")
         with self._lock:
-            if body.get("goal") is not None:
-                rewards = self.engine.goal_rewards_vs(
-                    frames, np.asarray(body["goal"], np.uint8)
-                )
+            if goal is not None:
+                rewards = self.engine.goal_rewards_vs(frames, goal)
             else:
                 rewards = self.engine.goal_rewards(frames, goal_index=-1)
         return {"rewards": np.asarray(rewards, np.float32).tolist()}

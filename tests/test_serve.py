@@ -188,3 +188,28 @@ def test_reward_serve_missing_field_is_400(reward_server_url):
     with pytest.raises(urllib.error.HTTPError) as exc:
         urllib.request.urlopen(req)
     assert exc.value.code == 400
+
+
+def test_reward_serve_b64_wire_format(reward_server_url):
+    """base64 raw-bytes frames (the production wire format) must give the
+    same rewards as JSON lists, for both frames and the goal image."""
+    import base64
+
+    url, engine = reward_server_url
+    rng = np.random.default_rng(33)
+    frames = rng.integers(0, 256, (5, 48, 48, 3), np.uint8)
+    goal = rng.integers(0, 256, (48, 48, 3), np.uint8)
+    via_list = _post(f"{url}/v1/reward/text",
+                     {"frames": frames.tolist(), "text": "go"})["rewards"]
+    via_b64 = _post(f"{url}/v1/reward/text",
+                    {"frames_b64": base64.b64encode(frames.tobytes()).decode(),
+                     "frames_shape": list(frames.shape), "text": "go"})["rewards"]
+    np.testing.assert_array_equal(via_list, via_b64)
+    g_list = _post(f"{url}/v1/reward/goal",
+                   {"frames": frames.tolist(), "goal": goal.tolist()})["rewards"]
+    g_b64 = _post(f"{url}/v1/reward/goal",
+                  {"frames_b64": base64.b64encode(frames.tobytes()).decode(),
+                   "frames_shape": list(frames.shape),
+                   "goal_b64": base64.b64encode(goal.tobytes()).decode(),
+                   "goal_shape": list(goal.shape)})["rewards"]
+    np.testing.assert_array_equal(g_list, g_b64)
