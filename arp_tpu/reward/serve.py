@@ -20,10 +20,19 @@ API (JSON over HTTP):
                         goal defaults to the last frame (label_reward.py:148-163).
   GET  /v1/health       -> {"status": "ok", "engine": ..., "batch_size": N}
 
-Frame wire formats: nested JSON lists (debug-friendly) or — for production
-batches, ~100x cheaper to encode/parse — raw uint8 bytes as
-``{"frames_b64": base64(arr.tobytes()), "frames_shape": [N,H,W,C]}``
-(same for ``goal_b64``/``goal_shape``).
+Frame wire formats, cheapest first:
+  * raw binary: POST ``/v1/reward/text_raw`` / ``/v1/reward/goal_raw`` with
+    the uint8 frame bytes as the body and headers ``X-Frames-Shape:
+    "N,H,W,C"``, ``X-Text: <instruction>`` (text) or optional
+    ``X-Goal-Shape`` with the goal bytes appended after the frames (goal) —
+    zero encode/parse cost, the production format;
+  * base64 JSON: ``{"frames_b64": base64(arr.tobytes()), "frames_shape":
+    [N,H,W,C]}`` (same for ``goal_b64``/``goal_shape``);
+  * nested JSON lists (debug-friendly).
+On the tunnel-attached dev chip all three measure within noise of direct
+engine calls (the host->device link dominates); on a PCIe-attached host the
+raw format is the one that keeps HTTP off the critical path
+(scripts/bench_reward_serve.py).
 """
 
 from __future__ import annotations
@@ -62,11 +71,7 @@ class RewardServer:
         self._text_feats: dict[str, np.ndarray] = {}
         self._lock = threading.Lock()
 
-    def text_rewards(self, body: dict) -> dict:
-        frames = _decode_frames(body, "frames")
-        if frames is None:
-            raise KeyError("frames")
-        text = body["text"]
+    def _text_rewards(self, frames: np.ndarray, text) -> dict:
         key = json.dumps(text) if isinstance(text, (list, tuple)) else str(text)
         with self._lock:
             feat = self._text_feats.get(key)
@@ -76,17 +81,56 @@ class RewardServer:
             rewards = self.engine.text_rewards_with_features(frames, feat)
         return {"rewards": np.asarray(rewards, np.float32).tolist()}
 
-    def goal_rewards(self, body: dict) -> dict:
-        frames = _decode_frames(body, "frames")
-        if frames is None:
-            raise KeyError("frames")
-        goal = _decode_frames(body, "goal")
+    def _goal_rewards(self, frames: np.ndarray, goal) -> dict:
         with self._lock:
             if goal is not None:
                 rewards = self.engine.goal_rewards_vs(frames, goal)
             else:
                 rewards = self.engine.goal_rewards(frames, goal_index=-1)
         return {"rewards": np.asarray(rewards, np.float32).tolist()}
+
+    def text_rewards(self, body: dict) -> dict:
+        frames = _decode_frames(body, "frames")
+        if frames is None:
+            raise KeyError("frames")
+        return self._text_rewards(frames, body["text"])
+
+    def goal_rewards(self, body: dict) -> dict:
+        frames = _decode_frames(body, "frames")
+        if frames is None:
+            raise KeyError("frames")
+        return self._goal_rewards(frames, _decode_frames(body, "goal"))
+
+    # -- raw binary wire format ------------------------------------------------
+
+    @staticmethod
+    def _header_shape(headers, name: str):
+        val = headers.get(name)
+        if val is None:
+            return None
+        return [int(s) for s in val.split(",")]
+
+    def text_rewards_raw(self, headers, data: bytes) -> dict:
+        shape = self._header_shape(headers, "X-Frames-Shape")
+        text = headers.get("X-Text")
+        if shape is None:
+            raise KeyError("X-Frames-Shape")
+        if text is None:
+            raise KeyError("X-Text")
+        frames = np.frombuffer(data, np.uint8).reshape(shape)
+        return self._text_rewards(frames, text)
+
+    def goal_rewards_raw(self, headers, data: bytes) -> dict:
+        shape = self._header_shape(headers, "X-Frames-Shape")
+        if shape is None:
+            raise KeyError("X-Frames-Shape")
+        n = int(np.prod(shape))
+        frames = np.frombuffer(data[:n], np.uint8).reshape(shape)
+        goal = None
+        goal_shape = self._header_shape(headers, "X-Goal-Shape")
+        if goal_shape is not None:
+            goal = np.frombuffer(data[n:], np.uint8).reshape(goal_shape)
+        return self._goal_rewards(frames, goal)
 
     def health(self) -> dict:
         return {
@@ -102,6 +146,10 @@ class RewardServer:
             post_routes={
                 "/v1/reward/text": self.text_rewards,
                 "/v1/reward/goal": self.goal_rewards,
+            },
+            raw_post_routes={
+                "/v1/reward/text_raw": self.text_rewards_raw,
+                "/v1/reward/goal_raw": self.goal_rewards_raw,
             },
             host=host,
             port=port,

@@ -142,11 +142,22 @@ class PolicyServer:
 
 
 def make_json_http_server(
-    get_routes: dict, post_routes: dict, host: str = "127.0.0.1", port: int = 8787
+    get_routes: dict,
+    post_routes: dict,
+    host: str = "127.0.0.1",
+    port: int = 8787,
+    raw_post_routes: Optional[dict] = None,
 ) -> ThreadingHTTPServer:
     """Thin stdlib JSON-over-HTTP front shared by the policy and reward
     servers: path -> handler(body) dicts, uniform error mapping
-    (UnknownSession -> 410, missing field -> 400, anything else -> 500)."""
+    (UnknownSession -> 410, missing field -> 400, anything else -> 500).
+
+    ``raw_post_routes`` handlers receive ``(headers, body_bytes)`` with the
+    request body unparsed — for large binary payloads (frame batches) where
+    JSON/base64 encode+parse on a small host would dominate the request.
+    They still reply JSON.
+    """
+    raw_routes = raw_post_routes or {}
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):
@@ -169,13 +180,16 @@ def make_json_http_server(
 
         def do_POST(self):
             length = int(self.headers.get("Content-Length", 0))
+            raw_fn = raw_routes.get(self.path)
             fn = post_routes.get(self.path)
             try:
-                body = json.loads(self.rfile.read(length) or b"{}")
-                if fn is None:
+                data = self.rfile.read(length)
+                if raw_fn is not None:
+                    self._reply(200, raw_fn(self.headers, data))
+                elif fn is None:
                     self._reply(404, {"error": "not found"})
                 else:
-                    self._reply(200, fn(body))
+                    self._reply(200, fn(json.loads(data or b"{}")))
             except UnknownSession as e:
                 self._reply(410, {"error": str(e)})
             except KeyError as e:

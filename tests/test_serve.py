@@ -213,3 +213,37 @@ def test_reward_serve_b64_wire_format(reward_server_url):
                    "goal_b64": base64.b64encode(goal.tobytes()).decode(),
                    "goal_shape": list(goal.shape)})["rewards"]
     np.testing.assert_array_equal(g_list, g_b64)
+
+
+def test_reward_serve_raw_wire_format(reward_server_url):
+    """Raw-binary endpoints (zero encode/parse) match the JSON-list answers;
+    missing headers are 400."""
+    url, engine = reward_server_url
+    rng = np.random.default_rng(34)
+    frames = rng.integers(0, 256, (5, 48, 48, 3), np.uint8)
+    goal = rng.integers(0, 256, (48, 48, 3), np.uint8)
+
+    def post_raw(path, data, headers):
+        req = urllib.request.Request(f"{url}{path}", data=data, headers=headers)
+        with urllib.request.urlopen(req) as resp:
+            return json.loads(resp.read())["rewards"]
+
+    want = _post(f"{url}/v1/reward/text",
+                 {"frames": frames.tolist(), "text": "go"})["rewards"]
+    got = post_raw("/v1/reward/text_raw", frames.tobytes(),
+                   {"X-Frames-Shape": "5,48,48,3", "X-Text": "go"})
+    np.testing.assert_array_equal(got, want)
+
+    g_want = _post(f"{url}/v1/reward/goal",
+                   {"frames": frames.tolist(), "goal": goal.tolist()})["rewards"]
+    g_got = post_raw("/v1/reward/goal_raw", frames.tobytes() + goal.tobytes(),
+                     {"X-Frames-Shape": "5,48,48,3", "X-Goal-Shape": "48,48,3"})
+    np.testing.assert_array_equal(g_got, g_want)
+    # default goal (no X-Goal-Shape header): last frame -> reward 0
+    g_def = post_raw("/v1/reward/goal_raw", frames.tobytes(),
+                     {"X-Frames-Shape": "5,48,48,3"})
+    assert g_def[-1] == 0.0
+
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        post_raw("/v1/reward/text_raw", frames.tobytes(), {"X-Text": "go"})
+    assert exc.value.code == 400
