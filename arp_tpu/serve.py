@@ -21,6 +21,7 @@ from __future__ import annotations
 import json
 import os
 import threading
+import time
 import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Callable, Optional
@@ -74,6 +75,92 @@ class PolicySession:
         }
 
 
+class _MicroBatcher:
+    """Groups concurrent /act requests into one device forward.
+
+    TPU-idiomatic serving: the chip wants batches, HTTP delivers singles.
+    Handler threads submit their ``(1, w, ...)`` inputs and block; a
+    dispatcher thread collects whatever arrived within ``max_wait_ms`` (up
+    to ``max_batch``), groups by window length w (different w = different
+    compiled program), stacks along the batch dim, pads to the next
+    power-of-two bucket (bounded compile count: |w| x |buckets| programs),
+    and scatters the greedy actions back.  Per-sample attention makes the
+    batched forward equal the individual forwards.
+    """
+
+    def __init__(self, policy_fn: Callable, max_batch: int = 8, max_wait_ms: float = 2.0):
+        self.policy_fn = policy_fn
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1000.0
+        self.dispatches = 0  # observability: forwards issued (vs requests served)
+        self._cv = threading.Condition()
+        self._queue: list[dict] = []
+        threading.Thread(target=self._loop, daemon=True).start()
+
+    def submit(self, inputs: dict) -> int:
+        item = {"inputs": inputs, "done": threading.Event(), "result": None, "error": None}
+        with self._cv:
+            self._queue.append(item)
+            self._cv.notify()
+        item["done"].wait()
+        if item["error"] is not None:
+            raise item["error"]
+        return item["result"]
+
+    def _loop(self):
+        while True:
+            with self._cv:
+                while not self._queue:
+                    self._cv.wait()
+            time.sleep(self.max_wait)  # collection window (adds that much latency)
+            with self._cv:
+                if not self._queue:
+                    continue
+                # dispatch one same-w group; anything else stays queued
+                w0 = self._queue[0]["inputs"]["action"].shape[1]
+                take, rest = [], []
+                for it in self._queue:
+                    if it["inputs"]["action"].shape[1] == w0 and len(take) < self.max_batch:
+                        take.append(it)
+                    else:
+                        rest.append(it)
+                self._queue = rest
+            try:
+                actions = self._run(take)
+                for it, a in zip(take, actions):
+                    it["result"] = int(a)
+            except Exception as e:  # propagate to every waiting handler
+                for it in take:
+                    it["error"] = e
+            for it in take:
+                it["done"].set()
+
+    def _run(self, items: list) -> np.ndarray:
+        n = len(items)
+        bucket = 1 << (n - 1).bit_length()
+
+        def stack(*path):
+            def leaf(it):
+                v = it["inputs"]
+                for k in path:
+                    v = v[k]
+                return v
+
+            arrs = [leaf(it) for it in items]
+            arrs += [arrs[-1]] * (bucket - n)  # pad rows are discarded below
+            return np.concatenate(arrs, axis=0)
+
+        batched = {
+            "image": {"ob": stack("image", "ob")},
+            "rtg": {"ob": stack("rtg", "ob")},
+            "action": stack("action"),
+            "instruct": None,
+            "text_padding_mask": None,
+        }
+        self.dispatches += 1
+        return np.asarray(jax.device_get(self.policy_fn(batched)))[:n]
+
+
 class PolicyServer:
     def __init__(
         self,
@@ -82,6 +169,7 @@ class PolicyServer:
         window_size: int = 4,
         default_return_to_go: float = 100.0,
         default_scale: float = 100.0,
+        max_batch: int = 1,
     ):
         self.policy_fn = policy_fn
         self.transform_obs_fn = transform_obs_fn
@@ -90,6 +178,8 @@ class PolicyServer:
         self.default_scale = default_scale
         self.sessions: dict[str, PolicySession] = {}
         self._lock = threading.Lock()
+        # max_batch > 1: concurrent sessions' forwards coalesce on the device
+        self._batcher = _MicroBatcher(policy_fn, max_batch) if max_batch > 1 else None
 
     # -- handlers --------------------------------------------------------------
 
@@ -114,7 +204,10 @@ class PolicyServer:
         with session.lock:
             session.push(obs, body.get("reward"))
             inputs = session.inputs()
-            action = int(np.asarray(jax.device_get(self.policy_fn(inputs)))[0])
+            if self._batcher is not None:
+                action = self._batcher.submit(inputs)
+            else:
+                action = int(np.asarray(jax.device_get(self.policy_fn(inputs)))[0])
             session.record_action(action)
             return {"action": action, "rtg": float(session.rtg * session.scale)}
 
@@ -213,6 +306,9 @@ def main():
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8787)
     parser.add_argument("--window_size", type=int, default=4)
+    parser.add_argument("--max_batch", type=int, default=1,
+                        help=">1 coalesces concurrent sessions' /act forwards into "
+                             "one device batch (adds ~2ms collection latency)")
     parser.add_argument("--image_size", type=int, default=256)
     parser.add_argument("--emb_dim", type=int, default=128)
     parser.add_argument("--depth", type=int, default=2)
@@ -271,6 +367,7 @@ def main():
         policy_fn=lambda inputs: policy_fn_jit(params, inputs),
         transform_obs_fn=transform,
         window_size=args.window_size,
+        max_batch=args.max_batch,
     )
     httpd = server.make_http_server(args.host, args.port)
     print(f"serving policy on http://{args.host}:{args.port}")

@@ -247,3 +247,66 @@ def test_reward_serve_raw_wire_format(reward_server_url):
     with pytest.raises(urllib.error.HTTPError) as exc:
         post_raw("/v1/reward/text_raw", frames.tobytes(), {"X-Text": "go"})
     assert exc.value.code == 400
+
+
+def test_policy_serve_micro_batching():
+    """max_batch>1 coalesces concurrent sessions' /act calls into fewer
+    device dispatches AND returns exactly the actions the unbatched server
+    gives (per-sample attention: batching is placement, not arithmetic)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    model = ARPDT(
+        config_updates=dict(
+            model_type="vit_debug", transfer_type="none", emb_dim=32, depth=2,
+            num_heads=4, mlp_ratio=2, use_discrete_action=True, num_ensembles=2,
+        ),
+        num_actions=15,
+        patch_dim=16,
+    )
+    dummy = {
+        "image": {"ob": np.zeros((1, 2, 32, 32, 3), np.float32)},
+        "rtg": {"ob": np.zeros((1, 2, 1), np.float32)},
+        "action": np.zeros((1, 2), np.int32),
+        "instruct": None,
+        "text_padding_mask": None,
+    }
+    rngs = {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1),
+            "dropout": jax.random.PRNGKey(2)}
+    params = model.init(rngs, dummy, deterministic=True)["params"]
+
+    @jax.jit
+    def policy_fn_jit(params, inputs):
+        return model.apply({"params": params}, inputs, method=model.greedy_action)
+
+    kw = dict(policy_fn=lambda i: policy_fn_jit(params, i),
+              transform_obs_fn=lambda x: np.asarray(x, np.float32) / 255.0,
+              window_size=4)
+    plain = PolicyServer(**kw)
+    batched = PolicyServer(**kw, max_batch=8)
+
+    rng = np.random.default_rng(7)
+    n_sessions, n_steps = 6, 3
+    obs = rng.integers(0, 256, (n_sessions, n_steps, 32, 32, 3), np.uint8)
+
+    def run_episode(server, s):
+        sid = server.create_session({"return_to_go": 10.0, "scale": 10.0})["session_id"]
+        acts = []
+        for t in range(n_steps):
+            out = server.act({"session_id": sid,
+                              "observation": obs[s, t].tolist(),
+                              "reward": 0.1 if t else None})
+            acts.append(out["action"])
+        return acts
+
+    want = [run_episode(plain, s) for s in range(n_sessions)]
+    # lockstep barrier per step so all sessions' requests are in flight
+    # together — gives the batcher real concurrency to coalesce
+    with ThreadPoolExecutor(n_sessions) as pool:
+        got = list(pool.map(lambda s: run_episode(batched, s), range(n_sessions)))
+
+    assert got == want
+    total_requests = n_sessions * n_steps
+    assert batched._batcher.dispatches < total_requests, (
+        f"no coalescing happened: {batched._batcher.dispatches} dispatches "
+        f"for {total_requests} requests"
+    )
