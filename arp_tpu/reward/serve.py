@@ -66,18 +66,32 @@ class RewardServer:
     chip anyway — scale out with ``mesh=`` instead).
     """
 
+    MAX_CACHED_TEXTS = 256  # LRU bound: long-lived servers fed per-episode
+    # instruction strings must not grow host memory without limit
+
     def __init__(self, engine):
+        from collections import OrderedDict
+
         self.engine = engine
-        self._text_feats: dict[str, np.ndarray] = {}
+        self._text_feats: "OrderedDict[str, np.ndarray]" = OrderedDict()
         self._lock = threading.Lock()
 
     def _text_rewards(self, frames: np.ndarray, text) -> dict:
-        key = json.dumps(text) if isinstance(text, (list, tuple)) else str(text)
+        # type-prefixed key: the string '["go"]' and the list ["go"] encode
+        # different texts and must not share a cache entry
+        if isinstance(text, (list, tuple)):
+            key = "list:" + json.dumps(list(text))
+        else:
+            key = "str:" + str(text)
         with self._lock:
             feat = self._text_feats.get(key)
             if feat is None:
                 feat = self.engine.encode_text_features(text)
                 self._text_feats[key] = feat
+                if len(self._text_feats) > self.MAX_CACHED_TEXTS:
+                    self._text_feats.popitem(last=False)
+            else:
+                self._text_feats.move_to_end(key)
             rewards = self.engine.text_rewards_with_features(frames, feat)
         return {"rewards": np.asarray(rewards, np.float32).tolist()}
 
@@ -108,7 +122,12 @@ class RewardServer:
         val = headers.get(name)
         if val is None:
             return None
-        return [int(s) for s in val.split(",")]
+        shape = [int(s) for s in val.split(",")]
+        if any(d <= 0 for d in shape):
+            # no numpy -1 inference here: byte offsets below depend on the
+            # exact element count, so every dim must be explicit
+            raise ValueError(f"{name} must be positive dims, got {val!r}")
+        return shape
 
     def text_rewards_raw(self, headers, data: bytes) -> dict:
         shape = self._header_shape(headers, "X-Frames-Shape")
@@ -124,10 +143,16 @@ class RewardServer:
         shape = self._header_shape(headers, "X-Frames-Shape")
         if shape is None:
             raise KeyError("X-Frames-Shape")
+        goal_shape = self._header_shape(headers, "X-Goal-Shape")
         n = int(np.prod(shape))
+        expected = n + (int(np.prod(goal_shape)) if goal_shape is not None else 0)
+        if len(data) != expected:
+            # a silent mismatch would score truncated/mis-offset frames as 200
+            raise ValueError(
+                f"body is {len(data)} bytes but the shape headers imply {expected}"
+            )
         frames = np.frombuffer(data[:n], np.uint8).reshape(shape)
         goal = None
-        goal_shape = self._header_shape(headers, "X-Goal-Shape")
         if goal_shape is not None:
             goal = np.frombuffer(data[n:], np.uint8).reshape(goal_shape)
         return self._goal_rewards(frames, goal)

@@ -97,8 +97,22 @@ class _MicroBatcher:
         self._queue: list[dict] = []
         threading.Thread(target=self._loop, daemon=True).start()
 
+    @staticmethod
+    def _signature(inputs: dict):
+        """Full leaf-shape signature: only identically-shaped requests batch
+        together, so one client's mismatched observation cannot poison a
+        group of well-formed ones (it fails alone in its own dispatch)."""
+        leaves = jax.tree_util.tree_leaves(inputs)
+        return tuple(np.shape(leaf) for leaf in leaves)
+
     def submit(self, inputs: dict) -> int:
-        item = {"inputs": inputs, "done": threading.Event(), "result": None, "error": None}
+        item = {
+            "inputs": inputs,
+            "sig": self._signature(inputs),
+            "done": threading.Event(),
+            "result": None,
+            "error": None,
+        }
         with self._cv:
             self._queue.append(item)
             self._cv.notify()
@@ -112,15 +126,18 @@ class _MicroBatcher:
             with self._cv:
                 while not self._queue:
                     self._cv.wait()
-            time.sleep(self.max_wait)  # collection window (adds that much latency)
-            with self._cv:
-                if not self._queue:
-                    continue
-                # dispatch one same-w group; anything else stays queued
-                w0 = self._queue[0]["inputs"]["action"].shape[1]
+                # collection window: wait out max_wait, but dispatch as soon
+                # as a full group of the head request's signature is queued
+                sig0 = self._queue[0]["sig"]
+                deadline = time.time() + self.max_wait
+                while (
+                    sum(it["sig"] == sig0 for it in self._queue) < self.max_batch
+                    and (remaining := deadline - time.time()) > 0
+                ):
+                    self._cv.wait(timeout=remaining)
                 take, rest = [], []
                 for it in self._queue:
-                    if it["inputs"]["action"].shape[1] == w0 and len(take) < self.max_batch:
+                    if it["sig"] == sig0 and len(take) < self.max_batch:
                         take.append(it)
                     else:
                         rest.append(it)
@@ -139,24 +156,13 @@ class _MicroBatcher:
         n = len(items)
         bucket = 1 << (n - 1).bit_length()
 
-        def stack(*path):
-            def leaf(it):
-                v = it["inputs"]
-                for k in path:
-                    v = v[k]
-                return v
+        def stack(*leaves):
+            # pad rows (repeats of the last request) are discarded below
+            return np.concatenate(list(leaves) + [leaves[-1]] * (bucket - n), axis=0)
 
-            arrs = [leaf(it) for it in items]
-            arrs += [arrs[-1]] * (bucket - n)  # pad rows are discarded below
-            return np.concatenate(arrs, axis=0)
-
-        batched = {
-            "image": {"ob": stack("image", "ob")},
-            "rtg": {"ob": stack("rtg", "ob")},
-            "action": stack("action"),
-            "instruct": None,
-            "text_padding_mask": None,
-        }
+        # generic pytree stacking: whatever schema PolicySession.inputs()
+        # produces batches as-is (None nodes pass through untouched)
+        batched = jax.tree_util.tree_map(stack, *[it["inputs"] for it in items])
         self.dispatches += 1
         return np.asarray(jax.device_get(self.policy_fn(batched)))[:n]
 
@@ -170,6 +176,7 @@ class PolicyServer:
         default_return_to_go: float = 100.0,
         default_scale: float = 100.0,
         max_batch: int = 1,
+        batch_wait_ms: float = 2.0,
     ):
         self.policy_fn = policy_fn
         self.transform_obs_fn = transform_obs_fn
@@ -179,7 +186,9 @@ class PolicyServer:
         self.sessions: dict[str, PolicySession] = {}
         self._lock = threading.Lock()
         # max_batch > 1: concurrent sessions' forwards coalesce on the device
-        self._batcher = _MicroBatcher(policy_fn, max_batch) if max_batch > 1 else None
+        self._batcher = (
+            _MicroBatcher(policy_fn, max_batch, batch_wait_ms) if max_batch > 1 else None
+        )
 
     # -- handlers --------------------------------------------------------------
 
@@ -287,6 +296,8 @@ def make_json_http_server(
                 self._reply(410, {"error": str(e)})
             except KeyError as e:
                 self._reply(400, {"error": f"missing field {e}"})
+            except ValueError as e:  # malformed payload (bad shapes/bytes/json)
+                self._reply(400, {"error": str(e)})
             except Exception as e:  # surface errors to the client
                 self._reply(500, {"error": str(e)})
 

@@ -282,16 +282,20 @@ def test_policy_serve_micro_batching():
               transform_obs_fn=lambda x: np.asarray(x, np.float32) / 255.0,
               window_size=4)
     plain = PolicyServer(**kw)
-    batched = PolicyServer(**kw, max_batch=8)
+    # generous collection window: determinism under loaded CI beats latency
+    batched = PolicyServer(**kw, max_batch=8, batch_wait_ms=200.0)
 
     rng = np.random.default_rng(7)
     n_sessions, n_steps = 6, 3
     obs = rng.integers(0, 256, (n_sessions, n_steps, 32, 32, 3), np.uint8)
+    step_barrier = threading.Barrier(n_sessions)
 
-    def run_episode(server, s):
+    def run_episode(server, s, barrier=None):
         sid = server.create_session({"return_to_go": 10.0, "scale": 10.0})["session_id"]
         acts = []
         for t in range(n_steps):
+            if barrier is not None:
+                barrier.wait()  # all sessions' step-t requests leave together
             out = server.act({"session_id": sid,
                               "observation": obs[s, t].tolist(),
                               "reward": 0.1 if t else None})
@@ -299,10 +303,9 @@ def test_policy_serve_micro_batching():
         return acts
 
     want = [run_episode(plain, s) for s in range(n_sessions)]
-    # lockstep barrier per step so all sessions' requests are in flight
-    # together — gives the batcher real concurrency to coalesce
     with ThreadPoolExecutor(n_sessions) as pool:
-        got = list(pool.map(lambda s: run_episode(batched, s), range(n_sessions)))
+        got = list(pool.map(lambda s: run_episode(batched, s, step_barrier),
+                            range(n_sessions)))
 
     assert got == want
     total_requests = n_sessions * n_steps
@@ -310,3 +313,45 @@ def test_policy_serve_micro_batching():
         f"no coalescing happened: {batched._batcher.dispatches} dispatches "
         f"for {total_requests} requests"
     )
+
+
+def test_reward_serve_raw_validation_and_cache_keys(reward_server_url):
+    """Malformed raw payloads are 400 (not silent 200s), and a list text
+    never shares a cache entry with the string spelled like its JSON."""
+    import base64
+
+    url, engine = reward_server_url
+    rng = np.random.default_rng(35)
+    frames = rng.integers(0, 256, (3, 48, 48, 3), np.uint8)
+
+    def post_raw(path, data, headers):
+        req = urllib.request.Request(f"{url}{path}", data=data, headers=headers)
+        with urllib.request.urlopen(req) as resp:
+            return json.loads(resp.read())["rewards"]
+
+    # goal_raw: body shorter than the shape headers imply -> 400
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        post_raw("/v1/reward/goal_raw", frames.tobytes()[:-10],
+                 {"X-Frames-Shape": "3,48,48,3"})
+    assert exc.value.code == 400
+    # goal bytes appended but X-Goal-Shape omitted -> 400, not wrong rewards
+    goal = rng.integers(0, 256, (48, 48, 3), np.uint8)
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        post_raw("/v1/reward/goal_raw", frames.tobytes() + goal.tobytes(),
+                 {"X-Frames-Shape": "3,48,48,3"})
+    assert exc.value.code == 400
+    # negative dim in the shape header -> 400
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        post_raw("/v1/reward/text_raw", frames.tobytes(),
+                 {"X-Frames-Shape": "-1,48,48,3", "X-Text": "go"})
+    assert exc.value.code == 400
+
+    # cache-key collision: the literal string '["go"]' vs the list ["go"]
+    r_str = _post(f"{url}/v1/reward/text",
+                  {"frames": frames.tolist(), "text": '["go"]'})["rewards"]
+    r_list = _post(f"{url}/v1/reward/text",
+                   {"frames": frames.tolist(), "text": ["go"]})["rewards"]
+    np.testing.assert_array_equal(
+        r_list, engine.text_rewards(frames, ["go"]).astype(np.float32)
+    )
+    assert not np.array_equal(r_str, r_list)
