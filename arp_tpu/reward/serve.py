@@ -40,6 +40,7 @@ from __future__ import annotations
 import base64
 import json
 import threading
+import time
 
 import numpy as np
 
@@ -75,6 +76,8 @@ class RewardServer:
         self.engine = engine
         self._text_feats: "OrderedDict[str, np.ndarray]" = OrderedDict()
         self._lock = threading.Lock()
+        self.frames_served = 0
+        self.busy_seconds = 0.0
 
     def _text_rewards(self, frames: np.ndarray, text) -> dict:
         # type-prefixed key: the string '["go"]' and the list ["go"] encode
@@ -92,15 +95,21 @@ class RewardServer:
                     self._text_feats.popitem(last=False)
             else:
                 self._text_feats.move_to_end(key)
+            t0 = time.monotonic()
             rewards = self.engine.text_rewards_with_features(frames, feat)
+            self.busy_seconds += time.monotonic() - t0
+            self.frames_served += len(frames)
         return {"rewards": np.asarray(rewards, np.float32).tolist()}
 
     def _goal_rewards(self, frames: np.ndarray, goal) -> dict:
         with self._lock:
+            t0 = time.monotonic()
             if goal is not None:
                 rewards = self.engine.goal_rewards_vs(frames, goal)
             else:
                 rewards = self.engine.goal_rewards(frames, goal_index=-1)
+            self.busy_seconds += time.monotonic() - t0
+            self.frames_served += len(frames)
         return {"rewards": np.asarray(rewards, np.float32).tolist()}
 
     def text_rewards(self, body: dict) -> dict:
@@ -163,6 +172,9 @@ class RewardServer:
             "engine": type(self.engine).__name__,
             "batch_size": self.engine.batch_size,
             "cached_texts": len(self._text_feats),
+            "frames_served": self.frames_served,
+            "busy_seconds": round(self.busy_seconds, 3),
+            "mean_fps": round(self.frames_served / max(self.busy_seconds, 1e-9), 1),
         }
 
     def make_http_server(self, host: str = "127.0.0.1", port: int = 8788):

@@ -93,9 +93,18 @@ class _MicroBatcher:
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1000.0
         self.dispatches = 0  # observability: forwards issued (vs requests served)
+        self.batched_requests = 0  # requests served through those forwards
         self._cv = threading.Condition()
         self._queue: list[dict] = []
         threading.Thread(target=self._loop, daemon=True).start()
+
+    def stats(self) -> dict:
+        d = max(self.dispatches, 1)
+        return {
+            "dispatches": self.dispatches,
+            "batched_requests": self.batched_requests,
+            "mean_batch_occupancy": round(self.batched_requests / d, 2),
+        }
 
     @staticmethod
     def _signature(inputs: dict):
@@ -164,6 +173,7 @@ class _MicroBatcher:
         # produces batches as-is (None nodes pass through untouched)
         batched = jax.tree_util.tree_map(stack, *[it["inputs"] for it in items])
         self.dispatches += 1
+        self.batched_requests += n
         return np.asarray(jax.device_get(self.policy_fn(batched)))[:n]
 
 
@@ -226,7 +236,10 @@ class PolicyServer:
         return {}
 
     def health(self) -> dict:
-        return {"status": "ok", "sessions": len(self.sessions)}
+        out = {"status": "ok", "sessions": len(self.sessions)}
+        if self._batcher is not None:
+            out["batching"] = self._batcher.stats()
+        return out
 
     # -- http --------------------------------------------------------------
 

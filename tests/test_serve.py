@@ -157,6 +157,7 @@ def test_reward_serve_text_matches_engine(reward_server_url):
     np.testing.assert_array_equal(got, got2)
     health = json.loads(urllib.request.urlopen(f"{url}/v1/health").read())
     assert health["status"] == "ok" and health["cached_texts"] >= 1
+    assert health["frames_served"] >= 2 * len(frames) and health["mean_fps"] > 0
 
 
 def test_reward_serve_goal_semantics(reward_server_url):
@@ -313,6 +314,9 @@ def test_policy_serve_micro_batching():
         f"no coalescing happened: {batched._batcher.dispatches} dispatches "
         f"for {total_requests} requests"
     )
+    stats = batched.health()["batching"]
+    assert stats["batched_requests"] == total_requests
+    assert stats["mean_batch_occupancy"] > 1.0
 
 
 def test_reward_serve_raw_validation_and_cache_keys(reward_server_url):
