@@ -1,0 +1,143 @@
+"""Demo-file validator — ``python -m arp_tpu.data.validate <file.hdf5>``.
+
+Production data hygiene for the collect -> label -> train pipeline: verifies
+a demonstration HDF5 against the schema the recorder writes
+(collect/recorder.py: ``ob``/``act``/``reward``/``done``, all leading
+``(N, num_frames)``) and the invariants the dataset/labeler rely on
+(data/procgen_dataset.py trajectory boundaries, reward/labeler.py rtg
+semantics) — BEFORE a training run spends hours on silently-drifted data.
+The reference has no such tool; its first symptom of a bad file is a shape
+error deep inside training (or worse, none).
+
+Checks (errors fail, warnings print; ``--strict`` promotes warnings):
+  * required keys, consistent (N, F) leading dims, expected dtypes;
+  * frames uint8 (N, F, H, W, 3);
+  * ``done[:, -1]`` marks at least one trajectory end and the file ends on
+    one (otherwise the last episode was truncated mid-write);
+  * frame-stacking consistency: within a trajectory, row t's window shifts
+    row t-1's by one (the deque semantics every consumer assumes);
+  * labeled reward/rtg keys (if present): shape (N, F), finite, and the rtg
+    column is the suffix-cumsum of the reward column per trajectory
+    (gamma=1 check, warning only — other gammas are valid).
+
+Exit code 0 = clean (or warnings without --strict), 1 = invalid.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import h5py
+import numpy as np
+
+
+class Report:
+    def __init__(self):
+        self.errors: list[str] = []
+        self.warnings: list[str] = []
+
+    def error(self, msg: str):
+        self.errors.append(msg)
+
+    def warn(self, msg: str):
+        self.warnings.append(msg)
+
+
+def validate_file(path: str, image_key: str = "ob", sample_rows: int = 64) -> Report:
+    rep = Report()
+    with h5py.File(path, "r") as g:
+        for key in (image_key, "act", "done"):
+            if key not in g:
+                rep.error(f"missing required dataset {key!r}")
+        if rep.errors:
+            return rep
+
+        frames, act, done = g[image_key], g["act"], g["done"]
+        n, f = frames.shape[:2]
+        if frames.ndim != 5 or frames.shape[-1] != 3:
+            rep.error(f"{image_key}: expected (N, F, H, W, 3), got {frames.shape}")
+        if frames.dtype != np.uint8:
+            rep.error(f"{image_key}: expected uint8 frames, got {frames.dtype}")
+        for key in ("act", "reward", "done"):
+            if key in g and g[key].shape[:2] != (n, f):
+                rep.error(f"{key}: leading dims {g[key].shape[:2]} != {(n, f)}")
+        if "reward" not in g:
+            rep.warn("no 'reward' dataset (ok for unscored demos)")
+        if act.dtype.kind not in "iu":
+            rep.error(f"act: expected integer actions, got {act.dtype}")
+
+        done_col = np.asarray(done[:, -1]).astype(bool)
+        n_traj = int(done_col.sum())
+        if n_traj == 0:
+            rep.error("done[:, -1] marks no trajectory ends")
+        elif not done_col[-1]:
+            rep.error("file does not end on a trajectory boundary (truncated write?)")
+
+        # deque-stacking spot check on a row sample: row t's first F-1 window
+        # entries equal row t-1's last F-1, except across episode boundaries
+        if f > 1 and n > 1:
+            rng = np.random.default_rng(0)
+            rows = np.unique(rng.integers(1, n, size=min(sample_rows, n - 1)))
+            for t in rows:
+                if done_col[t - 1]:
+                    continue  # new episode starts at t
+                if not np.array_equal(frames[t, :-1], frames[t - 1, 1:]):
+                    rep.error(
+                        f"{image_key}: frame window at row {t} does not shift "
+                        f"row {t - 1} by one (stacking broken)"
+                    )
+                    break
+
+        # labeled keys: {img}_{model}_reward/_pos_rtg pairs
+        bounds = np.concatenate([[0], np.nonzero(done_col)[0] + 1])
+        for key in g:
+            if not (key.startswith(f"{image_key}_") and key.endswith("_reward")):
+                continue
+            rtg_key = key[: -len("_reward")] + "_pos_rtg"
+            r = np.asarray(g[key][:, -1], np.float64)
+            if g[key].shape[:2] != (n, f):
+                rep.error(f"{key}: shape {g[key].shape} != {(n, f)}")
+                continue
+            if not np.isfinite(r).all():
+                rep.error(f"{key}: non-finite rewards")
+            if rtg_key not in g:
+                rep.warn(f"{key} present without {rtg_key}")
+                continue
+            rtg = np.asarray(g[rtg_key][:, -1], np.float64)
+            gamma1 = all(
+                np.allclose(rtg[a:b], np.cumsum(r[a:b][::-1])[::-1], atol=1e-3)
+                for a, b in zip(bounds[:-1], bounds[1:])
+            )
+            if not gamma1:
+                rep.warn(
+                    f"{rtg_key} is not the gamma=1 suffix-cumsum of {key} "
+                    "(fine if labeled with gamma<1; otherwise re-label)"
+                )
+    return rep
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Validate a demonstration HDF5 file.")
+    parser.add_argument("paths", nargs="+")
+    parser.add_argument("--image_key", default="ob")
+    parser.add_argument("--strict", action="store_true",
+                        help="treat warnings as errors")
+    args = parser.parse_args()
+
+    bad = False
+    for path in args.paths:
+        rep = validate_file(path, image_key=args.image_key)
+        for w in rep.warnings:
+            print(f"[WARN] {path}: {w}")
+        for e in rep.errors:
+            print(f"[ERROR] {path}: {e}")
+        if rep.errors or (args.strict and rep.warnings):
+            bad = True
+        else:
+            print(f"[OK] {path}")
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
