@@ -131,6 +131,7 @@ class ProcgenDataset:
         self.split = split
 
         path = f"{self.config.path}/{dataset_name}/data_{split}.hdf5"
+        self.data_path = path
         self.h5_file = h5py.File(path, "r")
 
         self.env_name = dataset_name.split("_")[0]

@@ -44,7 +44,13 @@ class Report:
         self.warnings.append(msg)
 
 
-def validate_file(path: str, image_key: str = "ob", sample_rows: int = 64) -> Report:
+def validate_file(
+    path: str, image_key: str = "ob", sample_rows: int = 64, strict_stacking: bool = True
+) -> Report:
+    """``strict_stacking=False`` demotes the frame-window shift check to a
+    warning — synthetic datasets (test fixtures, ablation data) are
+    legitimate trainer inputs that need not share the recorder's deque
+    construction; pipeline-produced files always do."""
     rep = Report()
     with h5py.File(path, "r") as g:
         for key in (image_key, "act", "done"):
@@ -83,7 +89,8 @@ def validate_file(path: str, image_key: str = "ob", sample_rows: int = 64) -> Re
                 if done_col[t - 1]:
                     continue  # new episode starts at t
                 if not np.array_equal(frames[t, :-1], frames[t - 1, 1:]):
-                    rep.error(
+                    sink = rep.error if strict_stacking else rep.warn
+                    sink(
                         f"{image_key}: frame window at row {t} does not shift "
                         f"row {t - 1} by one (stacking broken)"
                     )

@@ -119,6 +119,10 @@ FLAGS_DEF = define_flags_with_default(
     # chaos-testing hook: poison the batch at this step with NaNs to exercise
     # the fault-detection/rollback path end to end (-1 = never)
     fault_inject_step=-1,
+    # pre-flight demo-file validation (data/validate.py): abort on schema
+    # errors before spending device time; synthetic-data invariants
+    # (stacking/rtg) only warn here — the CLI validator is stricter
+    validate_data=True,
 )
 
 FLAGS = flags.FLAGS
@@ -186,6 +190,19 @@ def main(argv):
         start_offset_ratio=process_index / process_count,
         split="val",
     )
+    if FLAGS.validate_data:
+        from ..data.validate import validate_file
+
+        img_key = FLAGS.data.image_key.split(", ")[0]
+        for ds in (train_dataset, val_dataset):
+            rep = validate_file(ds.data_path, image_key=img_key, strict_stacking=False)
+            for w in rep.warnings:
+                absl_logging.warning("data validation: %s: %s", ds.data_path, w)
+            if rep.errors:
+                raise ValueError(
+                    f"invalid demo file {ds.data_path}: " + "; ".join(rep.errors)
+                    + " (rerun with --validate_data=False to override)"
+                )
     train_loader = DataLoader(
         train_dataset,
         batch_size=process_batch_size,
