@@ -123,6 +123,11 @@ FLAGS_DEF = define_flags_with_default(
     # errors before spending device time; synthetic-data invariants
     # (stacking/rtg) only warn here — the CLI validator is stricter
     validate_data=True,
+    # capture an XLA profiler trace (tensorboard trace-viewer format) of
+    # steps [profile_start_step, profile_start_step + profile_steps)
+    profile_dir="",
+    profile_start_step=5,  # skip compile + warmup by default
+    profile_steps=3,
 )
 
 FLAGS = flags.FLAGS
@@ -339,7 +344,18 @@ def main(argv):
         best_eval_score = -np.inf
         train_metrics = []
         last_rollback_step = None  # livelock guard for fault_policy=rollback
+        profiling_active = False
         for step in range(start_step, total_steps):
+            if FLAGS.profile_dir and process_index == 0:
+                if step == FLAGS.profile_start_step:
+                    absl_logging.info("profiler: tracing %d steps to %s",
+                                      FLAGS.profile_steps, FLAGS.profile_dir)
+                    jax.profiler.start_trace(FLAGS.profile_dir)
+                    profiling_active = True
+                elif profiling_active and step == FLAGS.profile_start_step + FLAGS.profile_steps:
+                    jax.block_until_ready(gstate.params)  # close open device work
+                    jax.profiler.stop_trace()
+                    profiling_active = False
             batch = next(train_iter)
             if FLAGS.fault_inject_step >= 0 and step == FLAGS.fault_inject_step:
                 absl_logging.warning("chaos: injecting NaN batch at step %d", step)
@@ -455,6 +471,10 @@ def main(argv):
                     ckpt.save(step, gather_to_host(gstate, mesh), metadata={"step": step, "epoch": epoch})
                 else:
                     absl_logging.error("skipping checkpoint at step %d: non-finite params", step)
+
+        if profiling_active:  # loop ended inside the profile window
+            jax.block_until_ready(gstate.params)
+            jax.profiler.stop_trace()
 
         if train_metrics:  # flush whatever the log cadence left over
             logged = _mean_metrics(train_metrics, prefix="train_")

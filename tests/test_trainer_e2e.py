@@ -509,3 +509,35 @@ def test_trainer_fault_rollback_and_heartbeat(tmp_path):
     )
     assert proc.returncode != 0, "halt policy must exit non-zero"
     assert "fault detector" in proc.stderr
+
+
+def test_trainer_profile_trace_cli(tmp_path):
+    """--profile_dir captures an XLA trace (tensorboard trace-viewer files)
+    for the configured step window during a real CLI run."""
+    data_root = str(tmp_path / "demos")
+    make_labeled_dataset(data_root)
+    out_dir = str(tmp_path / "out")
+    trace_dir = str(tmp_path / "trace")
+
+    from tests.cli_env import make_cli_env
+
+    cmd = [
+        sys.executable, "-m", "arp_tpu.train.main",
+        "--epochs=1", "--warmup_epochs=0", "--batch_size=8", "--dataloader_n_workers=0",
+        "--log_freq=2", "--lr=1e-3", "--window_size=4",
+        "--use_vl=False", "--vl_type=BC", "--use_crop=False",
+        "--game_name=coinrun", "--val_every_epochs=0", "--test_every_epochs=0",
+        "--eval_env=none",
+        "--model.model_type=vit_debug", "--model.transfer_type=none",
+        "--model.emb_dim=32", "--model.depth=2", "--model.num_heads=4",
+        "--model.mlp_ratio=2", "--model.num_ensembles=2",
+        f"--data.path={data_root}", "--data.image_size=32", "--data.num_frames=8",
+        "--data.window_size=4", "--data.num_demonstrations=20",
+        f"--logging.output_dir={out_dir}",
+        f"--profile_dir={trace_dir}", "--profile_start_step=1", "--profile_steps=2",
+    ]
+    proc = subprocess.run(cmd, env=make_cli_env(), capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, f"stderr:\n{proc.stderr[-4000:]}"
+    # the profiler writes plugins/profile/<run>/ with .trace.json.gz /.xplane.pb
+    written = [os.path.join(r, f) for r, _, fs in os.walk(trace_dir) for f in fs]
+    assert written, "profiler produced no trace files"
