@@ -26,6 +26,7 @@ Exit code 0 = clean (or warnings without --strict), 1 = invalid.
 from __future__ import annotations
 
 import argparse
+import re
 import sys
 
 import h5py
@@ -52,7 +53,12 @@ def validate_file(
     legitimate trainer inputs that need not share the recorder's deque
     construction; pipeline-produced files always do."""
     rep = Report()
-    with h5py.File(path, "r") as g:
+    try:
+        g = h5py.File(path, "r")
+    except OSError as e:
+        rep.error(f"cannot open: {e}")
+        return rep
+    with g:
         for key in (image_key, "act", "done"):
             if key not in g:
                 rep.error(f"missing required dataset {key!r}")
@@ -60,9 +66,15 @@ def validate_file(
             return rep
 
         frames, act, done = g[image_key], g["act"], g["done"]
-        n, f = frames.shape[:2]
+        # rank guards first: everything below indexes dim 1, and a
+        # rank-deficient dataset must report, not traceback
         if frames.ndim != 5 or frames.shape[-1] != 3:
             rep.error(f"{image_key}: expected (N, F, H, W, 3), got {frames.shape}")
+            return rep
+        if done.ndim != 2:
+            rep.error(f"done: expected (N, F), got {done.shape}")
+            return rep
+        n, f = frames.shape[:2]
         if frames.dtype != np.uint8:
             rep.error(f"{image_key}: expected uint8 frames, got {frames.dtype}")
         for key in ("act", "reward", "done"):
@@ -96,20 +108,30 @@ def validate_file(
                     )
                     break
 
-        # labeled keys: {img}_{model}_reward/_pos_rtg pairs
+        # labeled keys the pipeline writes or reads (labeler.py target_keys,
+        # procgen_dataset.py _reward_dataset_key):
+        #   {img}_{model}_reward[_{inst}] (+ the reference's _pos_reward
+        #   variant) pairing with {img}_{model}_pos_rtg[_{inst}]
         bounds = np.concatenate([[0], np.nonzero(done_col)[0] + 1])
         for key in g:
-            if not (key.startswith(f"{image_key}_") and key.endswith("_reward")):
+            m = re.match(
+                rf"^{re.escape(image_key)}_(?P<model>.+?)_(?:pos_)?reward(?P<inst>_\w+)?$",
+                key,
+            )
+            if m is None:
                 continue
-            rtg_key = key[: -len("_reward")] + "_pos_rtg"
-            r = np.asarray(g[key][:, -1], np.float64)
-            if g[key].shape[:2] != (n, f):
+            rtg_key = f"{image_key}_{m.group('model')}_pos_rtg{m.group('inst') or ''}"
+            if g[key].shape[:2] != (n, f) or g[key].ndim != 2:
                 rep.error(f"{key}: shape {g[key].shape} != {(n, f)}")
                 continue
+            r = np.asarray(g[key][:, -1], np.float64)
             if not np.isfinite(r).all():
                 rep.error(f"{key}: non-finite rewards")
             if rtg_key not in g:
                 rep.warn(f"{key} present without {rtg_key}")
+                continue
+            if g[rtg_key].ndim != 2 or g[rtg_key].shape[:2] != (n, f):
+                rep.error(f"{rtg_key}: shape {g[rtg_key].shape} != {(n, f)}")
                 continue
             rtg = np.asarray(g[rtg_key][:, -1], np.float64)
             gamma1 = all(

@@ -23,9 +23,9 @@ API (JSON over HTTP):
 Frame wire formats, cheapest first:
   * raw binary: POST ``/v1/reward/text_raw`` / ``/v1/reward/goal_raw`` with
     the uint8 frame bytes as the body and headers ``X-Frames-Shape:
-    "N,H,W,C"``, ``X-Text: <instruction>`` (text) or optional
-    ``X-Goal-Shape`` with the goal bytes appended after the frames (goal) —
-    zero encode/parse cost, the production format;
+    "N,H,W,C"``, ``X-Text: <percent-encoded UTF-8 instruction>`` (text) or
+    optional ``X-Goal-Shape`` with the goal bytes appended after the frames
+    (goal) — zero encode/parse cost, the production format;
   * base64 JSON: ``{"frames_b64": base64(arr.tobytes()), "frames_shape":
     [N,H,W,C]}`` (same for ``goal_b64``/``goal_shape``);
   * nested JSON lists (debug-friendly).
@@ -145,6 +145,13 @@ class RewardServer:
             raise KeyError("X-Frames-Shape")
         if text is None:
             raise KeyError("X-Text")
+        # X-Text is percent-encoded UTF-8: HTTP headers are latin-1 on the
+        # wire, so raw non-ASCII instructions would silently mojibake.
+        # Clients must urllib.parse.quote() the text; plain ASCII without
+        # '%' passes through unchanged.
+        from urllib.parse import unquote
+
+        text = unquote(text, encoding="utf-8")
         frames = np.frombuffer(data, np.uint8).reshape(shape)
         return self._text_rewards(frames, text)
 

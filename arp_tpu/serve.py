@@ -138,10 +138,10 @@ class _MicroBatcher:
                 # collection window: wait out max_wait, but dispatch as soon
                 # as a full group of the head request's signature is queued
                 sig0 = self._queue[0]["sig"]
-                deadline = time.time() + self.max_wait
+                deadline = time.monotonic() + self.max_wait  # NTP-jump-proof
                 while (
                     sum(it["sig"] == sig0 for it in self._queue) < self.max_batch
-                    and (remaining := deadline - time.time()) > 0
+                    and (remaining := deadline - time.monotonic()) > 0
                 ):
                     self._cv.wait(timeout=remaining)
                 take, rest = [], []

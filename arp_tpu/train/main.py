@@ -183,6 +183,23 @@ def main(argv):
         FLAGS.data.train_env_type,
     )
 
+    if FLAGS.validate_data:
+        # pre-flight BEFORE dataset construction: ProcgenDataset itself reads
+        # ob/done and would crash with a raw traceback on the same defects
+        from ..data.validate import validate_file
+
+        img_key = (FLAGS.data.image_key or "ob").split(", ")[0]
+        for split in ("train", "val"):
+            path = f"{FLAGS.data.path}/{dataset_name}/data_{split}.hdf5"
+            rep = validate_file(path, image_key=img_key, strict_stacking=False)
+            for w in rep.warnings:
+                absl_logging.warning("data validation: %s: %s", path, w)
+            if rep.errors:
+                raise ValueError(
+                    f"invalid demo file {path}: " + "; ".join(rep.errors)
+                    + " (rerun with --validate_data=False to override)"
+                )
+
     train_dataset = ProcgenDataset(
         update=FLAGS.data,
         dataset_name=dataset_name,
@@ -195,19 +212,6 @@ def main(argv):
         start_offset_ratio=process_index / process_count,
         split="val",
     )
-    if FLAGS.validate_data:
-        from ..data.validate import validate_file
-
-        img_key = FLAGS.data.image_key.split(", ")[0]
-        for ds in (train_dataset, val_dataset):
-            rep = validate_file(ds.data_path, image_key=img_key, strict_stacking=False)
-            for w in rep.warnings:
-                absl_logging.warning("data validation: %s: %s", ds.data_path, w)
-            if rep.errors:
-                raise ValueError(
-                    f"invalid demo file {ds.data_path}: " + "; ".join(rep.errors)
-                    + " (rerun with --validate_data=False to override)"
-                )
     train_loader = DataLoader(
         train_dataset,
         batch_size=process_batch_size,
@@ -345,14 +349,18 @@ def main(argv):
         train_metrics = []
         last_rollback_step = None  # livelock guard for fault_policy=rollback
         profiling_active = False
+        # offsets are relative to THIS run's first step so a checkpoint-resumed
+        # job (start_step >> 0) still profiles its warm steps
+        profile_start = start_step + FLAGS.profile_start_step
+        profile_stop = profile_start + max(FLAGS.profile_steps, 1)
         for step in range(start_step, total_steps):
             if FLAGS.profile_dir and process_index == 0:
-                if step == FLAGS.profile_start_step:
+                if step == profile_start:
                     absl_logging.info("profiler: tracing %d steps to %s",
-                                      FLAGS.profile_steps, FLAGS.profile_dir)
+                                      profile_stop - profile_start, FLAGS.profile_dir)
                     jax.profiler.start_trace(FLAGS.profile_dir)
                     profiling_active = True
-                elif profiling_active and step == FLAGS.profile_start_step + FLAGS.profile_steps:
+                elif profiling_active and step == profile_stop:
                     jax.block_until_ready(gstate.params)  # close open device work
                     jax.profiler.stop_trace()
                     profiling_active = False

@@ -76,9 +76,12 @@ def main():
             return json.loads(resp.read())["rewards"]
 
     def post_raw(frames):
+        from urllib.parse import quote
+
         req = urllib.request.Request(
             f"http://127.0.0.1:{port}/v1/reward/text_raw", data=frames.tobytes(),
-            headers={"X-Frames-Shape": ",".join(map(str, frames.shape)), "X-Text": text},
+            headers={"X-Frames-Shape": ",".join(map(str, frames.shape)),
+                     "X-Text": quote(text)},
         )
         with urllib.request.urlopen(req) as resp:
             return json.loads(resp.read())["rewards"]

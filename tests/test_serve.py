@@ -322,8 +322,6 @@ def test_policy_serve_micro_batching():
 def test_reward_serve_raw_validation_and_cache_keys(reward_server_url):
     """Malformed raw payloads are 400 (not silent 200s), and a list text
     never shares a cache entry with the string spelled like its JSON."""
-    import base64
-
     url, engine = reward_server_url
     rng = np.random.default_rng(35)
     frames = rng.integers(0, 256, (3, 48, 48, 3), np.uint8)
@@ -359,3 +357,24 @@ def test_reward_serve_raw_validation_and_cache_keys(reward_server_url):
         r_list, engine.text_rewards(frames, ["go"]).astype(np.float32)
     )
     assert not np.array_equal(r_str, r_list)
+
+
+def test_reward_serve_raw_unicode_text(reward_server_url):
+    """X-Text is percent-encoded UTF-8: a non-ASCII instruction must give
+    the same rewards through the raw endpoint as through JSON (which
+    round-trips unicode natively)."""
+    from urllib.parse import quote
+
+    url, _ = reward_server_url
+    rng = np.random.default_rng(36)
+    frames = rng.integers(0, 256, (3, 48, 48, 3), np.uint8)
+    text = "collecte la pièce dorée"
+    want = _post(f"{url}/v1/reward/text",
+                 {"frames": frames.tolist(), "text": text})["rewards"]
+    req = urllib.request.Request(
+        f"{url}/v1/reward/text_raw", data=frames.tobytes(),
+        headers={"X-Frames-Shape": "3,48,48,3", "X-Text": quote(text)},
+    )
+    with urllib.request.urlopen(req) as resp:
+        got = json.loads(resp.read())["rewards"]
+    np.testing.assert_array_equal(got, want)

@@ -82,3 +82,46 @@ def test_validator_checks_labeled_rtg(demo_file, tmp_path):
     with h5py.File(demo_file, "a") as g:
         g["ob_clip_reward"][0, -1] = np.nan
     assert any("non-finite" in e for e in validate_file(demo_file).errors)
+
+
+def test_validator_handles_rank_deficient_and_missing(tmp_path, demo_file):
+    # missing file: reported, not raised
+    rep = validate_file(str(tmp_path / "nope.hdf5"))
+    assert any("cannot open" in e for e in rep.errors)
+    # rank-deficient ob: reported, not a traceback
+    bad = str(tmp_path / "bad.hdf5")
+    with h5py.File(bad, "w") as g:
+        g.create_dataset("ob", data=np.zeros(7, np.uint8))
+        g.create_dataset("act", data=np.zeros(7, np.int64))
+        g.create_dataset("done", data=np.zeros(7, bool))
+    rep = validate_file(bad)
+    assert any("expected (N, F, H, W, 3)" in e for e in rep.errors)
+
+
+def test_validator_matches_pipeline_label_variants(demo_file):
+    """inst_type-suffixed labels (labeler) and the reference's _pos_reward
+    variant (dataset reader) must BOTH be validated and pair with the right
+    rtg key — review finding: they were silently skipped / mis-derived."""
+    from arp_tpu.reward.labeler import get_traj_boundaries
+    from arp_tpu.ops.rewards import discount_cumsum, stack_frames
+
+    with h5py.File(demo_file, "a") as g:
+        n, f = g["ob"].shape[:2]
+        traj_idx, _, _ = get_traj_boundaries(g)
+        r = np.random.default_rng(2).normal(size=n).astype(np.float32)
+        rtg = np.zeros(n, np.float32)
+        for a, b in zip(traj_idx[:-1], traj_idx[1:]):
+            rtg[a:b] = discount_cumsum(r[a:b], 1.0)
+        # inst-suffixed pair (labeler --inst_type misinfo)
+        g.create_dataset("ob_clip_reward_misinfo", data=stack_frames(r, f))
+        g.create_dataset("ob_clip_pos_rtg_misinfo", data=stack_frames(rtg, f))
+        # reference _pos_reward variant pairs with _pos_rtg
+        g.create_dataset("ob_clip_pos_reward", data=stack_frames(r, f))
+        g.create_dataset("ob_clip_pos_rtg", data=stack_frames(rtg, f))
+    rep = validate_file(demo_file)
+    assert rep.errors == []
+    assert not any("present without" in w for w in rep.warnings)
+    # corrupt the inst-suffixed reward: it must now be VALIDATED (error)
+    with h5py.File(demo_file, "a") as g:
+        g["ob_clip_reward_misinfo"][0, -1] = np.inf
+    assert any("ob_clip_reward_misinfo" in e for e in validate_file(demo_file).errors)
