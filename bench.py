@@ -31,6 +31,16 @@ TARGET_MULTIPLIER = 5.0
 def main():
     import os
 
+    # persistent compile cache: identical programs (re-runs, driver runs)
+    # skip the ~5-min-per-jit tunnel compiles; measurement is unaffected
+    # (throughput passes run after an explicit warmup pass)
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    except Exception:
+        pass  # older jax without these knobs: compile fresh
+
     from arp_tpu.models.clip import CLIP, CONFIGS
     from arp_tpu.reward.engine import ClipRewardEngine
 
