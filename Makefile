@@ -4,7 +4,7 @@ test:
 	python -m pytest tests/ -x -q
 
 test-fast:  ## unit tests only (skip CLI e2e; ~7.5 min warm XLA cache, ~15-25 min cold)
-	python -m pytest tests/ -x -q --ignore=tests/test_trainer_e2e.py --ignore=tests/test_full_pipeline.py
+	python -m pytest tests/ -x -q --ignore=tests/test_trainer_e2e.py --ignore=tests/test_full_pipeline.py --ignore=tests/test_reproduce_paper.py
 
 bench:
 	python bench.py

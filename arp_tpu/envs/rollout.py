@@ -150,12 +150,13 @@ def batch_rollout(
         return _tree_map(trim_fn, all_inputs)
 
     image_keys = env.config.image_key.split(", ")
-    total_reward = 0.0
+    ep_returns = []
     ep_lens = 0.0
     videos = []
     info = {"vid": None, "episode_len": 0}
 
     for ep in range(num_episodes):
+        ep_reward = 0.0
         rtg = {key: np.full(1, return_to_go / scale, dtype=np.float32) for key in image_keys}
         all_inputs: dict = {}
         done = False
@@ -198,7 +199,7 @@ def batch_rollout(
             if eval_data_path is not None:
                 next_obs["goal"] = {"ob": goal_image}
 
-            total_reward += float(reward)
+            ep_reward += float(reward)
             if reward_engine is not None:
                 for key in obs["image"]:
                     r = compute_step_reward(
@@ -215,6 +216,7 @@ def batch_rollout(
                 ep_lens += info["episode_len"]
                 break
 
+        ep_returns.append(ep_reward)
         if info.get("vid") is not None:
             videos.append(info["vid"])
 
@@ -222,8 +224,11 @@ def batch_rollout(
         eval_hdf5.close()
 
     metric = {
-        "return": np.float32(total_reward / num_episodes),
+        "return": np.float32(sum(ep_returns) / num_episodes),
         "episode_length": np.float32(ep_lens / num_episodes),
+        # success = any positive return (Procgen's sparse completion reward);
+        # same definition as parallel_rollout and collect/eval_ppg.py
+        "success_rate": np.float32(np.mean([r > 0 for r in ep_returns])),
     }
     return metric, info, videos
 

@@ -115,7 +115,8 @@ def test_batch_rollout_fake_env():
         scale=100.0,
         reward_engine=None,
     )
-    assert "return" in metric and "episode_length" in metric
+    assert set(metric) == {"return", "episode_length", "success_rate"}
+    assert 0.0 <= float(metric["success_rate"]) <= 1.0
     assert calls["n"] > 0
     assert len(videos) >= 1
 
