@@ -32,6 +32,38 @@ def get_clip_instruct(task: str) -> str:
     }.get(task)
 
 
+def get_eval_instruct(game_name: str) -> str | None:
+    """Instruction for on-the-fly eval rewards, with a base-game fallback.
+
+    The reference keys the eval instruction on ``{game}_{eval_env_type}``
+    (main_procgen.py:560-566), but its instruction maps have no entries for
+    three of its own five paper eval splits (``coinrun_aisc_gem``,
+    ``maze_redline``, ``maze_reddiag_redstraight_yellowgem``) — there
+    ``get_clip_instruct`` returns None and the reference crashes in
+    ``clip.tokenize``.  Here the lookup falls back to the base game's
+    instruction with a loud warning so every paper split evaluates out of
+    the box; pass ``--eval_instruct`` on the train/eval CLIs to supply
+    task-specific text instead.
+    """
+    text = get_clip_instruct(game_name)
+    if text is not None:
+        return text
+    base = game_name.split("_", 1)[0]
+    text = get_clip_instruct(base)
+    if text is not None:
+        import logging
+
+        logging.warning(
+            "no instruction asset for eval env %r; falling back to the base "
+            "game's instruction %r — pass --eval_instruct for task-specific "
+            "text (the reference has no asset for this split either and "
+            "would crash)",
+            game_name,
+            text,
+        )
+    return text
+
+
 def get_clip_special_instruct(env_name: str, inst_type: str) -> str:
     """Ablation prompts: random / misinformation instructions."""
     if inst_type == "random1":

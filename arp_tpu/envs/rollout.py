@@ -213,6 +213,12 @@ def batch_rollout(
                         rtg[key] = rtg[key] - r / scale
 
             if done:
+                # done-only accumulation is reference parity
+                # (rollout_procgen.py:171): an episode that exhausts
+                # episode_length without done contributes 0 here.
+                # parallel_rollout instead substitutes the cap for timed-out
+                # episodes; with the real Procgen engine both agree because
+                # gym3 signals done at its internal timeout.
                 ep_lens += info["episode_len"]
                 break
 

@@ -10,7 +10,11 @@ import numpy as np
 import optax
 from absl import logging as absl_logging
 
-from ..data.instructions import get_clip_instruct, get_clip_special_instruct, get_m3ae_instruct
+from ..data.instructions import (
+    get_clip_special_instruct,
+    get_eval_instruct,
+    get_m3ae_instruct,
+)
 from ..models.policy import ARPDT, BC, GCBC
 
 
@@ -299,10 +303,14 @@ def build_test_step(flags_obj, model, train_dataset, eval_transform, use_text, m
             if flags_obj.env_eval_env_type == "none"
             else f"{flags_obj.game_name}_{flags_obj.env_eval_env_type}"
         )
-        if flags_obj.data.inst_type != "none":
+        if getattr(flags_obj, "eval_instruct", ""):
+            # explicit user override (e.g. task-specific text for eval splits
+            # the instruction assets do not cover)
+            text = flags_obj.eval_instruct
+        elif flags_obj.data.inst_type != "none":
             text = get_clip_special_instruct(game, flags_obj.data.inst_type)
         else:
-            text = get_clip_instruct(game)
+            text = get_eval_instruct(game)
         try:
             # use_crop=False here: compute_step_reward (envs/rollout.py) does
             # the single host-side center crop, exactly like the reference's
@@ -332,6 +340,13 @@ def build_test_step(flags_obj, model, train_dataset, eval_transform, use_text, m
         except FileNotFoundError:
             absl_logging.warning("no CLIP checkpoint for eval rewards; rtg stays constant")
             reward_engine = None
+        if reward_engine is not None and text is None and flags_obj.vl_type in ("clip", "clip_ft"):
+            # fail here with guidance instead of deep inside the rollout's
+            # tokenizer (the reference crashes there, main_procgen.py:560-566)
+            raise ValueError(
+                f"no eval instruction for {game!r} "
+                f"(inst_type={flags_obj.data.inst_type!r}); pass --eval_instruct"
+            )
 
     @jax.jit
     def policy_fn_jit(params, inputs):

@@ -44,6 +44,7 @@ FLAGS_DEF = define_flags_with_default(
     eval_data_path="",
     eval_data_name="",  # filename inside eval_data_path (default data_train.hdf5)
     eval_with_goal=False,
+    eval_instruct="",  # override the eval reward instruction text
     episode_length=500,
     eval_env="fake",
     env_eval_env_type="none",

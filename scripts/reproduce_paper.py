@@ -8,13 +8,20 @@ matrix end-to-end with the arp_tpu CLIs and emits one results table
 (`results.json` + markdown on stdout), so a user switching from the reference
 can reproduce the paper's success-rate table with one command:
 
-    python scripts/reproduce_paper.py --data_path ./demonstrations \
-        --output ./paper_results --seeds 42,43,44 -- --model.transfer_ckpt=...
+    ARP_TPU_CHECKPOINT_DIR=/path/to/m3ae_ckpts python scripts/reproduce_paper.py \
+        --data_path ./demonstrations --output ./paper_results --seeds 42,43,44 \
+        -- --mesh_fsdp=4 --accum_steps=2
 
-Everything after ``--`` is forwarded to the trainer verbatim (mesh/perf knobs,
-transfer checkpoint paths).  Tasks sharing a training split (CoinRun and
-CoinRun-bluegem both train on coinrun/none) train once per seed and share the
-checkpoint.
+Everything after ``--`` is forwarded to the *trainer* verbatim (mesh/perf
+knobs; the eval driver takes no such flags).  Pretrained encoder weights
+resolve like the trainer's: m3ae pickles via ``ARP_TPU_CHECKPOINT_DIR``
+(models/m3ae.py::load_m3ae_model_vars), CLIP via
+``--model.clip_checkpoint_path``.  Tasks sharing a training split (CoinRun
+and CoinRun-bluegem both train on coinrun/none) train once per seed and share
+the checkpoint.  Three of the five eval splits have no instruction asset (in
+the reference either — it crashes there); eval falls back to the base game's
+instruction with a warning, or pass task-specific text by appending
+``--eval_instruct='...'`` per-run.
 
 ``--smoke`` runs the same orchestration self-contained on the CPU backend:
 demos are collected from the fake env with a scripted expert, labeled with a
@@ -48,7 +55,7 @@ PAPER_TASKS = {
 FULL_TRAIN = dict(
     epochs=50, batch_size=128, lr="5e-4", num_frames=8, window_size=4,
     model_type="vit_base", transfer_type="m3ae_vit_b16", num_demonstrations=500,
-    num_levels=500, image_size=256, episode_length=500, eval_env="procgen",
+    num_levels=500, episode_length=500, eval_env="procgen",
 )
 SMOKE_TRAIN = dict(
     epochs=2, batch_size=8, lr="1e-3", num_frames=8, window_size=4,
@@ -114,7 +121,7 @@ def train_cmd(task, seed, cfg, data_path, ckpt_dir, out_dir, extra):
     return cmd + extra
 
 
-def eval_cmd(task, seed, cfg, data_path, ckpt_dir, out_dir, episodes, extra):
+def eval_cmd(task, seed, cfg, data_path, ckpt_dir, out_dir, episodes):
     tiny = cfg["model_type"] == "vit_debug"
     cmd = [
         sys.executable, "-m", "arp_tpu.train.eval",
@@ -144,10 +151,19 @@ def eval_cmd(task, seed, cfg, data_path, ckpt_dir, out_dir, episodes, extra):
             "--model.mlp_ratio=2", "--model.num_ensembles=2",
             f"--data.image_size={cfg['image_size']}",
         ]
-    return cmd + extra
+    else:
+        # must mirror train_cmd: use_adapter changes the param tree and the
+        # orbax restore template is built from the eval driver's own flags
+        cmd += ["--model.use_adapter=True"]
+    # NOTE: the post-'--' extras are trainer-only flags; eval defines none of
+    # them (mesh/perf knobs do not exist on train/eval.py)
+    return cmd
 
 
-def run(cmd, env, log_path):
+def run(cmd, env, log_path, dry_run=False):
+    if dry_run:
+        print(" ".join(cmd))
+        return
     with open(log_path, "w") as log:
         proc = subprocess.run(cmd, env=env, stdout=log, stderr=subprocess.STDOUT, text=True)
     if proc.returncode != 0:
@@ -171,66 +187,26 @@ def smoke_prep(data_root, game, train_env):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    import jax.numpy as jnp
-    import numpy as np
 
     from arp_tpu.collect.recorder import collect_demonstrations
     from arp_tpu.data.instructions import get_clip_instruct
     from arp_tpu.data.procgen_dataset import dataset_dirname
     from arp_tpu.envs.fake import FakeProcgen
-    from arp_tpu.models.clip import CLIP
-    from arp_tpu.reward.engine import ClipRewardEngine
     from arp_tpu.reward.labeler import label_rewards
-
-    img_size = 32
-
-    def expert(obs):
-        img = np.asarray(obs["image"]["ob"])
-        gold = np.argwhere((img[:, :, 0] > 200) & (img[:, :, 1] > 180) & (img[:, :, 2] < 100))
-        red = np.argwhere((img[:, :, 0] > 150) & (img[:, :, 1] < 100))
-        if len(gold) == 0 or len(red) == 0:
-            return 0
-        gy, gx = gold.mean(axis=0)
-        ay, ax = red.mean(axis=0)
-        if abs(gx - ax) > abs(gy - ay):
-            return 1 if gx > ax else 0
-        return 3 if gy > ay else 2
+    from arp_tpu.testing import TINY_CLIP_IMG_SIZE, make_tiny_clip_engine, scripted_coin_expert
 
     dirname = dataset_dirname(game, num_demonstrations=4, num_frames=8, env_type=train_env)
     dest = os.path.join(data_root, dirname)
     os.makedirs(dest, exist_ok=True)
 
     for split, n_eps, seed in (("train", 4, 0), ("val", 2, 100)):
-        env = FakeProcgen(game, {"episode_length": 30, "image_size": img_size, "grid": 4})
+        env = FakeProcgen(game, {"episode_length": 30, "image_size": TINY_CLIP_IMG_SIZE, "grid": 4})
         collect_demonstrations(
-            env, expert, os.path.join(dest, f"data_{split}.hdf5"),
+            env, scripted_coin_expert, os.path.join(dest, f"data_{split}.hdf5"),
             num_episodes=n_eps, game_name=game, num_frames=8, seed=seed,
         )
 
-    class TinyTokenizer:
-        def __call__(self, texts):
-            if isinstance(texts, str):
-                texts = [texts]
-            out = np.zeros((len(texts), 77), np.int32)
-            for i, t in enumerate(texts):
-                ids = [90] + [1 + (ord(c) % 80) for c in t[:30]] + [96]
-                out[i, : len(ids)] = ids
-            return out
-
-    model = CLIP(
-        embed_dim=32, vocab_size=97, vision_num_layers=2, vision_features=64,
-        vision_patch_size=8, text_features=32, text_num_heads=4, text_num_layers=2,
-    )
-    rng = np.random.default_rng(0)
-    variables = model.init(
-        jax.random.PRNGKey(0),
-        jnp.asarray(rng.normal(size=(1, img_size, img_size, 3)).astype(np.float32)),
-        jnp.asarray(TinyTokenizer()("x")),
-    )
-    engine = ClipRewardEngine(
-        model=model, variables=variables, batch_size=8, resize_mode="pil",
-        image_size=img_size, tokenizer=TinyTokenizer(),
-    )
+    engine = make_tiny_clip_engine(batch_size=8)
     env_name = game if train_env == "none" else f"{game}_{train_env}"
     text = get_clip_instruct(env_name)
     for split in ("train", "val"):
@@ -252,6 +228,8 @@ def main():
                         help="self-contained tiny run on the CPU backend (fake env)")
     parser.add_argument("--skip_train", action="store_true",
                         help="eval existing checkpoints under --output only")
+    parser.add_argument("--dry_run", action="store_true",
+                        help="print every command instead of running it")
     parser.add_argument("--_smoke_prep", nargs=3, metavar=("DATA_ROOT", "GAME", "TRAIN_ENV"),
                         help=argparse.SUPPRESS)
     args, extra = parser.parse_known_args()
@@ -263,7 +241,12 @@ def main():
         return
 
     cfg = SMOKE_TRAIN if args.smoke else FULL_TRAIN
-    env = cpu_env() if args.smoke else dict(os.environ)
+    if args.smoke:
+        env = cpu_env()
+    else:
+        env = dict(os.environ)
+        # children must import arp_tpu regardless of the caller's cwd
+        env["PYTHONPATH"] = REPO_ROOT + os.pathsep + env.get("PYTHONPATH", "")
     if args.smoke:
         args.eval_episodes = min(args.eval_episodes, 2)
 
@@ -289,7 +272,8 @@ def main():
             prepped.add(split)
             run([sys.executable, os.path.abspath(__file__), "--_smoke_prep",
                  data_path, task["game"], task["train_env"]],
-                env, os.path.join(out_root, f"prep_{task['game']}_{task['train_env']}.log"))
+                env, os.path.join(out_root, f"prep_{task['game']}_{task['train_env']}.log"),
+                dry_run=args.dry_run)
 
     results = {}
     trained = {}  # (game, train_env, seed) -> checkpoint dir
@@ -304,14 +288,20 @@ def main():
                     print(f"[train] {split[0]}/{split[1]} seed={seed}", flush=True)
                     run(train_cmd(task, seed, cfg, data_path, ckpt_dir,
                                   os.path.join(out_root, "logs"), extra),
-                        env, os.path.join(out_root, f"train_{'_'.join(map(str, split))}.log"))
+                        env, os.path.join(out_root, f"train_{'_'.join(map(str, split))}.log"),
+                        dry_run=args.dry_run)
                 trained[split] = ckpt_dir
             log = os.path.join(out_root, f"eval_{name}_seed{seed}.log")
             print(f"[eval]  {name} seed={seed} ({task['game']}/{task['eval_env']})", flush=True)
             run(eval_cmd(task, seed, cfg, data_path, trained[split],
-                         os.path.join(out_root, "logs"), args.eval_episodes, extra),
-                env, log)
+                         os.path.join(out_root, "logs"), args.eval_episodes),
+                env, log, dry_run=args.dry_run)
+            if args.dry_run:
+                continue
             results[name]["seeds"][str(seed)] = parse_eval_metrics(log)
+
+    if args.dry_run:
+        return
 
     for name, res in results.items():
         vals = [m.get("success_rate", float("nan")) for m in res["seeds"].values()]

@@ -12,32 +12,14 @@ import subprocess
 import sys
 
 import h5py
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from arp_tpu.collect.recorder import collect_demonstrations
 from arp_tpu.envs.fake import FakeProcgen
-from arp_tpu.models.clip import CLIP
-from arp_tpu.reward.engine import ClipRewardEngine
 from arp_tpu.reward.labeler import label_rewards
-from tests.test_reward_engine import IMG_SIZE, TINY_CFG, TinyTokenizer
+from arp_tpu.testing import make_tiny_clip_engine, scripted_coin_expert as scripted_expert
 
 DATASET = "coinrun_hard_level0to500_num4_frame8"
-
-
-def scripted_expert(obs):
-    """Walks toward the goal using pixel positions (gold vs red blocks)."""
-    img = np.asarray(obs["image"]["ob"])
-    gold = np.argwhere((img[:, :, 0] > 200) & (img[:, :, 1] > 180) & (img[:, :, 2] < 100))
-    red = np.argwhere((img[:, :, 0] > 150) & (img[:, :, 1] < 100))
-    if len(gold) == 0 or len(red) == 0:
-        return 0
-    gy, gx = gold.mean(axis=0)
-    ay, ax = red.mean(axis=0)
-    if abs(gx - ax) > abs(gy - ay):
-        return 1 if gx > ax else 0
-    return 3 if gy > ay else 2
 
 
 def test_five_stage_pipeline(tmp_path):
@@ -59,17 +41,7 @@ def test_five_stage_pipeline(tmp_path):
         assert rec.num_recorded == n_eps
 
     # --- stage 2: label CLIP rewards (tiny CLIP, real labeler) ---
-    model = CLIP(**TINY_CFG)
-    rng = np.random.default_rng(0)
-    variables = model.init(
-        jax.random.PRNGKey(0),
-        jnp.asarray(rng.normal(size=(1, IMG_SIZE, IMG_SIZE, 3)).astype(np.float32)),
-        jnp.asarray(TinyTokenizer()("x")),
-    )
-    engine = ClipRewardEngine(
-        model=model, variables=variables, batch_size=8, resize_mode="pil",
-        image_size=IMG_SIZE, tokenizer=TinyTokenizer(),
-    )
+    engine = make_tiny_clip_engine(batch_size=8)
     for split in ("train", "val"):
         stats = label_rewards(
             str(data_root / f"data_{split}.hdf5"),

@@ -61,3 +61,20 @@ def test_instruction_semantics():
     # "You must pass any condition." guard (data_procgen.py)
     with pytest.raises(ValueError, match="condition"):
         I.get_clip_special_instruct("maze", "misinfo2")
+
+
+def test_eval_instruct_fallback():
+    """Eval-time lookup (train/common.py) covers all five paper eval splits.
+
+    The reference keys the eval instruction on {game}_{eval_env_type}
+    (main_procgen.py:560-566) but has no asset for three of its own paper
+    splits; get_eval_instruct falls back to the base game's instruction there.
+    """
+    # exact keys pass through untouched
+    assert I.get_eval_instruct("coinrun_aisc") == I.get_clip_instruct("coinrun_aisc")
+    # the three uncovered paper eval splits fall back to the base game
+    assert I.get_eval_instruct("coinrun_aisc_gem") == I.get_clip_instruct("coinrun")
+    assert I.get_eval_instruct("maze_redline") == I.get_clip_instruct("maze")
+    assert I.get_eval_instruct("maze_reddiag_redstraight_yellowgem") == I.get_clip_instruct("maze")
+    # unknown base game still yields None (callers raise with guidance)
+    assert I.get_eval_instruct("bigfish_foo") is None

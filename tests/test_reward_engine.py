@@ -9,56 +9,28 @@ dataset keys/layout and the per-trajectory rtg re-stacking.
 import os
 
 import h5py
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 from PIL import Image
 
-from arp_tpu.models.clip import CLIP
 from arp_tpu.ops.rewards import discount_cumsum, stack_frames
 from arp_tpu.reward.engine import ClipRewardEngine
 from arp_tpu.reward.labeler import label_rewards
 
-TINY_CFG = dict(
-    embed_dim=32,
-    vocab_size=97,
-    vision_num_layers=2,
-    vision_features=64,
-    vision_patch_size=8,
-    text_features=32,
-    text_num_heads=4,
-    text_num_layers=2,
+# shared fixtures (arp_tpu/testing.py); re-exported here because many test
+# modules import them from this file
+from arp_tpu.testing import (  # noqa: E402
+    TINY_CLIP_CFG as TINY_CFG,
+    TINY_CLIP_IMG_SIZE as IMG_SIZE,
+    TinyTokenizer,
+    make_tiny_clip_engine,
 )
-IMG_SIZE = 32  # engine resizes to this
-
-
-class TinyTokenizer:
-    def __call__(self, texts):
-        if isinstance(texts, str):
-            texts = [texts]
-        out = np.zeros((len(texts), 77), np.int32)
-        for i, t in enumerate(texts):
-            ids = [90] + [1 + (ord(c) % 80) for c in t[:30]] + [96]
-            out[i, : len(ids)] = ids
-        return out
 
 
 @pytest.fixture(scope="module")
 def tiny_engine():
-    model = CLIP(**TINY_CFG)
-    rng = np.random.default_rng(0)
-    img = jnp.asarray(rng.normal(size=(1, IMG_SIZE, IMG_SIZE, 3)).astype(np.float32))
-    text = jnp.asarray(TinyTokenizer()("x"))
-    variables = model.init(jax.random.PRNGKey(0), img, text)
-    return ClipRewardEngine(
-        model=model,
-        variables=variables,
-        batch_size=8,
-        resize_mode="pil",
-        image_size=IMG_SIZE,
-        tokenizer=TinyTokenizer(),
-    )
+    return make_tiny_clip_engine(batch_size=8)
 
 
 def _reference_rewards(engine, frames, text):
