@@ -57,6 +57,8 @@ def main():
                    help="packed fused-QKV encode path (ops/vit_infer.py)")
     p.add_argument("--fast_int8", action="store_true",
                    help="static-int8 MXU encode (calibrated on the first batch)")
+    p.add_argument("--fast_score_bf16", action="store_true",
+                   help="bf16 attention scores/softmax on the fast paths")
     p.add_argument("--mesh_dp", type=int, default=0,
                    help="shard encode batches data-parallel over a mesh of this "
                         "many devices (-1 = all local devices; 0 = single device)")
@@ -79,6 +81,7 @@ def main():
         compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         fast_encode=args.fast,
         fast_int8=args.fast_int8,
+        fast_score_bf16=args.fast_score_bf16,
         mesh=mesh,
     )
     stats = cache_clip_embeddings(args.data_path, engine, args.image_keys)

@@ -64,6 +64,7 @@ class ClipFtRewardEngine(ClipRewardEngine):
         adapter: ClipMultiscaleAdapter | None = None,
         fast_encode: bool = False,
         fast_int8: bool = False,
+        fast_score_bf16: bool = False,
         clip_config: dict | None = None,
         mesh=None,
     ):
@@ -120,6 +121,8 @@ class ClipFtRewardEngine(ClipRewardEngine):
             from ..ops.preprocess import clip_preprocess as _pre
             heads = cfg["vision_features"] // 64
             patch = cfg["vision_patch_size"]
+            # bf16 softmax scores: see ClipRewardEngine (same trade)
+            score_dtype = jnp.bfloat16 if fast_score_bf16 else jnp.float32
             n_layers_used = cfg["text_num_layers"]  # adapter quirk, see model
             self._fast = vit_infer.pack_vit_params(clip_variables, cfg["vision_num_layers"])
             self._needs_calib = bool(fast_int8)
@@ -143,14 +146,16 @@ class ClipFtRewardEngine(ClipRewardEngine):
             @jax.jit
             def _encode_fast(packed, frames, normalize):
                 final, inter = vit_infer.vit_encode(
-                    packed, _patchify(frames), heads, return_intermediates=True
+                    packed, _patchify(frames), heads, return_intermediates=True,
+                    score_dtype=score_dtype,
                 )
                 return _adapt(final, inter)
 
             @jax.jit
             def _encode_fast_int8(qpacked, frames, normalize):
                 final, inter = vit_infer.vit_encode_int8(
-                    qpacked, _patchify(frames), heads, return_intermediates=True
+                    qpacked, _patchify(frames), heads, return_intermediates=True,
+                    score_dtype=score_dtype,
                 )
                 return _adapt(final, inter)
 

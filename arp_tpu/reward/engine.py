@@ -74,6 +74,7 @@ class ClipRewardEngine:
         quantize_weights=False,
         fast_encode: bool = False,
         fast_int8: bool = False,
+        fast_score_bf16: bool = False,
         mesh=None,
     ):
         self.model = model if model is not None else clip_models.MODELS[model_name]()
@@ -172,6 +173,12 @@ class ClipRewardEngine:
             # the bf16-vs-f32 choice follows compute_dtype, same as the
             # standard path (int8 calibration runs on the bf16 pack)
             fast_dtype = jnp.bfloat16 if fast_int8 else compute_dtype
+            # bf16 attention scores/softmax halve the HBM traffic of the
+            # (B, H, N, N) tensors — the dominant non-matmul bytes of the
+            # encode (docs/BENCHMARKS.md).  Calibration keeps fp32 softmax:
+            # the ~1e-3 attention-output drift sits inside quantize_packed's
+            # 1.05 amax margin.
+            score_dtype = jnp.bfloat16 if fast_score_bf16 else jnp.float32
             self._fast = vit_infer.pack_vit_params(
                 variables, self.model.vision_num_layers, dtype=fast_dtype
             )
@@ -183,7 +190,10 @@ class ClipRewardEngine:
                     frames, channels=3, image_size=img_size, patch_size=patch_size
                 )
                 return _finish_features(
-                    vit_infer.vit_encode(packed, x, heads, compute_dtype=fast_dtype), normalize
+                    vit_infer.vit_encode(
+                        packed, x, heads, compute_dtype=fast_dtype, score_dtype=score_dtype
+                    ),
+                    normalize,
                 )
 
             @jax.jit
@@ -191,7 +201,10 @@ class ClipRewardEngine:
                 x = clip_preprocess_packed_patches(
                     frames, channels=3, image_size=img_size, patch_size=patch_size
                 )
-                return _finish_features(vit_infer.vit_encode_int8(qpacked, x, heads), normalize)
+                return _finish_features(
+                    vit_infer.vit_encode_int8(qpacked, x, heads, score_dtype=score_dtype),
+                    normalize,
+                )
 
             @jax.jit
             def _calibrate(packed, frames):

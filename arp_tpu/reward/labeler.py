@@ -209,6 +209,9 @@ def main():
                         help="packed fused-QKV bf16 encode path (ops/vit_infer.py)")
     parser.add_argument("--fast_int8", action="store_true",
                         help="static-int8 MXU encode (calibrated on the first batch)")
+    parser.add_argument("--fast_score_bf16", action="store_true",
+                        help="bf16 attention scores/softmax on the fast paths "
+                             "(halves the (B,H,N,N) HBM traffic)")
     parser.add_argument("--mesh_dp", type=int, default=0,
                         help="shard encode batches data-parallel over a mesh of this "
                              "many devices (-1 = all local devices; 0 = single device)")
@@ -242,6 +245,7 @@ def main():
             use_crop=args.use_crop,
             fast_encode=args.fast,
             fast_int8=args.fast_int8,
+            fast_score_bf16=args.fast_score_bf16,
             mesh=mesh,
         )
     else:
@@ -253,6 +257,7 @@ def main():
             quantize_weights=args.int8,
             fast_encode=args.fast,
             fast_int8=args.fast_int8,
+            fast_score_bf16=args.fast_score_bf16,
             mesh=mesh,
         )
     stats = label_rewards(

@@ -59,6 +59,18 @@ def test_bf16_pack_close_to_fp32():
     assert _cos(got, want) > 0.995, _cos(got, want)
 
 
+def test_bf16_scores_close_to_fp32_scores():
+    """score_dtype=bfloat16 (halved softmax HBM traffic) stays feature-close."""
+    model, variables, patches = _setup()
+    want = np.asarray(model.apply(variables, patches, normalize=False, method=model.encode_image))
+    packed = pack_vit_params(variables, N_LAYERS)
+    got = vit_encode(packed, patches, HEADS, score_dtype=jnp.bfloat16)
+    assert _cos(got, want) > 0.995, _cos(got, want)
+    # and against the fp32-score bf16 path (isolates the softmax dtype)
+    ref = vit_encode(packed, patches, HEADS)
+    assert _cos(got, ref) > 0.999, _cos(got, ref)
+
+
 def test_int8_static_calibrated_close():
     model, variables, patches = _setup()
     want = np.asarray(model.apply(variables, patches, normalize=False, method=model.encode_image))
@@ -97,14 +109,21 @@ def test_engine_fast_paths_match_standard():
     q = ClipRewardEngine(model=model, variables=variables, batch_size=4,
                          resize_mode="pil", image_size=IMG_SIZE, tokenizer=tok,
                          fast_int8=True)
+    sm16 = ClipRewardEngine(model=model, variables=variables, batch_size=4,
+                            resize_mode="pil", image_size=IMG_SIZE, tokenizer=tok,
+                            fast_int8=True, fast_score_bf16=True)
     r0 = base.text_rewards(frames, "a coin")
     r1 = fast.text_rewards(frames, "a coin")
     r2 = q.text_rewards(frames, "a coin")
+    r3 = sm16.text_rewards(frames, "a coin")
     assert base._fast is None  # oracle must run the standard path
     assert fast._fast is not None and q._fast is not None
     assert q._fast_q is not None  # lazy calibration ran
     np.testing.assert_allclose(r1, r0, rtol=0.05, atol=0.05)
     np.testing.assert_allclose(r2, r0, rtol=0.12, atol=0.12)
+    # bf16 scores ride on the int8 tolerance (softmax dtype adds ~1e-3)
+    np.testing.assert_allclose(r3, r0, rtol=0.12, atol=0.12)
+    np.testing.assert_allclose(r3, r2, rtol=0.05, atol=0.05)
     # goal rewards too (unnormalized feature path)
     g0 = base.goal_rewards(frames, goal_index=-1)
     g1 = fast.goal_rewards(frames, goal_index=-1)
