@@ -194,6 +194,11 @@ def _write_detail(per_mode, model, variables, batch_size, src, path="bench_detai
     detail["encode_resident_int8_fps"] = resident_fps(
         lambda p, x: vit_encode_int8(p, x, heads), qpacked
     )
+    # int8 + bf16 attention scores (labeler --fast_int8 --fast_score_bf16):
+    # the lowest-HBM-traffic variant of the bandwidth-bound encode
+    detail["encode_resident_int8_sm16_fps"] = resident_fps(
+        lambda p, x: vit_encode_int8(p, x, heads, score_dtype=jnp.bfloat16), qpacked
+    )
     with open(path, "w") as f:
         json.dump(detail, f, indent=1)
 
