@@ -28,6 +28,42 @@ A100_REFERENCE_FPS = 1200.0
 TARGET_MULTIPLIER = 5.0
 
 
+def _wait_for_backend(max_wait_s: float = 600.0, probe_timeout_s: float = 120.0):
+    """Ride out the shared tunnel's dark windows (observed >1 h: the backend
+    either hangs or fails init with UNAVAILABLE) instead of failing the
+    round's one measured artifact instantly.
+
+    A failed backend init is cached for the life of the process, so the probe
+    must run in a SUBPROCESS; this process only touches the backend after a
+    probe succeeds.  Bounded: after ``max_wait_s`` we proceed and let the real
+    run raise, so a genuinely broken setup still reports its error."""
+    import os
+    import subprocess
+    import sys
+    import time as _time
+
+    deadline = _time.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                env=dict(os.environ), timeout=probe_timeout_s,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            )
+            if probe.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if _time.time() >= deadline:
+            print(f"backend probe still failing after {attempt} attempts; proceeding",
+                  file=sys.stderr)
+            return
+        print(f"backend unavailable (probe {attempt}); retrying...", file=sys.stderr)
+        _time.sleep(30)
+
+
 def main():
     import os
 
@@ -45,6 +81,9 @@ def main():
     from arp_tpu.reward.engine import ClipRewardEngine
 
     smoke = os.environ.get("ARP_BENCH_SMOKE") == "1"  # CI contract check only
+
+    if not smoke:
+        _wait_for_backend()
 
     # Random-init ViT-B/16 (throughput is weight-independent).
     cfg = dict(CONFIGS["vit_b16"])
