@@ -22,7 +22,6 @@ same numbers).
 
 from __future__ import annotations
 
-import io
 import pickle
 from typing import Mapping
 

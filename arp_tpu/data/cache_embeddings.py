@@ -58,7 +58,8 @@ def main():
     p.add_argument("--fast_int8", action="store_true",
                    help="static-int8 MXU encode (calibrated on the first batch)")
     p.add_argument("--fast_score_bf16", action="store_true",
-                   help="bf16 attention scores/softmax on the fast paths")
+                   help="bf16 attention scores/softmax on the fast paths "
+                        "(chip-dependent; measured below fp32 softmax on v5e)")
     p.add_argument("--mesh_dp", type=int, default=0,
                    help="shard encode batches data-parallel over a mesh of this "
                         "many devices (-1 = all local devices; 0 = single device)")

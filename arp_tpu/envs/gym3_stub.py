@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .state_codec import ENTITY_SCHEMA, FLOAT, INT, decode_state, encode_state
+from .state_codec import ENTITY_SCHEMA, FLOAT, decode_state, encode_state
 
 _ACTION_DELTAS = {0: (0, -1), 1: (0, 1), 2: (-1, 0), 3: (1, 0)}
 

@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..models.clip import load_model_vars
 from ..models.clip.model import CONFIGS

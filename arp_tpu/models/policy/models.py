@@ -33,7 +33,6 @@ from typing import Any, Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-import numpy as np
 from ml_collections import ConfigDict
 from ml_collections.config_dict import config_dict
 

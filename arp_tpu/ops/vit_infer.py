@@ -34,9 +34,6 @@ reward-MAE tests (tests/test_vit_infer.py).
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -173,11 +173,12 @@ class ClipRewardEngine:
             # the bf16-vs-f32 choice follows compute_dtype, same as the
             # standard path (int8 calibration runs on the bf16 pack)
             fast_dtype = jnp.bfloat16 if fast_int8 else compute_dtype
-            # bf16 attention scores/softmax halve the HBM traffic of the
-            # (B, H, N, N) tensors — the dominant non-matmul bytes of the
-            # encode (docs/BENCHMARKS.md).  Calibration keeps fp32 softmax:
-            # the ~1e-3 attention-output drift sits inside quantize_packed's
-            # 1.05 amax margin.
+            # bf16 attention scores/softmax halve the (B, H, N, N) HBM
+            # traffic, but on the v5e XLA's fp32-softmax program measures
+            # FASTER (docs/BENCHMARKS.md stability table) — this is an
+            # opt-in knob for other TPU generations.  Calibration keeps
+            # fp32 softmax: the ~1e-3 attention-output drift sits inside
+            # quantize_packed's 1.05 amax margin.
             score_dtype = jnp.bfloat16 if fast_score_bf16 else jnp.float32
             self._fast = vit_infer.pack_vit_params(
                 variables, self.model.vision_num_layers, dtype=fast_dtype

@@ -211,7 +211,8 @@ def main():
                         help="static-int8 MXU encode (calibrated on the first batch)")
     parser.add_argument("--fast_score_bf16", action="store_true",
                         help="bf16 attention scores/softmax on the fast paths "
-                             "(halves the (B,H,N,N) HBM traffic)")
+                             "(chip-dependent: measured below fp32 softmax "
+                             "on v5e — see docs/BENCHMARKS.md)")
     parser.add_argument("--mesh_dp", type=int, default=0,
                         help="shard encode batches data-parallel over a mesh of this "
                              "many devices (-1 = all local devices; 0 = single device)")

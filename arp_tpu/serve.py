@@ -19,7 +19,6 @@ API (JSON over HTTP):
 from __future__ import annotations
 
 import json
-import os
 import threading
 import time
 import uuid

@@ -8,10 +8,7 @@ on-the-fly CLIP rewards, and logs returns + videos.
 
 from __future__ import annotations
 
-import os
-
 import jax
-import numpy as np
 from absl import app, flags, logging as absl_logging
 from flax.training.train_state import TrainState
 

@@ -234,7 +234,8 @@ def _write_detail(per_mode, model, variables, batch_size, src, path="bench_detai
         lambda p, x: vit_encode_int8(p, x, heads), qpacked
     )
     # int8 + bf16 attention scores (labeler --fast_int8 --fast_score_bf16):
-    # the lowest-HBM-traffic variant of the bandwidth-bound encode
+    # measured BELOW fp32-softmax int8 on this v5e (docs/BENCHMARKS.md
+    # stability table) — tracked so the chip-dependent balance stays visible
     detail["encode_resident_int8_sm16_fps"] = resident_fps(
         lambda p, x: vit_encode_int8(p, x, heads, score_dtype=jnp.bfloat16), qpacked
     )
