@@ -16,16 +16,32 @@ Variants:
   fp32        — default precision
   bf16        — --model.compute_dtype=bfloat16 on policy + m3ae blocks
   bf16_remat  — bf16 + per-block jax.checkpoint
+  cached      — transfer_type=*_cached: precomputed embeddings, policy-only
+                step (the non-encoder remainder of the fp32/bf16 step)
+  encoder     — scan-amortized frozen m3ae forward alone at the train step's
+                shapes (batch*window frames) — the encoder share of the step
+
+``--analyze`` additionally prints XLA's compiled-program cost analysis
+(FLOPs / bytes accessed) and the roofline bounds they imply next to the
+measured time, attributing the step to compute vs HBM bandwidth.
 
 Usage: python scripts/bench_train.py [--variant bf16] [--batch 64] [--steps 16]
 """
 
 import argparse
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Persistent compile cache (same store bench.py uses): tunnel compiles are
+# ~5 min each; measurement is unaffected (timings follow explicit warmup).
+_cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_cache")
+if _cache_dir:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
 WINDOW = 4
 IMG = 256
@@ -51,12 +67,74 @@ def fake_m3ae_loader(model_name, checkpoint_dir=None):
     return params
 
 
+def bench_encoder_only(args):
+    """Scan-amortized frozen m3ae forward alone, at the train step's shapes.
+
+    ``--steps`` is the scan trip count; fresh on-device PRNG frames per
+    iteration, carried checksum (the tunnel measurement rules from
+    scripts/_bench_common.py).
+    """
+    from arp_tpu.models import m3ae as m3ae_lib
+    from arp_tpu.models.policy.models import BERT_VOCAB_SIZE
+
+    frames = args.batch * WINDOW
+    npatch = (IMG // PATCH) ** 2
+    n, d, L = npatch + 1, 768, 12
+    gflop_per_frame = (L * (24 * n * d * d + 4 * n * n * d) + 2 * npatch * (PATCH * PATCH * 3) * d) / 1e9
+    params = fake_m3ae_loader("m3ae_vit_b16")
+    size = m3ae_lib.M3AE_MODEL_CONFIGS["vit_b16"]
+
+    for dt in ("float32", "bfloat16"):
+        model = m3ae_lib.MaskedMultimodalAutoencoder(
+            config_updates=dict(model_type=size, compute_dtype=dt),
+            text_vocab_size=BERT_VOCAB_SIZE,
+        )
+
+        @jax.jit
+        def run(key, _model=model):
+            def body(c, i):
+                x = jax.random.uniform(
+                    jax.random.fold_in(key, i), (frames, npatch, PATCH * PATCH * 3), jnp.float32
+                )
+                emb = _model.apply(
+                    params, x, None, None,
+                    method=_model.forward_representation, deterministic=True,
+                )
+                return c + jnp.sum(emb.astype(jnp.float32)), None
+
+            c, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(args.steps))
+            return c
+
+        t0 = time.time()
+        run(jax.random.PRNGKey(7))
+        print(f"[{dt}] compile: {time.time()-t0:.1f}s")
+        best = float("inf")
+        for p in range(3):
+            t0 = time.time()
+            _ = float(run(jax.random.PRNGKey(p)))
+            best = min(best, time.time() - t0)
+        fps = frames * args.steps / best
+        print(
+            f"encoder-only [{dt}]: {frames} frames/iter x {args.steps} iters, "
+            f"best {best:.3f}s = {fps:.0f} frames/s "
+            f"({fps * gflop_per_frame / 1e3:.1f} TF/s at {gflop_per_frame:.1f} GFLOP/frame fwd)"
+        )
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--variant", default="bf16", choices=["fp32", "bf16", "bf16_remat"])
+    ap.add_argument(
+        "--variant", default="bf16",
+        choices=["fp32", "bf16", "bf16_remat", "cached", "encoder"],
+    )
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--steps", type=int, default=16)
+    ap.add_argument("--analyze", action="store_true",
+                    help="print XLA cost analysis + roofline bounds for the step")
     args = ap.parse_args()
+
+    if args.variant == "encoder":
+        return bench_encoder_only(args)
 
     from arp_tpu.models import m3ae as m3ae_lib
     from arp_tpu.models.policy import ARPDT
@@ -66,10 +144,11 @@ def main():
     # the policy module imports this same module object, so one patch suffices
     m3ae_lib.load_m3ae_model_vars = fake_m3ae_loader
 
-    dtype = "float32" if args.variant == "fp32" else "bfloat16"
+    dtype = "float32" if args.variant in ("fp32", "cached") else "bfloat16"
+    cached = args.variant == "cached"
     cfg = dict(
         model_type="vit_base",            # DT block mask; dims are explicit below
-        transfer_type="m3ae_vit_b16",     # frozen encoder, stop_gradient (flagship)
+        transfer_type="m3ae_vit_b16_cached" if cached else "m3ae_vit_b16",
         emb_dim=128, depth=2, num_heads=8,  # reference CLI-effective policy dims
         use_discrete_action=True,
         use_adapter=True,
@@ -82,13 +161,18 @@ def main():
 
     rng = np.random.default_rng(0)
     host_batch = {
-        "image": {"ob": rng.random((args.batch, WINDOW, IMG, IMG, 3), np.float32)},
         "rtg": {"ob": rng.random((args.batch, WINDOW, 1), np.float32)},
         "action": rng.integers(0, 15, size=(args.batch, WINDOW)).astype(np.int32),
         "goal": None,
         "instruct": None,
         "text_padding_mask": None,
     }
+    if cached:
+        # frozen-encoder embeddings precomputed by data/cache_embeddings.py:
+        # the step is everything EXCEPT the encoder (policy fwd+bwd+adamw)
+        host_batch["image_emb"] = {"ob": rng.random((args.batch, WINDOW, 768), np.float32)}
+    else:
+        host_batch["image"] = {"ob": rng.random((args.batch, WINDOW, IMG, IMG, 3), np.float32)}
 
     mesh = create_mesh(MeshConfig(dp=len(jax.devices())))
     rngs = {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)}
@@ -125,6 +209,18 @@ def main():
         gstate, aux = step(gstate, gbatch, jax.random.PRNGKey(0))
         print(f"first step (compile): {time.time()-t0:.1f}s loss={float(aux['loss']):.3f}")
 
+        flops = byts = None
+        if args.analyze:
+            ca = step.lower(gstate, gbatch, jax.random.PRNGKey(0)).compile().cost_analysis()
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            flops, byts = ca.get("flops"), ca.get("bytes accessed")
+            if flops and byts:
+                print(
+                    f"cost analysis: {flops/1e12:.2f} TFLOP, {byts/1e9:.2f} GB accessed per step\n"
+                    f"  roofline floors: compute {flops/197e12*1e3:.0f} ms (197 TF/s bf16 MXU), "
+                    f"bandwidth {byts/819e9*1e3:.0f} ms (819 GB/s HBM)"
+                )
+
         # fresh rng per step; scalar loss readback forces completion
         times = []
         for i in range(args.steps):
@@ -152,6 +248,11 @@ def main():
             f"chained (steady state): {chained*1e3:.0f} ms/step "
             f"({args.batch/chained:.1f} ex/s, {frames/chained:.0f} frames/s)"
         )
+        if flops and byts:
+            print(
+                f"achieved: {flops/chained/1e12:.1f} TF/s, {byts/chained/1e9:.0f} GB/s "
+                f"(of 197 TF/s / 819 GB/s v5e peaks)"
+            )
 
 
 if __name__ == "__main__":
