@@ -234,6 +234,37 @@ class PolicyServer:
             self.sessions.pop(body["session_id"], None)
         return {}
 
+    def warmup(self, obs: np.ndarray) -> list:
+        """Pre-compile every (window length, batch bucket) program a live
+        session can hit, so no request ever pays a jit compile (minutes on a
+        tunnel-attached chip, seconds elsewhere).
+
+        ``obs`` must be one POST-transform observation — exactly what
+        ``PolicySession.push`` stores (shape AND dtype are part of the
+        compiled signature).  Returns the list of warmed (window, bucket)
+        pairs.  Sessions ramp w = 1..window_size as the window fills, and the
+        micro-batcher pads groups to power-of-two buckets — the product is
+        the complete signature set.
+        """
+        obs = np.asarray(obs)
+        buckets = [1]
+        if self._batcher is not None:
+            while buckets[-1] < self._batcher.max_batch:
+                buckets.append(buckets[-1] * 2)
+        warmed = []
+        for w in range(1, self.window_size + 1):
+            for b in buckets:
+                inputs = {
+                    "image": {"ob": np.broadcast_to(obs, (b, w) + obs.shape).copy()},
+                    "rtg": {"ob": np.zeros((b, w, 1), np.float32)},
+                    "action": np.zeros((b, w), np.int32),
+                    "instruct": None,
+                    "text_padding_mask": None,
+                }
+                np.asarray(jax.device_get(self.policy_fn(inputs)))
+                warmed.append((w, b))
+        return warmed
+
     def health(self) -> dict:
         out = {"status": "ok", "sessions": len(self.sessions)}
         if self._batcher is not None:
@@ -332,6 +363,9 @@ def main():
     parser.add_argument("--max_batch", type=int, default=1,
                         help=">1 coalesces concurrent sessions' /act forwards into "
                              "one device batch (adds ~2ms collection latency)")
+    parser.add_argument("--warmup", action="store_true",
+                        help="pre-compile all (window, batch-bucket) programs before "
+                             "accepting requests — no /act ever pays a jit compile")
     parser.add_argument("--image_size", type=int, default=256)
     parser.add_argument("--emb_dim", type=int, default=128)
     parser.add_argument("--depth", type=int, default=2)
@@ -392,6 +426,12 @@ def main():
         window_size=args.window_size,
         max_batch=args.max_batch,
     )
+    if args.warmup:
+        t0 = time.time()
+        warmed = server.warmup(
+            np.asarray(transform(np.zeros((args.image_size, args.image_size, 3), np.uint8)))
+        )
+        print(f"warmed {len(warmed)} (window, bucket) programs in {time.time()-t0:.1f}s")
     httpd = server.make_http_server(args.host, args.port)
     print(f"serving policy on http://{args.host}:{args.port}")
     httpd.serve_forever()

@@ -378,3 +378,72 @@ def test_reward_serve_raw_unicode_text(reward_server_url):
     with urllib.request.urlopen(req) as resp:
         got = json.loads(resp.read())["rewards"]
     np.testing.assert_array_equal(got, want)
+
+
+def test_policy_serve_warmup_covers_all_live_signatures():
+    """warmup() pre-compiles exactly the signature set live traffic hits:
+    every (window ramp-up length) x (micro-batcher bucket) shape seen by a
+    real session run was already issued by warmup — no /act compiles."""
+    model = ARPDT(
+        config_updates=dict(
+            model_type="vit_debug", transfer_type="none", emb_dim=32, depth=2,
+            num_heads=4, mlp_ratio=2, use_discrete_action=True, num_ensembles=2,
+        ),
+        num_actions=15,
+        patch_dim=16,
+    )
+    dummy = {
+        "image": {"ob": np.zeros((1, 2, 32, 32, 3), np.float32)},
+        "rtg": {"ob": np.zeros((1, 2, 1), np.float32)},
+        "action": np.zeros((1, 2), np.int32),
+        "instruct": None,
+        "text_padding_mask": None,
+    }
+    rngs = {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1),
+            "dropout": jax.random.PRNGKey(2)}
+    params = model.init(rngs, dummy, deterministic=True)["params"]
+
+    @jax.jit
+    def policy_fn_jit(params, inputs):
+        return model.apply({"params": params}, inputs, method=model.greedy_action)
+
+    seen: list = []
+    phase = {"warmup": True}
+
+    def recording_policy_fn(inputs):
+        sig = tuple(np.shape(l) for l in jax.tree_util.tree_leaves(inputs))
+        seen.append(("warmup" if phase["warmup"] else "live", sig))
+        return policy_fn_jit(params, inputs)
+
+    transform = lambda x: np.asarray(x, np.float32) / 255.0
+    server = PolicyServer(
+        policy_fn=recording_policy_fn, transform_obs_fn=transform,
+        window_size=4, max_batch=4, batch_wait_ms=1.0,
+    )
+    warmed = server.warmup(transform(np.zeros((32, 32, 3), np.uint8)))
+    # windows 1..4 x buckets {1, 2, 4}
+    assert warmed == [(w, b) for w in (1, 2, 3, 4) for b in (1, 2, 4)]
+    phase["warmup"] = False
+
+    # a real episode longer than the window (ramp-up + steady state), plus a
+    # concurrent burst that exercises a >1 bucket
+    rng = np.random.default_rng(0)
+    sid = server.create_session({"return_to_go": 10.0, "scale": 10.0})["session_id"]
+    for t in range(6):
+        server.act({"session_id": sid,
+                    "observation": rng.integers(0, 256, (32, 32, 3), np.uint8).tolist(),
+                    "reward": 0.1 if t else None})
+    from concurrent.futures import ThreadPoolExecutor
+
+    sids = [server.create_session({})["session_id"] for _ in range(3)]
+    with ThreadPoolExecutor(3) as pool:
+        list(pool.map(
+            lambda s: server.act({"session_id": s,
+                                  "observation": np.zeros((32, 32, 3), np.uint8).tolist()}),
+            sids,
+        ))
+
+    warm_sigs = {sig for ph, sig in seen if ph == "warmup"}
+    live_sigs = {sig for ph, sig in seen if ph == "live"}
+    assert live_sigs, "no live traffic recorded"
+    assert live_sigs <= warm_sigs, f"unwarmed live signatures: {live_sigs - warm_sigs}"
