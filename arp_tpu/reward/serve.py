@@ -101,6 +101,15 @@ class RewardServer:
             self.frames_served += len(frames)
         return {"rewards": np.asarray(rewards, np.float32).tolist()}
 
+    def warmup(self, frames: np.ndarray) -> None:
+        """Compile the encode + text programs before serving (and, under
+        fast_int8, run the one-shot activation-scale calibration) so the
+        first client request never pays for them.  ``frames`` must be REAL
+        observations when the engine is int8: the calibration batch defines
+        the static activation scales for every later request."""
+        self.engine.encode_image_features(np.asarray(frames))
+        self.engine.encode_text_features("warmup")
+
     def _goal_rewards(self, frames: np.ndarray, goal) -> dict:
         with self._lock:
             t0 = time.monotonic()
@@ -224,7 +233,19 @@ def main():
     parser.add_argument("--mesh_dp", type=int, default=0,
                         help="shard encode batches data-parallel over a mesh of this "
                              "many devices (-1 = all local devices; 0 = single device)")
+    parser.add_argument("--warmup", action="store_true",
+                        help="compile the encode + text programs before accepting "
+                             "requests, so the first client never pays the jit")
+    parser.add_argument("--warmup_frames", default=None,
+                        help="hdf5 'path[:dataset]' of REAL frames for warmup "
+                             "(required with --fast_int8 --warmup: the int8 "
+                             "activation scales calibrate on the first batch, "
+                             "which must be representative, not zeros)")
     args = parser.parse_args()
+    if args.warmup and args.fast_int8 and not args.warmup_frames:
+        parser.error("--warmup with --fast_int8 needs --warmup_frames (real frames "
+                     "calibrate the int8 activation scales; synthetic ones would "
+                     "mis-scale every later request)")
 
     mesh = mesh_from_count(args.mesh_dp)
     if args.model_type.startswith("clip_ft"):
@@ -250,6 +271,24 @@ def main():
             mesh=mesh,
         )
     server = RewardServer(engine)
+    if args.warmup:
+        if args.warmup_frames:
+            import h5py
+
+            path, _, key = args.warmup_frames.partition(":")
+            with h5py.File(path, "r") as g:
+                ds = g[key or "ob"]
+                frames = np.asarray(ds[: args.batch_size])
+            # accept (N, F, H, W, C) stacked-window files too — warm on last frames
+            frames = frames.reshape((-1,) + frames.shape[-3:])[: args.batch_size]
+        else:
+            frames = np.random.default_rng(0).integers(
+                0, 256, (args.batch_size, 64, 64, 3), np.uint8
+            )
+        t0 = time.time()
+        server.warmup(frames)
+        print(f"warmed encode+text programs on {len(frames)} frames "
+              f"in {time.time()-t0:.1f}s")
     httpd = server.make_http_server(args.host, args.port)
     print(f"serving {type(engine).__name__} rewards on http://{args.host}:{args.port}")
     httpd.serve_forever()

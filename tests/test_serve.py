@@ -447,3 +447,35 @@ def test_policy_serve_warmup_covers_all_live_signatures():
     live_sigs = {sig for ph, sig in seen if ph == "live"}
     assert live_sigs, "no live traffic recorded"
     assert live_sigs <= warm_sigs, f"unwarmed live signatures: {live_sigs - warm_sigs}"
+
+
+def test_reward_serve_warmup_compiles_and_calibrates():
+    """RewardServer.warmup on an int8 engine runs the one-shot activation
+    calibration (on the warmup frames, which stand in for real data) and
+    leaves request handling identical to an engine whose first REQUEST
+    carried the same frames."""
+    from arp_tpu.reward.engine import ClipRewardEngine
+    from arp_tpu.reward.serve import RewardServer
+    from arp_tpu.testing import TinyTokenizer, make_tiny_clip_engine
+
+    base = make_tiny_clip_engine(batch_size=8)
+    kw = dict(model=base.model, variables=base.variables, batch_size=8,
+              resize_mode="pil", image_size=base.image_size,
+              tokenizer=TinyTokenizer(), fast_int8=True)
+    warmed_eng, lazy_eng = ClipRewardEngine(**kw), ClipRewardEngine(**kw)
+
+    rng = np.random.default_rng(5)
+    calib = rng.integers(0, 256, (8, 64, 64, 3), np.uint8)
+    server = RewardServer(warmed_eng)
+    server.warmup(calib)
+    assert warmed_eng._fast_q is not None and not warmed_eng._needs_calib
+
+    # lazy engine calibrates on its first request — feed it the same frames
+    lazy_first = lazy_eng.text_rewards(calib, "collect the coin.")
+
+    frames = rng.integers(0, 256, (5, 64, 64, 3), np.uint8)
+    got = server.text_rewards({"frames": frames.tolist(), "text": "collect the coin."})
+    want = lazy_eng.text_rewards(frames, "collect the coin.")
+    np.testing.assert_array_equal(np.asarray(got["rewards"], np.float32),
+                                  want.astype(np.float32))
+    del lazy_first
