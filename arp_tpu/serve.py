@@ -186,6 +186,7 @@ class PolicyServer:
         default_scale: float = 100.0,
         max_batch: int = 1,
         batch_wait_ms: float = 2.0,
+        reload_fn: Optional[Callable] = None,
     ):
         self.policy_fn = policy_fn
         self.transform_obs_fn = transform_obs_fn
@@ -194,6 +195,10 @@ class PolicyServer:
         self.default_scale = default_scale
         self.sessions: dict[str, PolicySession] = {}
         self._lock = threading.Lock()
+        # hot reload: () -> meta dict; swaps the weights policy_fn closes over
+        # (an atomic swap — in-flight forwards use old or new, both valid)
+        self.reload_fn = reload_fn
+        self.reload_meta: dict = {}
         # max_batch > 1: concurrent sessions' forwards coalesce on the device
         self._batcher = (
             _MicroBatcher(policy_fn, max_batch, batch_wait_ms) if max_batch > 1 else None
@@ -265,8 +270,20 @@ class PolicyServer:
                 warmed.append((w, b))
         return warmed
 
+    def reload(self, body: dict) -> dict:
+        """POST /v1/reload — pick up newer weights (e.g. the latest trainer
+        checkpoint) without restarting or dropping sessions.  Compiled
+        programs are keyed by shapes, so the swap never recompiles."""
+        if self.reload_fn is None:
+            raise ValueError("server was started without a reload_fn")
+        meta = self.reload_fn() or {}
+        self.reload_meta = meta
+        return {"status": "reloaded", **meta}
+
     def health(self) -> dict:
         out = {"status": "ok", "sessions": len(self.sessions)}
+        if self.reload_meta:
+            out["checkpoint"] = self.reload_meta
         if self._batcher is not None:
             out["batching"] = self._batcher.stats()
         return out
@@ -280,6 +297,7 @@ class PolicyServer:
                 "/v1/session": self.create_session,
                 "/v1/act": self.act,
                 "/v1/session/close": self.close_session,
+                "/v1/reload": self.reload,
             },
             host=host,
             port=port,
@@ -398,22 +416,34 @@ def main():
         "text_padding_mask": None,
     }
     rngs = {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)}
-    params = model.init(rngs, dummy, deterministic=True)["params"]
+    template = model.init(rngs, dummy, deterministic=True)["params"]
     mngr = CheckpointManager(args.checkpoint_dir)
+    holder = {"params": template}
+
+    def load_latest() -> dict:
+        # template-free params restore: the server must not need to know the
+        # training optimizer, and a failed restore must be LOUD — silently
+        # serving random weights behind HTTP 200 is a production incident.
+        # fresh manager per call: orbax caches the step list, and the whole
+        # point of /v1/reload is steps written AFTER the server came up
+        restored, meta = CheckpointManager(args.checkpoint_dir).restore_params()
+        new = jax.tree_util.tree_map(
+            lambda t, r: np.asarray(r, dtype=t.dtype), template, restored
+        )
+        # commit to device once: numpy jit arguments are re-copied on EVERY
+        # call, which would re-upload the whole policy per /v1/act request.
+        # the dict-swap is atomic — in-flight forwards see old or new weights
+        holder["params"] = jax.device_put(new)
+        print(f"restored checkpoint step={meta.get('step')} from {args.checkpoint_dir}")
+        return {"step": meta.get("step")}
+
+    initial_meta = {}
     if args.allow_random_init and mngr.latest_step() is None:
         # gate on an actual checkpoint, not the directory: CheckpointManager
         # mkdirs eagerly, so an empty dir must still count as "no checkpoint"
         print("[WARN] no checkpoint found; serving random-init policy (--allow_random_init)")
     else:
-        # template-free params restore: the server must not need to know the
-        # training optimizer, and a failed restore must be LOUD — silently
-        # serving random weights behind HTTP 200 is a production incident
-        restored, meta = mngr.restore_params()
-        params = jax.tree_util.tree_map(lambda t, r: np.asarray(r, dtype=t.dtype), params, restored)
-        # commit to device once: numpy jit arguments are re-copied on EVERY
-        # call, which would re-upload the whole policy per /v1/act request
-        params = jax.device_put(params)
-        print(f"restored checkpoint step={meta.get('step')} from {args.checkpoint_dir}")
+        initial_meta = load_latest()
 
     @jax.jit
     def policy_fn_jit(params, inputs):
@@ -421,11 +451,13 @@ def main():
 
     transform = make_eval_transform(image_size=args.image_size)
     server = PolicyServer(
-        policy_fn=lambda inputs: policy_fn_jit(params, inputs),
+        policy_fn=lambda inputs: policy_fn_jit(holder["params"], inputs),
         transform_obs_fn=transform,
         window_size=args.window_size,
         max_batch=args.max_batch,
+        reload_fn=load_latest,
     )
+    server.reload_meta = initial_meta
     if args.warmup:
         t0 = time.time()
         warmed = server.warmup(

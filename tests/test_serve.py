@@ -479,3 +479,89 @@ def test_reward_serve_warmup_compiles_and_calibrates():
     np.testing.assert_array_equal(np.asarray(got["rewards"], np.float32),
                                   want.astype(np.float32))
     del lazy_first
+
+
+def test_policy_serve_hot_reload(tmp_path):
+    """POST /v1/reload picks up the latest trainer checkpoint without a
+    restart: drives the real CLI main() (monkeypatched serve_forever),
+    saves a checkpoint AFTER startup, reloads, and checks the served action
+    now matches the new weights (computed independently) and /v1/health
+    reports the step."""
+    import sys as _sys
+    import optax
+    from flax.training.train_state import TrainState
+
+    import arp_tpu.serve as S
+    from arp_tpu.checkpoint import CheckpointManager
+    from arp_tpu.ops.augment import make_eval_transform
+
+    ckpt_dir = str(tmp_path / "ckpt")
+    argv = ["serve", "--checkpoint_dir", ckpt_dir, "--allow_random_init",
+            "--port", "0", "--window_size", "2", "--image_size", "32",
+            "--emb_dim", "32", "--depth", "2", "--num_heads", "4",
+            "--model_type", "vit_debug"]
+    started = {"evt": threading.Event()}
+    orig_argv, orig_serve = _sys.argv, S.ThreadingHTTPServer.serve_forever
+
+    def capture(self, *a, **k):
+        started["port"] = self.server_address[1]
+        started["server"] = self
+        started["evt"].set()
+        orig_serve(self, *a, **k)
+
+    _sys.argv, S.ThreadingHTTPServer.serve_forever = argv, capture
+    try:
+        t = threading.Thread(target=S.main, daemon=True)
+        t.start()
+        assert started["evt"].wait(300), "server did not start"
+    finally:
+        _sys.argv, S.ThreadingHTTPServer.serve_forever = orig_argv, orig_serve
+
+    url = f"http://127.0.0.1:{started['port']}"
+    try:
+        # save a checkpoint with fresh (differently-seeded) params
+        model = ARPDT(
+            config_updates=dict(model_type="vit_debug", transfer_type="none",
+                                emb_dim=32, depth=2, num_heads=4,
+                                use_discrete_action=True),
+            num_actions=15, patch_dim=16,
+        )
+        dummy = {
+            "image": {"ob": np.zeros((1, 2, 32, 32, 3), np.float32)},
+            "rtg": {"ob": np.zeros((1, 2, 1), np.float32)},
+            "action": np.zeros((1, 2), np.int32),
+            "instruct": None, "text_padding_mask": None,
+        }
+        rngs = {"params": jax.random.PRNGKey(9), "noise": jax.random.PRNGKey(10),
+                "dropout": jax.random.PRNGKey(11)}
+        new_params = model.init(rngs, dummy, deterministic=True)["params"]
+        state = TrainState.create(apply_fn=model.apply, params=new_params,
+                                  tx=optax.sgd(1e-3))
+        CheckpointManager(ckpt_dir).save(7, jax.device_get(state),
+                                         metadata={"step": 7}, wait=True)
+
+        out = _post(url + "/v1/reload", {})
+        assert out["status"] == "reloaded" and out["step"] == 7, out
+
+        with urllib.request.urlopen(url + "/v1/health") as r:
+            health = json.loads(r.read())
+        assert health["checkpoint"]["step"] == 7, health
+
+        # served action == greedy action under the NEW weights, computed here
+        obs = np.full((32, 32, 3), 128, np.uint8)
+        sid = _post(url + "/v1/session", {"return_to_go": 10.0, "scale": 10.0})["session_id"]
+        got = _post(url + "/v1/act", {"session_id": sid, "observation": obs.tolist()})
+
+        transform = make_eval_transform(image_size=32)
+        tobs = np.asarray(transform(obs))
+        inputs = {
+            "image": {"ob": tobs[None, None]},
+            "rtg": {"ob": np.asarray([[[1.0]]], np.float32)},
+            "action": np.zeros((1, 1), np.int32),
+            "instruct": None, "text_padding_mask": None,
+        }
+        want = int(np.asarray(model.apply({"params": new_params}, inputs,
+                                          method=model.greedy_action))[0])
+        assert got["action"] == want, (got, want)
+    finally:
+        started["server"].shutdown()
