@@ -278,8 +278,12 @@ def main():
             path, _, key = args.warmup_frames.partition(":")
             with h5py.File(path, "r") as g:
                 ds = g[key or "ob"]
-                frames = np.asarray(ds[: args.batch_size])
-            # accept (N, F, H, W, C) stacked-window files too — warm on last frames
+                # stacked-window files (N, F, H, W, C): read only the windows
+                # needed to cover batch_size frames, not batch_size windows
+                rows = args.batch_size
+                if ds.ndim == 5:
+                    rows = -(-args.batch_size // ds.shape[1])
+                frames = np.asarray(ds[:rows])
             frames = frames.reshape((-1,) + frames.shape[-3:])[: args.batch_size]
         else:
             frames = np.random.default_rng(0).integers(

@@ -417,6 +417,9 @@ def main():
     }
     rngs = {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)}
     template = model.init(rngs, dummy, deterministic=True)["params"]
+    # dtype tree only: keeping the full random-init params alive in the
+    # load_latest closure would pin a second policy-sized tree in HBM forever
+    template_dtypes = jax.tree_util.tree_map(lambda a: a.dtype, template)
     mngr = CheckpointManager(args.checkpoint_dir)
     holder = {"params": template}
 
@@ -428,7 +431,7 @@ def main():
         # point of /v1/reload is steps written AFTER the server came up
         restored, meta = CheckpointManager(args.checkpoint_dir).restore_params()
         new = jax.tree_util.tree_map(
-            lambda t, r: np.asarray(r, dtype=t.dtype), template, restored
+            lambda dt, r: np.asarray(r, dtype=dt), template_dtypes, restored
         )
         # commit to device once: numpy jit arguments are re-copied on EVERY
         # call, which would re-upload the whole policy per /v1/act request.
@@ -444,6 +447,9 @@ def main():
         print("[WARN] no checkpoint found; serving random-init policy (--allow_random_init)")
     else:
         initial_meta = load_latest()
+    # drop the local: after a restore, `holder` no longer references the
+    # random-init tree and the device memory must actually be released
+    del template
 
     @jax.jit
     def policy_fn_jit(params, inputs):

@@ -30,18 +30,18 @@ Usage: python scripts/bench_train.py [--variant bf16] [--batch 64] [--steps 16]
 
 import argparse
 import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Persistent compile cache (same store bench.py uses): tunnel compiles are
-# ~5 min each; measurement is unaffected (timings follow explicit warmup).
-_cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_cache")
-if _cache_dir:
-    jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+# Persistent compile cache: one home for the policy (_bench_common configures
+# it at import; tunnel compiles are ~5 min each; measurement is unaffected —
+# timings follow explicit warmup).
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import _bench_common  # noqa: F401  (side effect: compile-cache config)
 
 WINDOW = 4
 IMG = 256
@@ -215,9 +215,14 @@ def main():
             ca = ca[0] if isinstance(ca, (list, tuple)) else ca
             flops, byts = ca.get("flops"), ca.get("bytes accessed")
             if flops and byts:
+                # 197 TF/s applies to the fp32 variants too: JAX's DEFAULT
+                # matmul precision runs fp32-input dots as single-pass bf16
+                # MXU ops on TPU (the measured fp32==bf16 step times confirm
+                # the programs really execute at the bf16 rate)
                 print(
                     f"cost analysis: {flops/1e12:.2f} TFLOP, {byts/1e9:.2f} GB accessed per step\n"
-                    f"  roofline floors: compute {flops/197e12*1e3:.0f} ms (197 TF/s bf16 MXU), "
+                    f"  roofline floors: compute {flops/197e12*1e3:.0f} ms (197 TF/s bf16 MXU, "
+                    f"default-precision fp32 dots included), "
                     f"bandwidth {byts/819e9*1e3:.0f} ms (819 GB/s HBM)"
                 )
 

@@ -13,6 +13,7 @@ CHUNK_SECS=${CHUNK_SECS:-1500}
 export PYTHONPATH=/root/repo:/root/.axon_site
 export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/jax_tpu_cache}
 
+cd /root/repo
 mkdir -p "$ROOT"
 DEMOS="$ROOT/demos"
 [ -d "$DEMOS" ] || python scripts/soak_prep.py "$DEMOS" --rows 128 --img 128
@@ -23,13 +24,13 @@ while [ "$(date +%s)" -lt "$DEADLINE" ]; do
   RUN=$((RUN + 1))
   # bounded backend probe: after a dark window init can fail fast AND the
   # failure is process-cached, so each probe must be a fresh interpreter
-  if ! timeout 300 python -c "import jax; jax.devices()" >/dev/null 2>&1; then
+  if ! timeout -k 30 300 python -c "import jax; jax.devices()" >/dev/null 2>&1; then
     echo "[soak] run $RUN: backend unavailable, sleeping 60s" | tee -a "$ROOT/soak.log"
     sleep 60
     continue
   fi
   echo "[soak] run $RUN: starting trainer chunk ($(date -u +%H:%M:%S))" | tee -a "$ROOT/soak.log"
-  timeout "$CHUNK_SECS" python -m arp_tpu.train.main \
+  timeout -k 60 "$CHUNK_SECS" python -m arp_tpu.train.main \
     --epochs=100000 --warmup_epochs=1 --batch_size=32 --dataloader_n_workers=0 \
     --log_freq=50 --lr=1e-4 --window_size=4 \
     --use_vl=True --vl_type=clip --use_crop=True \

@@ -9,7 +9,7 @@ export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/jax_tpu_cache
 
 probe() {
   for i in $(seq 1 20); do
-    if timeout 300 python -c "import jax; jax.devices()" >/dev/null 2>&1; then
+    if timeout -k 30 300 python -c "import jax; jax.devices()" >/dev/null 2>&1; then
       return 0
     fi
     echo "[probe] backend unavailable (attempt $i), sleeping 60s" >&2
@@ -22,10 +22,10 @@ probe() {
 cd /root/repo
 probe || exit 1
 echo "=== encoder-only (fp32 + bf16, scan-amortized) ==="
-timeout 3600 python -u scripts/bench_train.py --variant encoder --batch 64 --steps 8
+timeout -k 60 3600 python -u scripts/bench_train.py --variant encoder --batch 64 --steps 16
 probe || exit 1
 echo "=== cached (policy-only step) ==="
-timeout 3600 python -u scripts/bench_train.py --variant cached --analyze
+timeout -k 60 3600 python -u scripts/bench_train.py --variant cached --analyze
 probe || exit 1
 echo "=== full fp32 flagship step ==="
-timeout 3600 python -u scripts/bench_train.py --variant fp32 --analyze
+timeout -k 60 3600 python -u scripts/bench_train.py --variant fp32 --analyze

@@ -411,7 +411,10 @@ def test_policy_serve_warmup_covers_all_live_signatures():
     phase = {"warmup": True}
 
     def recording_policy_fn(inputs):
-        sig = tuple(np.shape(l) for l in jax.tree_util.tree_leaves(inputs))
+        # shape AND dtype: both key the compiled-program cache
+        sig = tuple(
+            (np.shape(l), np.asarray(l).dtype.str) for l in jax.tree_util.tree_leaves(inputs)
+        )
         seen.append(("warmup" if phase["warmup"] else "live", sig))
         return policy_fn_jit(params, inputs)
 
