@@ -252,7 +252,10 @@ class MaskedMultimodalAutoencoder(nn.Module):
             tensors.append(self._embed_text(text))
             paddings.append(text_padding_mask)
         x = jnp.concatenate(tensors, axis=1)
-        padding_mask = jnp.concatenate(paddings, axis=1)
+        # image-only encode: the mask would be all-zeros (nothing padded), but
+        # as a *runtime* input XLA cannot fold the (B,H,N,N) mask combine away
+        # — pass None so the attention never builds it (identical numerics)
+        padding_mask = jnp.concatenate(paddings, axis=1) if text is not None else None
         return self.encoder(x, deterministic, MaskSpec("none"), padding_mask)
 
     def forward_gc_representations(self, image, goal_image, deterministic=False):
@@ -262,8 +265,8 @@ class MaskedMultimodalAutoencoder(nn.Module):
         cls_token = jnp.broadcast_to(self.cls_token, (batch_size, 1, self.config.emb_dim))
         tensors = [cls_token, self._embed_image(image), self._embed_image(goal_image)]
         x = jnp.concatenate(tensors, axis=1)
-        padding_mask = jnp.zeros((batch_size, x.shape[1]), dtype=jnp.float32)
-        return self.encoder(x, deterministic, MaskSpec("none"), padding_mask)
+        return self.encoder(x, deterministic, MaskSpec("none"), None)
+
 
     def forward_encoder(self, image, text, text_padding_mask, deterministic=False):
         batch_size = image.shape[0] if image is not None else text.shape[0]
