@@ -32,6 +32,38 @@ from .state_codec import ENTITY_SCHEMA, FLOAT, decode_state, encode_state
 
 _ACTION_DELTAS = {0: (0, -1), 1: (0, 1), 2: (-1, 0), 3: (1, 0)}
 
+_U64 = (1 << 64) - 1
+
+
+def _splitmix64(state: int):
+    """One splitmix64 draw; returns (new_state, value). Bit-for-bit identical
+    to the C++ engine's generator (native/gridenv.cpp) so the Python stub and
+    the native engine produce the same levels from the same seed."""
+    state = (state + 0x9E3779B97F4A7C15) & _U64
+    z = state
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & _U64
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _U64
+    return state, z ^ (z >> 31)
+
+
+def place_entities(seed: int, grid: int):
+    """Deterministic level layout: agent (ay, ax) and goal (gy, gx) cells.
+
+    The level is a pure function of (seed, grid), shared by FakeProcgenGym3
+    and the native C++ engine (parity-tested in tests/test_native_env.py)."""
+    s = seed & _U64
+    s, v = _splitmix64(s)
+    ay = v % grid
+    s, v = _splitmix64(s)
+    ax = v % grid
+    while True:
+        s, v = _splitmix64(s)
+        gy = v % grid
+        s, v = _splitmix64(s)
+        gx = v % grid
+        if (gy, gx) != (ay, ax):
+            return ay, ax, gy, gx
+
 
 def _blank_entity() -> dict:
     ent = {name: (0.0 if kind == FLOAT else 0) for name, kind in ENTITY_SCHEMA}
@@ -135,14 +167,9 @@ class FakeProcgenGym3:
         # level seed drawn from the [start_level, start_level+num_levels) block
         seed = self.start_level + (self._episode_counter % self.num_levels)
         self._episode_counter += 1
-        rng = np.random.default_rng(seed)
-        g = self.grid
-        self._agent[i] = rng.integers(0, g, size=2)
-        while True:
-            goal = rng.integers(0, g, size=2)
-            if not np.array_equal(goal, self._agent[i]):
-                break
-        self._goal[i] = goal
+        ay, ax, gy, gx = place_entities(seed, self.grid)
+        self._agent[i] = (ay, ax)
+        self._goal[i] = (gy, gx)
         self._seed[i] = seed
         self._t[i] = 0
         self._first[i] = True
@@ -274,10 +301,20 @@ def make_fake_gym_env(
     resolution: int = 256,
     grid: int = 8,
     episode_length: int = 1000,
+    engine: str = "python",
 ):
     """A gym-like env over the gym3 stub, nested like the real procgen wrappers
-    (rollout_procgen.py reaches the engine at env._env.env.env.env)."""
-    core = FakeProcgenGym3(
+    (rollout_procgen.py reaches the engine at env._env.env.env.env).
+
+    ``engine="native"`` backs the same surface with the C++ vectorized engine
+    (envs/native_engine.py) — identical dynamics and blobs, native hot path."""
+    if engine == "native":
+        from .native_engine import NativeProcgenGym3 as core_cls
+    elif engine == "python":
+        core_cls = FakeProcgenGym3
+    else:
+        raise ValueError(f"unknown fake-engine kind {engine!r} (python|native)")
+    core = core_cls(
         game_name=game_name,
         num=1,
         resolution=resolution,

@@ -77,10 +77,13 @@ class Procgen:
     def _create_env(self, rand_seed: int = 42):
         import os
 
-        if os.environ.get("ARP_TPU_FAKE_ENGINE"):
+        fake = os.environ.get("ARP_TPU_FAKE_ENGINE")
+        if fake:
             # gym3-faithful stub (real state-codec blobs): every branch below
             # and in get_state/set_state runs exactly as against the real
-            # engine — only the C++ dynamics are simulated
+            # engine — only the C++ dynamics are simulated.  "native" selects
+            # the C++ vectorized engine (envs/native_engine.py) with the
+            # identical surface and dynamics.
             from .gym3_stub import make_fake_gym_env
 
             start_level, num_levels = self._level_range()
@@ -93,6 +96,7 @@ class Procgen:
                 env_type=self.config.eval_env_type,
                 resolution=256 if self._image_resolution == "high" else 64,
                 episode_length=self.config.episode_length,
+                engine="native" if fake == "native" else "python",
             )
             return
         try:

@@ -8,6 +8,13 @@ is impossible) and reports the per-variant fps next to the baseline.
 
 Expect most knobs to be neutral-or-worse; the value is the measurement.
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_encode_flags.py
+
+Measured 2026-08-18 on the tunnel-attached v5e: the axon XLA build FATALLY
+rejects libtpu tuning flags (`Unknown flag in XLA_FLAGS:
+--xla_tpu_scoped_vmem_limit_kib`) — no scoped-VMEM sweep is possible through
+this platform plugin. Baseline re-confirmed at fast_int8=3110 /
+model_bf16=2962 fps. The harness stays for real libtpu deployments, where
+these flags exist.
 """
 
 import json
