@@ -156,6 +156,68 @@ class Roller:
         ), rng
 
 
+class Gym3Roller:
+    """Segment collector over ONE vectorized gym3 venv (batch act/observe).
+
+    The reference's roller drives a gym3 venv whose act/observe hot loop runs
+    in native code (phasic_policy_gradient/roller.py over the C++ Procgen
+    engine); this is that design for arp_tpu's venvs —
+    :class:`arp_tpu.envs.gym3_stub.FakeProcgenGym3` or the C++
+    :class:`arp_tpu.envs.native_engine.NativeProcgenGym3` — eliminating the
+    per-env Python ``env.step`` loop of :class:`Roller`.  Same segment
+    contract: ``done[t]`` marks the step that ended an episode (gym3:
+    ``first`` from the observe AFTER the act), auto-reset is the venv's.
+    """
+
+    def __init__(self, venv, act_fn: Callable):
+        self.venv = venv
+        self.act_fn = act_fn
+        self.ep_returns: list = []
+        self._running = np.zeros(venv.num)
+        _, obs, _ = venv.observe()  # initial first=True: fresh episodes, no return to record
+        self._rgb = obs["rgb"]
+
+    def _frames(self):
+        return np.asarray(self._rgb, np.float32) / 255.0
+
+    def collect(self, rng, T: int):
+        n = self.venv.num
+        frames0 = self._frames()
+        obs_buf = np.zeros((T,) + frames0.shape, np.float32)
+        act_buf = np.zeros((T, n), np.int32)
+        rew_buf = np.zeros((T, n), np.float32)
+        done_buf = np.zeros((T, n), np.float32)
+        logp_buf = np.zeros((T, n), np.float32)
+        val_buf = np.zeros((T, n), np.float32)
+
+        for t in range(T):
+            frames = self._frames()
+            rng, akey = jax.random.split(rng)
+            actions, logps, values = self.act_fn(frames, akey)
+            obs_buf[t] = frames
+            act_buf[t] = np.asarray(actions)
+            logp_buf[t] = np.asarray(logps)
+            val_buf[t] = np.asarray(values)
+            self.venv.act(np.asarray(actions))
+            # ONE observe per act (gym3 semantics): rew is this act's reward,
+            # first=True means the episode ended and the venv auto-reset
+            rew, obs, first = self.venv.observe()
+            rew_buf[t] = rew
+            done_buf[t] = first.astype(np.float32)
+            self._running += rew
+            for i in np.nonzero(first)[0]:
+                self.ep_returns.append(self._running[i])
+                self._running[i] = 0.0
+            self._rgb = obs["rgb"]
+
+        rng, boot_rng = jax.random.split(rng)
+        _, _, last_values = self.act_fn(self._frames(), boot_rng)
+        return dict(
+            obs=obs_buf, act=act_buf, reward=rew_buf, done=done_buf,
+            logp=logp_buf, value=val_buf, last_value=np.asarray(last_values),
+        ), rng
+
+
 def make_ppg_steps(model: PhasicValueModel, config: PPGConfig):
     """Jitted PPO update + aux update."""
 
@@ -249,8 +311,14 @@ def learn(
     mesh=None,
     checkpoint_dir: str | None = None,
     save_every: int = 0,
+    venv_fn: Callable | None = None,
 ):
     """Run PPG; returns (train_state, metrics_history).
+
+    ``venv_fn(seed) -> gym3 venv`` (num == config.num_envs): collect segments
+    with :class:`Gym3Roller` over one vectorized venv (batch act / batch
+    render — the reference's roller-over-gym3 design) instead of the per-env
+    Python ``env.step`` loop; ``env_fn`` is ignored then.
 
     ``mesh``: optional `jax.sharding.Mesh` — minibatches shard over the data
     axes and GSPMD inserts the gradient reductions over ICI, replacing the
@@ -286,11 +354,17 @@ def learn(
         "multi-process PPG checkpointing is not coordinated yet — run saves "
         "from a single-process job"
     )
-    envs = [env_fn() for _ in range(config.num_envs)]
+    venv = None
+    if venv_fn is not None:
+        venv = venv_fn(env_seed)
+        assert venv.num == config.num_envs, (venv.num, config.num_envs)
+        frame_shape = venv.observe()[1]["rgb"].shape[1:]
+    else:
+        envs = [env_fn() for _ in range(config.num_envs)]
+        key = envs[0].config.image_key.split(", ")[0]
+        probe = envs[0].reset(env_seed)
+        frame_shape = np.asarray(probe["image"][key]).shape
     model = PhasicValueModel(num_actions=15, arch=config.arch)
-    key = envs[0].config.image_key.split(", ")[0]
-    probe = envs[0].reset(env_seed)
-    frame_shape = np.asarray(probe["image"][key]).shape
     params = model.init(jax.random.PRNGKey(seed), jnp.zeros((1,) + frame_shape, jnp.float32))["params"]
     state = TrainState.create(apply_fn=model.apply, params=params, tx=optax.adam(config.lr))
 
@@ -354,7 +428,7 @@ def learn(
         return act_jit(state.params, put_array(np.asarray(frames, np.float32)), rng)
 
     _refresh_act_params()
-    roller = Roller(envs, act_fn, seed=env_seed)
+    roller = Gym3Roller(venv, act_fn) if venv is not None else Roller(envs, act_fn, seed=env_seed)
     rng = jax.random.PRNGKey(env_seed + 1)
     seg_buffer = []
     normalizer = (

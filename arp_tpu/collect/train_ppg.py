@@ -31,6 +31,10 @@ FLAGS_DEF = define_flags_with_default(
     beta_clone=1.0,
     arch="dual",
     fake_env=False,
+    # "" = per-env Python wrappers; "python"/"native" = ONE vectorized gym3
+    # venv (Gym3Roller; "native" is the C++ engine — the reference's
+    # roller-over-gym3 design with the hot loop in native code)
+    vec_env="",
     episode_length=1000,
     checkpoint_path="",
     # data-parallel mesh size for the jitted updates (0/1 = single device);
@@ -50,7 +54,25 @@ def main(argv):
     del argv
     logger = MetricsLogger(config=FLAGS.logging, variant=get_user_flags(FLAGS, FLAGS_DEF))
 
-    if FLAGS.fake_env:
+    venv_fn = None
+    if FLAGS.vec_env:
+        def venv_fn(seed):
+            from ..envs.gym3_stub import FakeProcgenGym3
+
+            if FLAGS.vec_env == "native":
+                from ..envs.native_engine import NativeProcgenGym3 as cls
+            elif FLAGS.vec_env == "python":
+                cls = FakeProcgenGym3
+            else:
+                raise ValueError(f"--vec_env must be python|native, got {FLAGS.vec_env!r}")
+            return cls(
+                game_name=FLAGS.game_name, num=FLAGS.num_envs, resolution=64,
+                episode_length=FLAGS.episode_length, rand_seed=seed,
+            )
+
+        def env_fn():
+            raise AssertionError("unused with --vec_env")
+    elif FLAGS.fake_env:
         from ..envs.fake import FakeProcgen
 
         def env_fn():
@@ -91,6 +113,7 @@ def main(argv):
     state, history = learn(
         env_fn, config, total_iterations=FLAGS.total_iterations, seed=FLAGS.seed, logger=logger,
         mesh=mesh, checkpoint_dir=FLAGS.checkpoint_dir or None, save_every=FLAGS.save_every,
+        venv_fn=venv_fn,
     )
     if FLAGS.checkpoint_path:
         import jax

@@ -357,3 +357,80 @@ def test_ppg_final_save_and_normalizer_state(tmp_path):
     out2 = rn2(np.array([0.5, 1.0]), np.array([0, 1]))
     np.testing.assert_allclose(out1, out2)
     np.testing.assert_allclose(rn._ret, rn2._ret)
+
+
+# -- Gym3Roller (vectorized venv collection; reference roller.py-over-gym3) ----
+
+
+def _scripted_act_fn(num_actions=4):
+    """Deterministic act_fn: a pure function of the frames (no params)."""
+
+    def act_fn(frames, rng):
+        del rng
+        f = np.asarray(frames)
+        acts = (f.reshape(f.shape[0], -1).sum(axis=1) * 255).astype(np.int64) % num_actions
+        return acts.astype(np.int32), np.zeros(len(f), np.float32), np.zeros(len(f), np.float32)
+
+    return act_fn
+
+
+def test_gym3_roller_segment_semantics():
+    from arp_tpu.collect.ppg import Gym3Roller
+    from arp_tpu.envs.gym3_stub import FakeProcgenGym3
+
+    import jax
+
+    T, n, ep_len = 20, 3, 6
+    venv = FakeProcgenGym3(game_name="coinrun", num=n, resolution=16, grid=4,
+                           episode_length=ep_len, rand_seed=5)
+    roller = Gym3Roller(venv, _scripted_act_fn())
+    seg, _ = roller.collect(jax.random.PRNGKey(0), T)
+
+    assert seg["obs"].shape == (T, n, 16, 16, 3)
+    assert seg["obs"].dtype == np.float32 and seg["obs"].max() <= 1.0
+    assert seg["last_value"].shape == (n,)
+    # gym3 semantics: a goal reward always coincides with a done flag
+    assert np.all(seg["done"][seg["reward"] == 10.0] == 1.0)
+    # timeout guarantees each env completes episodes within ep_len steps
+    assert np.all(seg["done"].sum(axis=0) >= T // ep_len)
+    # episode-return accounting: flushed returns + still-running == all reward
+    np.testing.assert_allclose(
+        np.sum(roller.ep_returns) + roller._running.sum(), seg["reward"].sum(), rtol=1e-6
+    )
+
+
+def test_gym3_roller_native_matches_python():
+    from arp_tpu.collect.ppg import Gym3Roller
+    from arp_tpu.envs.gym3_stub import FakeProcgenGym3
+    from arp_tpu.envs.native_engine import NativeProcgenGym3, native_lib
+
+    import jax
+
+    if native_lib() is None:
+        pytest.skip("libgridenv.so unavailable")
+    ctor = dict(game_name="coinrun", num=2, resolution=16, grid=4,
+                episode_length=5, rand_seed=3)
+    segs = []
+    for cls in (FakeProcgenGym3, NativeProcgenGym3):
+        roller = Gym3Roller(cls(**ctor), _scripted_act_fn())
+        seg, _ = roller.collect(jax.random.PRNGKey(1), 15)
+        segs.append((seg, list(roller.ep_returns)))
+    for k in segs[0][0]:
+        np.testing.assert_array_equal(segs[0][0][k], segs[1][0][k], err_msg=k)
+    assert segs[0][1] == segs[1][1]
+
+
+def test_ppg_learn_with_venv():
+    from arp_tpu.envs.gym3_stub import FakeProcgenGym3
+
+    def venv_fn(seed):
+        return FakeProcgenGym3(game_name="coinrun", num=4, resolution=16, grid=3,
+                               episode_length=10, rand_seed=seed)
+
+    config = PPGConfig(num_envs=4, segment_length=12, n_pi=2, aux_epochs=1,
+                       minibatches=2, lr=1e-3)
+    state, history = learn(lambda: None, config, total_iterations=3, seed=0, venv_fn=venv_fn)
+    assert len(history) == 3
+    for rec in history:
+        for k, v in rec.items():
+            assert np.isfinite(v), (k, v)
