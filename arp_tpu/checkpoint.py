@@ -178,6 +178,54 @@ def load_reference_checkpoint(path: str):
     return data
 
 
+def save_reference_checkpoint(
+    path: str,
+    params,
+    *,
+    step: int = 0,
+    epoch: int = 0,
+    variant: Optional[dict] = None,
+    ensemble_mode: str = "require_tied",
+    learning_rate: float = 5e-4,
+    weight_decay: float = 5e-5,
+    clip_gradient: float = 10.0,
+) -> None:
+    """Export arp_tpu policy params as a reference-format pickle checkpoint.
+
+    Writes the exact ``{"step", "epoch", "variant", "state": TrainState}``
+    schema the reference saves (main_procgen.py:815-829) and its eval driver
+    consumes via ``checkpoint_data["state"].params``
+    (local_run_procgen.py:285-308), with the param tree renamed to the
+    reference's auto-generated module names (see
+    models/policy/convert.export_reference_policy_params, incl. the
+    ``ensemble_mode`` collapse of diverged ensemble heads).
+
+    The TrainState carries a fresh optax chain matching the reference's
+    defaults (clip_by_global_norm + adamw, main_procgen.py:498-507) with
+    freshly initialized optimizer state: evaluation is exact; resuming
+    *training* from an export restarts optimizer momentum (documented
+    limitation — our orbax states and the reference's pickles do not share
+    an optimizer wire format).
+    """
+    import flax
+    import optax
+    from flax.training.train_state import TrainState
+
+    from .models.policy.convert import export_reference_policy_params
+
+    exported = export_reference_policy_params(params, ensemble_mode=ensemble_mode)
+    exported = flax.core.unfreeze(exported)
+    tx = optax.chain(
+        optax.clip_by_global_norm(clip_gradient),
+        optax.adamw(learning_rate=learning_rate, weight_decay=weight_decay, b1=0.9, b2=0.999),
+    )
+    state = TrainState.create(apply_fn=None, params=exported, tx=tx)
+    save_pickle(
+        {"step": int(step), "epoch": int(epoch), "variant": dict(variant or {}), "state": state},
+        path,
+    )
+
+
 def _looks_like_reference_policy(params) -> bool:
     try:
         keys = set(params.keys())

@@ -79,3 +79,102 @@ def convert_reference_policy_params(ref_params, num_ensembles: int = 5):
         out_flat[path] = jnp.asarray(v)
 
     return flax.core.freeze({"params": flax.traverse_util.unflatten_dict(out_flat)})
+
+
+def export_reference_policy_params(params, ensemble_mode: str = "require_tied"):
+    """Inverse of :func:`convert_reference_policy_params`: arp_tpu -> reference.
+
+    Produces a param tree the reference's own ARPDT/BC/GCBC models accept
+    (auto-generated names: ``policy/Block_i/Attention_0/Dense_0``, deduped
+    ``action_outputs_0`` head), so policies trained here can be evaluated or
+    resumed with the reference tooling (arp_dt/local_run_procgen.py:285-308).
+
+    The reference's "ensemble" is N aliases of ONE module instance (see the
+    module docstring above), so genuinely diverged arp_tpu ensemble members
+    have no exact reference representation.  ``ensemble_mode`` picks the
+    collapse:
+
+      * ``"require_tied"`` (default): raise unless every member is identical
+        — the export is then exact (reference-imported or freshly-broadcast
+        checkpoints satisfy this).
+      * ``"first"``: export member 0.
+      * ``"mean"``: export the parameter mean (approximates, but does not
+        equal, the ensemble's output mean through the nonlinear head).
+    """
+    if ensemble_mode not in ("require_tied", "first", "mean"):
+        raise ValueError(f"unknown ensemble_mode {ensemble_mode!r}")
+    params = flax.core.unfreeze(params)
+    if "params" in params:
+        params = params["params"]
+    params = dict(params)
+
+    out_flat = {}
+
+    def export_heads(prefix: str):
+        tree = params.pop(prefix, None)
+        if tree is None:
+            return
+        flat = flax.traverse_util.flatten_dict(tree)
+        layer_map = {"Dense_0": "layers_0", "Dense_1": "layers_2"}
+        for path, v in flat.items():
+            # path = ("heads", "Dense_i", leaf); leading dim = ensemble
+            if path[0] != "heads" or path[1] not in layer_map:
+                raise NotImplementedError(
+                    f"head {prefix!r} has unmapped subtree {path}: only the "
+                    "2-layer EnsembleHeads layout is exportable "
+                    "(models/policy/convert.py)"
+                )
+            v = np.asarray(v)
+            if ensemble_mode == "require_tied":
+                if not all(np.array_equal(v[0], v[i]) for i in range(1, v.shape[0])):
+                    raise ValueError(
+                        f"{prefix}/{'/'.join(path)}: ensemble members have "
+                        "diverged; the reference head cannot represent them "
+                        "exactly — re-export with ensemble_mode='first' or "
+                        "'mean' (lossy collapse)"
+                    )
+                member = v[0]
+            elif ensemble_mode == "first":
+                member = v[0]
+            else:
+                member = v.mean(axis=0)
+            out_flat[(f"{prefix}_0", layer_map[path[1]]) + path[2:]] = jnp.asarray(member)
+
+    export_heads("action_outputs")
+    export_heads("return_outputs")
+
+    # policy transformer: named tree -> the reference's auto-generated names
+    policy = params.pop("policy", None)
+    if policy is not None:
+        for path, v in flax.traverse_util.flatten_dict(policy).items():
+            parts = list(path)
+            new_parts = []
+            for i, p in enumerate(parts):
+                prev_block = new_parts and new_parts[-1].startswith("Block_")
+                if p.startswith("blocks_"):
+                    new_parts.append("Block_" + p.split("_")[1])
+                elif p == "norm1" and prev_block:
+                    new_parts.append("LayerNorm_0")
+                elif p == "norm2" and prev_block:
+                    new_parts.append("LayerNorm_1")
+                elif p == "attn" and prev_block:
+                    new_parts.append("Attention_0")
+                elif p == "mlp" and prev_block:
+                    new_parts.append("FeedForward_0")
+                elif p == "qkv" and new_parts and new_parts[-1] == "Attention_0":
+                    new_parts.append("Dense_0")
+                elif p == "attn_out" and new_parts and new_parts[-1] == "Attention_0":
+                    new_parts.append("Dense_1")
+                elif p == "norm" and i == 0:
+                    # the Transformer's trailing LayerNorm
+                    new_parts.append("LayerNorm_0")
+                else:
+                    new_parts.append(p)
+            out_flat[("policy",) + tuple(new_parts)] = jnp.asarray(v)
+
+    # identically named leaves pass through (action_input, rtg_input,
+    # patch_emb, adapters, impala, frozen-encoder subtrees, ...)
+    for path, v in flax.traverse_util.flatten_dict(params).items():
+        out_flat[path] = jnp.asarray(v)
+
+    return flax.core.freeze(flax.traverse_util.unflatten_dict(out_flat))

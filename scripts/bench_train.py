@@ -91,13 +91,16 @@ def bench_encoder_only(args):
         )
 
         @jax.jit
-        def run(key, _model=model):
+        def run(p, key, _model=model):
+            # params MUST be a jit argument: closing over them embeds ~1 GB
+            # of fp32 constants in the serialized HLO, and the tunnel's
+            # remote_compile rejects the request body with HTTP 413
             def body(c, i):
                 x = jax.random.uniform(
                     jax.random.fold_in(key, i), (frames, npatch, PATCH * PATCH * 3), jnp.float32
                 )
                 emb = _model.apply(
-                    params, x, None, None,
+                    p, x, None, None,
                     method=_model.forward_representation, deterministic=True,
                 )
                 return c + jnp.sum(emb.astype(jnp.float32)), None
@@ -106,12 +109,12 @@ def bench_encoder_only(args):
             return c
 
         t0 = time.time()
-        run(jax.random.PRNGKey(7))
+        run(params, jax.random.PRNGKey(7))
         print(f"[{dt}] compile: {time.time()-t0:.1f}s")
         best = float("inf")
         for p in range(3):
             t0 = time.time()
-            _ = float(run(jax.random.PRNGKey(p)))
+            _ = float(run(params, jax.random.PRNGKey(p)))
             best = min(best, time.time() - t0)
         fps = frames * args.steps / best
         print(
