@@ -176,10 +176,18 @@ class Block(nn.Module):
     # with fp32 layernorms, fp32 attention softmax, and fp32 residual stream —
     # the standard TPU recipe. Params always stay fp32.
     compute_dtype: Any = None
+    # frozen-tower inference recipe: a dtype here (bf16) runs the layernorms
+    # in that dtype too, so with a pre-cast param tree and a cast input the
+    # whole block — residual stream included — stays in one narrow dtype with
+    # zero cast ping-pong (attention softmax stays fp32 in ops/attention.py).
+    # None keeps the training recipe above (fp32 LNs). Only set this on
+    # frozen (stop_gradient) towers: it halves LN/residual HBM traffic at the
+    # cost of bf16 LN statistics.
+    ln_dtype: Any = None
 
     @nn.compact
     def __call__(self, x, deterministic=True, mask_spec=MaskSpec("causal"), kv_padding=None):
-        y = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x)
+        y = nn.LayerNorm(dtype=self.ln_dtype or jnp.float32, name="norm1")(x)
         if self.compute_dtype is not None:
             y = y.astype(self.compute_dtype)
         y = Attention(
@@ -195,7 +203,7 @@ class Block(nn.Module):
         y = DropPath(self.drop_path)(y, deterministic)
         x = x + y.astype(x.dtype)
 
-        y = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x)
+        y = nn.LayerNorm(dtype=self.ln_dtype or jnp.float32, name="norm2")(x)
         if self.compute_dtype is not None:
             y = y.astype(self.compute_dtype)
         y = FeedForward(
@@ -231,9 +239,15 @@ class Transformer(nn.Module):
     remat: bool = False
     # run block matmuls in this dtype (e.g. jnp.bfloat16); see Block
     compute_dtype: Any = None
+    # frozen-tower full-cast recipe: run LNs and the residual stream in this
+    # dtype too (see Block.ln_dtype). The input is cast on entry so the
+    # residual stream never re-widens. None = fp32 LNs (training recipe).
+    ln_dtype: Any = None
 
     @nn.compact
     def __call__(self, x, deterministic=True, mask_spec=MaskSpec("causal"), kv_padding=None):
+        if self.ln_dtype is not None:
+            x = x.astype(self.ln_dtype)
         # static_argnums: 0 is the module itself; 2/3 are deterministic and the
         # (frozen-dataclass, hashable) MaskSpec
         block_cls = nn.remat(Block, static_argnums=(2, 3)) if self.remat else Block
@@ -249,11 +263,12 @@ class Transformer(nn.Module):
                 mlp_bias=self.mlp_bias,
                 activation=self.activation,
                 compute_dtype=self.compute_dtype,
+                ln_dtype=self.ln_dtype,
                 name=f"blocks_{i}",
             )(x, deterministic, mask_spec, kv_padding)
             if self.sow_intermediates:
                 self.sow("intermediates", f"intermediate_layer_{i}", x)
-        return nn.LayerNorm(name="norm")(x)
+        return nn.LayerNorm(dtype=self.ln_dtype, name="norm")(x)
 
 
 class PipelinedTransformer(nn.Module):

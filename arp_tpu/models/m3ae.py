@@ -144,6 +144,11 @@ class MaskedMultimodalAutoencoder(nn.Module):
         config.drop = 0.0
         config.remat = False
         config.compute_dtype = "float32"
+        # "bfloat16" runs layernorms + the residual stream in bf16 too — the
+        # frozen-tower full-cast inference recipe (models/layers.py::Block.
+        # ln_dtype). Only for frozen (stop_gradient) encoders; keep "float32"
+        # when the encoder itself trains.
+        config.ln_dtype = "float32"
         config.drop_path = 0.0
         config.image_mask_ratio = 0.75
         config.text_mask_ratio = 0.75
@@ -201,6 +206,7 @@ class MaskedMultimodalAutoencoder(nn.Module):
             mlp_ratio=cfg.mlp_ratio, mlp_bias=True, sow_intermediates=True,
             remat=cfg.get("remat", False),
             compute_dtype=resolve_compute_dtype(cfg.get("compute_dtype", "float32")),
+            ln_dtype=resolve_compute_dtype(cfg.get("ln_dtype", "float32")),
         )
         self.encoder = Transformer(emb_dim=cfg.emb_dim, depth=cfg.depth, num_heads=cfg.num_heads, **kwargs)
         self.decoder = Transformer(
@@ -396,6 +402,11 @@ class MaskedAutoencoder(nn.Module):
         config.drop = 0.0
         config.remat = False
         config.compute_dtype = "float32"
+        # "bfloat16" runs layernorms + the residual stream in bf16 too — the
+        # frozen-tower full-cast inference recipe (models/layers.py::Block.
+        # ln_dtype). Only for frozen (stop_gradient) encoders; keep "float32"
+        # when the encoder itself trains.
+        config.ln_dtype = "float32"
         config.drop_path = 0.0
         config.image_mask_ratio = 0.75
         config.use_type_embedding = True
@@ -431,6 +442,7 @@ class MaskedAutoencoder(nn.Module):
             mlp_ratio=cfg.mlp_ratio, mlp_bias=True, sow_intermediates=True,
             remat=cfg.get("remat", False),
             compute_dtype=resolve_compute_dtype(cfg.get("compute_dtype", "float32")),
+            ln_dtype=resolve_compute_dtype(cfg.get("ln_dtype", "float32")),
         )
         self.encoder = Transformer(emb_dim=cfg.emb_dim, depth=cfg.depth, num_heads=cfg.num_heads, **kwargs)
         self.decoder = Transformer(

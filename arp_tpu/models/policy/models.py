@@ -114,6 +114,17 @@ def get_policy_default_config(updates=None) -> ConfigDict:
     # layernorms/softmax/residuals; params stay fp32 — see models/layers.py)
     config.compute_dtype = "float32"
 
+    # run every FROZEN pretrained tower (clip / mae / m3ae) with the reward
+    # engine's full-bf16 inference recipe: param tree cast to bf16 once,
+    # bf16 layernorms + residual stream (fp32 attention softmax stays).
+    # Measured on a v5e this is the single biggest train-step lever: the
+    # frozen m3ae forward dominates the flagship step and runs ~33% faster
+    # full-bf16 than fp32 (scripts/bench_m3ae_dtype.py) — while the trained
+    # policy blocks stay at full precision, so optimizer numerics are
+    # unchanged; only the (frozen, stop_gradient) embeddings move by bf16
+    # rounding. Incompatible with use_from_scratch (the encoder trains there).
+    config.frozen_bf16 = False
+
     config.lambda_return_pred = 1.0
     config.use_symlog = False
 
@@ -137,6 +148,18 @@ def get_policy_default_config(updates=None) -> ConfigDict:
             and sub.get("compute_dtype", "float32") == "float32"
         ):
             sub.compute_dtype = config.compute_dtype
+        if config.frozen_bf16:
+            # full-cast recipe on the frozen encoder: bf16 matmuls AND bf16
+            # layernorms/residuals (the param-tree cast happens at apply time,
+            # models.py::BasePolicy._frozen_m3ae_apply)
+            sub.compute_dtype = "bfloat16"
+            sub.ln_dtype = "bfloat16"
+    if config.frozen_bf16:
+        assert not config.use_from_scratch, (
+            "frozen_bf16 is an inference recipe for FROZEN pretrained towers; "
+            "with use_from_scratch the encoder trains and must keep the "
+            "standard mixed-precision recipe (use --model.compute_dtype)"
+        )
     return config
 
 
@@ -326,11 +349,14 @@ class BasePolicy(nn.Module):
         return res * adapter(emb) + (1 - res) * emb
 
     def _frozen_clip_apply(self, method, x):
-        """Run the frozen CLIP tower, honoring ``compute_dtype``: bf16 casts
-        the (constant-folded) variables and any float input, fp32 comes back
-        out — the reward engine's recipe (reward/engine.py::_cast) applied to
-        the policy path."""
+        """Run the frozen CLIP tower, honoring ``compute_dtype`` /
+        ``frozen_bf16``: bf16 casts the (constant-folded) variables and any
+        float input, fp32 comes back out — the reward engine's recipe
+        (reward/engine.py::_cast) applied to the policy path. (The CLIP tower
+        is dtype-polymorphic, so the variable cast alone gives bf16 LNs.)"""
         dt = _resolve_compute_dtype(self.config)
+        if self.config.get("frozen_bf16", False):
+            dt = jnp.bfloat16
         variables = self.pt_params
         if dt is not None:
             variables = jax.tree_util.tree_map(
@@ -341,6 +367,22 @@ class BasePolicy(nn.Module):
                 x = x.astype(dt)
         out = self.pt_model.apply(variables, x, method=method)
         return out.astype(jnp.float32) if dt is not None else out
+
+    def _frozen_m3ae_params(self):
+        """The frozen m3ae/mae param tree, cast to bf16 once under
+        ``frozen_bf16`` (weights are HBM-read every matmul; storing them
+        half-width pairs with the bf16-LN recipe the sub-config carries)."""
+        if not self.config.get("frozen_bf16", False):
+            return self.pt_params
+        return jax.tree_util.tree_map(
+            lambda p: p.astype(jnp.bfloat16) if jnp.issubdtype(p.dtype, jnp.floating) else p,
+            self.pt_params,
+        )
+
+    @staticmethod
+    def _frozen_out(emb):
+        """Frozen-encoder outputs re-widen to fp32 for the trained policy."""
+        return emb.astype(jnp.float32) if emb.dtype != jnp.float32 else emb
 
     # -- encode ---------------------------------------------------------------
 
@@ -462,9 +504,10 @@ class BasePolicy(nn.Module):
             if cfg.use_from_scratch:
                 image_text_emb = self.pt_model.forward_representation(patch, deterministic=True)
             else:
-                image_text_emb = self.pt_model.apply(
-                    self.pt_params, patch, method=self.pt_model.forward_representation, deterministic=True
-                )
+                image_text_emb = self._frozen_out(self.pt_model.apply(
+                    self._frozen_m3ae_params(), patch,
+                    method=self.pt_model.forward_representation, deterministic=True,
+                ))
             image_text_emb = jax.lax.stop_gradient(image_text_emb)
             if cfg.use_adapter:
                 image_text_emb = self._apply_adapter(image_text_emb)
@@ -486,13 +529,13 @@ class BasePolicy(nn.Module):
                         patch, goal_patch, deterministic=True
                     )
                 else:
-                    image_text_emb = self.pt_model.apply(
-                        self.pt_params,
+                    image_text_emb = self._frozen_out(self.pt_model.apply(
+                        self._frozen_m3ae_params(),
                         patch,
                         goal_patch,
                         method=self.pt_model.forward_gc_representations,
                         deterministic=True,
-                    )
+                    ))
                     image_text_emb = jax.lax.stop_gradient(image_text_emb)
                 num_layers = 1
             else:
@@ -510,7 +553,7 @@ class BasePolicy(nn.Module):
                     num_layers = 1
                 elif cfg.use_intermediate:
                     image_text_emb, states = self.pt_model.apply(
-                        self.pt_params,
+                        self._frozen_m3ae_params(),
                         patch,
                         tokenized_caption,
                         tiled_pad,
@@ -521,19 +564,23 @@ class BasePolicy(nn.Module):
                     )
                     num_layers = cfg.m3ae.depth
                     intermediate_embs = [
-                        states["intermediates"]["encoder"][f"intermediate_layer_{i}"][0]
+                        self._frozen_out(
+                            states["intermediates"]["encoder"][f"intermediate_layer_{i}"][0]
+                        )
                         for i in range(num_layers - 1)
                     ]
-                    image_text_emb = jnp.concatenate(intermediate_embs + [image_text_emb], axis=0)
+                    image_text_emb = jnp.concatenate(
+                        intermediate_embs + [self._frozen_out(image_text_emb)], axis=0
+                    )
                 else:
-                    image_text_emb = self.pt_model.apply(
-                        self.pt_params,
+                    image_text_emb = self._frozen_out(self.pt_model.apply(
+                        self._frozen_m3ae_params(),
                         patch,
                         tokenized_caption,
                         tiled_pad,
                         method=self.pt_model.forward_representation,
                         deterministic=True,
-                    )
+                    ))
                     num_layers = 1
                 image_text_emb = jax.lax.stop_gradient(image_text_emb)
 

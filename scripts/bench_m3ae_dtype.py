@@ -20,13 +20,17 @@ Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_m3ae_dtype.py
 """
 
 import argparse
+import os
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import _bench_common  # noqa: F401  (persistent compile cache config)
 
 IMG, PATCH = 256, 16
 NPATCH = (IMG // PATCH) ** 2
@@ -37,7 +41,10 @@ GF = (L * (24 * N * D * D + 4 * N * N * D) + 2 * NPATCH * (PATCH * PATCH * 3) * 
 
 
 def scan_run(apply_fn, params, frames, steps, feature_shape):
-    """Scan-amortized timing: fresh on-device PRNG input per iter, carried checksum."""
+    """Scan-amortized timing: fresh on-device PRNG input per iter, carried
+    checksum, HOST FETCH per pass — on the axon tunnel block_until_ready
+    returns before the program finishes; only a full host round-trip
+    measures completion (scripts/_bench_common.py methodology)."""
 
     @jax.jit
     def run(p, key):
@@ -52,12 +59,12 @@ def scan_run(apply_fn, params, frames, steps, feature_shape):
         return c
 
     t0 = time.time()
-    run(params, jax.random.PRNGKey(7)).block_until_ready()
+    np.asarray(run(params, jax.random.PRNGKey(7)))
     compile_s = time.time() - t0
     best = float("inf")
     for p in range(3):
         t0 = time.time()
-        run(params, jax.random.PRNGKey(p)).block_until_ready()
+        np.asarray(run(params, jax.random.PRNGKey(p)))
         best = min(best, time.time() - t0)
     return compile_s, best
 
@@ -93,25 +100,39 @@ def main():
     print(f"clip_bf16   : compile {compile_s:.1f}s  {fps:8.0f} frames/s  {fps*GF/1e3:6.1f} TF/s")
 
     # --- m3ae, trainer configurations ---
-    for label, dt in (("m3ae_f32", "float32"), ("m3ae_bf16", "bfloat16")):
+    # m3ae_full_bf16 is the --model.frozen_bf16 recipe: params cast once +
+    # bf16 LNs/residual stream (ln_dtype) — the engine recipe applied to m3ae.
+    legs = (
+        ("m3ae_f32", dict(compute_dtype="float32"), False),
+        ("m3ae_bf16", dict(compute_dtype="bfloat16"), False),
+        ("m3ae_full_bf16", dict(compute_dtype="bfloat16", ln_dtype="bfloat16"), True),
+    )
+    mp = None
+    for label, dts, cast_params in legs:
         model = m3ae_lib.MaskedMultimodalAutoencoder(
-            config_updates=dict(model_type=m3ae_lib.M3AE_MODEL_CONFIGS["vit_b16"], compute_dtype=dt),
+            config_updates=dict(model_type=m3ae_lib.M3AE_MODEL_CONFIGS["vit_b16"], **dts),
             text_vocab_size=BERT_VOCAB_SIZE,
         )
-        mp = jax.jit(
-            lambda r, _m=model: _m.init(
-                {"params": r}, jnp.zeros((1, NPATCH, PATCH * PATCH * 3), jnp.float32), None, None,
-                method=_m.forward_representation, deterministic=True,
+        if mp is None:
+            mp = jax.jit(
+                lambda r, _m=model: _m.init(
+                    {"params": r}, jnp.zeros((1, NPATCH, PATCH * PATCH * 3), jnp.float32), None, None,
+                    method=_m.forward_representation, deterministic=True,
+                )
+            )(jax.random.PRNGKey(0))
+        p = mp
+        if cast_params:
+            p = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16) if jnp.issubdtype(a.dtype, jnp.floating) else a, mp
             )
-        )(jax.random.PRNGKey(0))
 
         def m3ae_apply(p, x, _m=model):
             return _m.apply(p, x, None, None, method=_m.forward_representation, deterministic=True)
 
-        compile_s, best = scan_run(m3ae_apply, mp, args.frames, args.steps, None)
+        compile_s, best = scan_run(m3ae_apply, p, args.frames, args.steps, None)
         fps = args.frames * args.steps / best
         results[label] = fps
-        print(f"{label:12s}: compile {compile_s:.1f}s  {fps:8.0f} frames/s  {fps*GF/1e3:6.1f} TF/s")
+        print(f"{label:15s}: compile {compile_s:.1f}s  {fps:8.0f} frames/s  {fps*GF/1e3:6.1f} TF/s")
 
     print({k: round(v) for k, v in results.items()})
 

@@ -128,7 +128,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--variant", default="bf16",
-        choices=["fp32", "bf16", "bf16_remat", "cached", "encoder"],
+        choices=["fp32", "bf16", "bf16_remat", "cached", "encoder", "frozen_bf16"],
     )
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--steps", type=int, default=16)
@@ -147,7 +147,10 @@ def main():
     # the policy module imports this same module object, so one patch suffices
     m3ae_lib.load_m3ae_model_vars = fake_m3ae_loader
 
-    dtype = "float32" if args.variant in ("fp32", "cached") else "bfloat16"
+    # frozen_bf16: fp32 policy + full-bf16 frozen encoder (params cast once,
+    # bf16 LNs/residuals) — the production recipe; see --model.frozen_bf16
+    frozen = args.variant == "frozen_bf16"
+    dtype = "float32" if args.variant in ("fp32", "cached", "frozen_bf16") else "bfloat16"
     cached = args.variant == "cached"
     cfg = dict(
         model_type="vit_base",            # DT block mask; dims are explicit below
@@ -157,6 +160,7 @@ def main():
         use_adapter=True,
         num_ensembles=5,
         compute_dtype=dtype,
+        frozen_bf16=frozen,
         remat=args.variant == "bf16_remat",
         m3ae=dict(model_type="base", compute_dtype=dtype, remat=args.variant == "bf16_remat"),
     )
