@@ -21,6 +21,7 @@ import flax
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 from ml_collections import ConfigDict
 
 from ..config import update_config
@@ -555,6 +556,44 @@ def convert_reference_m3ae_params(ref_params):
                 new_parts.append(p)
         out[tuple(new_parts)] = jnp.asarray(value)
     return flax.core.freeze({"params": flax.traverse_util.unflatten_dict(out)})
+
+
+def export_reference_m3ae_params(params):
+    """Inverse of :func:`convert_reference_m3ae_params`: rename this module
+    tree back to the reference's auto-generated names, producing a tree that
+    the reference m3ae (and our own loader) can consume.  Round-trip is
+    exact (tested); the reference's ``FeedForward_0`` name is used for the
+    MLP (its m3ae calls the class TransformerMLP in some revisions —
+    convert_reference_m3ae_params accepts both)."""
+    params = flax.core.unfreeze(params)
+    if "params" in params:
+        params = params["params"]
+    flat = flax.traverse_util.flatten_dict(params)
+    out = {}
+    for path, value in flat.items():
+        parts = list(path)
+        new_parts = []
+        for i, p in enumerate(parts):
+            if p.startswith("blocks_"):
+                new_parts.append("Block_" + p.split("_")[1])
+            elif p == "attn":
+                new_parts.append("Attention_0")
+            elif p == "mlp" and new_parts and new_parts[-1].startswith("Block_"):
+                new_parts.append("FeedForward_0")
+            elif p == "norm1":
+                new_parts.append("LayerNorm_0")
+            elif p == "norm2":
+                new_parts.append("LayerNorm_1")
+            elif p == "norm" and (i == 0 or parts[i - 1] in ("encoder", "decoder")):
+                new_parts.append("LayerNorm_0")
+            elif p == "qkv":
+                new_parts.append("Dense_0")
+            elif p == "attn_out":
+                new_parts.append("Dense_1")
+            else:
+                new_parts.append(p)
+        out[tuple(new_parts)] = np.asarray(value)
+    return {"params": flax.traverse_util.unflatten_dict(out)}
 
 
 def load_m3ae_model_vars(model_name_or_path: str, checkpoint_dir: Optional[str] = None):

@@ -108,13 +108,6 @@ def main():
     print(results)
 
 
-if __name__ == "__main__":
-    import sys as _sys
-    if "--finer" in _sys.argv:
-        _sys.argv.remove("--finer")
-        finer()
-    else:
-        main()
 
 
 # --- appended finer bisect: attention impl vs activation ---------------------
@@ -124,10 +117,49 @@ def finer():
     from arp_tpu.models.layers import Attention, FeedForward
     from arp_tpu.ops.masks import MaskSpec
 
+    from arp_tpu.ops.attention import dot_product_attention
+
+    class SplitAttention(nn.Module):
+        """Fused qkv Dense, but q/k/v via split(axis=-1) + per-tensor reshape
+        (identical numerics + param layout to layers.Attention's
+        reshape(b,n,3,h,d) + slice — only the XLA access pattern differs)."""
+
+        @nn.compact
+        def __call__(self, x):
+            b, n, d = x.shape
+            hd = d // HEADS
+            qkv = nn.Dense(d * 3, use_bias=True, dtype=jnp.bfloat16, name="qkv")(x)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            split = lambda t: t.reshape(b, n, HEADS, hd)
+            out = dot_product_attention(split(q), split(k), split(v), spec=MaskSpec("none"))
+            out = out.reshape(b, n, d)
+            return nn.Dense(d, use_bias=True, dtype=jnp.bfloat16, name="attn_out")(out)
+
+    class KSliceAttention(nn.Module):
+        """qkv param layout kept, but THREE (D,D) matmuls over kernel slices
+        (the separate-dense access pattern without the param-tree change)."""
+
+        @nn.compact
+        def __call__(self, x):
+            b, n, d = x.shape
+            hd = d // HEADS
+            kernel = self.param("kernel_probe", nn.initializers.lecun_normal(), (d, 3 * d))
+            bias = self.param("bias_probe", nn.initializers.zeros, (3 * d,))
+            k16 = kernel.astype(jnp.bfloat16)
+            outs = []
+            for i in range(3):
+                w = jax.lax.slice_in_dim(k16, i * d, (i + 1) * d, axis=1)
+                bb = jax.lax.slice_in_dim(bias.astype(jnp.bfloat16), i * d, (i + 1) * d, axis=0)
+                outs.append((x @ w + bb).reshape(b, n, HEADS, hd))
+            q, k, v = outs
+            out = dot_product_attention(q, k, v, spec=MaskSpec("none"))
+            out = out.reshape(b, n, d)
+            return nn.Dense(d, use_bias=True, dtype=jnp.bfloat16, name="attn_out")(out)
+
     class HybridBlock(nn.Module):
         """layers.Block body with CLIP's separate-q/k/v attention."""
 
-        attn_impl: str = "clip"  # "clip" | "fused"
+        attn_impl: str = "clip"  # "clip" | "fused" | "split"
         activation: str = "gelu"
 
         @nn.compact
@@ -135,6 +167,10 @@ def finer():
             y = nn.LayerNorm(dtype=jnp.bfloat16, name="norm1")(x)
             if self.attn_impl == "clip":
                 y = CLIPAttention(HEADS, name="attn")(y, MaskSpec("none"))
+            elif self.attn_impl == "split":
+                y = SplitAttention(name="attn")(y)
+            elif self.attn_impl == "kslice":
+                y = KSliceAttention(name="attn")(y)
             else:
                 y = Attention(D, HEADS, use_bias=True, dtype=jnp.bfloat16, name="attn")(
                     y, True, MaskSpec("none")
@@ -164,10 +200,9 @@ def finer():
     probe = jnp.zeros((1, N, D), jnp.bfloat16)
     results = {}
     for label, attn_impl, act in (
+        ("splitattn_gelu", "split", "gelu"),
+        ("kslice_gelu", "kslice", "gelu"),
         ("clipattn_gelu", "clip", "gelu"),
-        ("fusedattn_gelu", "fused", "gelu"),
-        ("fusedattn_qgelu", "fused", "quick_gelu"),
-        ("clipattn_qgelu", "clip", "quick_gelu"),
     ):
         module = Stack(attn_impl, act)
         params = bf16_tree(jax.jit(module.init)(jax.random.PRNGKey(0), probe))
@@ -177,3 +212,12 @@ def finer():
         results[label] = round(fps)
         print(f"{label:16s}: compile {compile_s:5.1f}s  {fps:8.0f} frames/s  {fps*GF_TF/1e3:6.1f} TF/s")
     print(results)
+
+
+if __name__ == "__main__":
+    import sys as _sys
+    if "--finer" in _sys.argv:
+        _sys.argv.remove("--finer")
+        finer()
+    else:
+        main()

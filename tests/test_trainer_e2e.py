@@ -541,3 +541,60 @@ def test_trainer_profile_trace_cli(tmp_path):
     # the profiler writes plugins/profile/<run>/ with .trace.json.gz /.xplane.pb
     written = [os.path.join(r, f) for r, _, fs in os.walk(trace_dir) for f in fs]
     assert written, "profiler produced no trace files"
+
+
+def test_trainer_cli_frozen_m3ae_frozen_bf16(tmp_path):
+    """Frozen (pretrained) m3ae through the real loader; frozen_bf16 pins the
+    full-bf16 recipe's first-step loss to the fp32 run within 1%."""
+    import pickle
+
+    import numpy as np
+
+    from arp_tpu.models.m3ae import export_reference_m3ae_params
+    from test_m3ae_export import _tiny_model_and_params
+    from tests.cli_env import make_cli_env
+
+    data_root = str(tmp_path / "demos")
+    make_labeled_dataset(data_root)
+    ckpt_dir = str(tmp_path / "ckpts")
+    os.makedirs(ckpt_dir)
+    _, params, _ = _tiny_model_and_params()
+    with open(os.path.join(ckpt_dir, "m3ae_base_params.pkl"), "wb") as f:
+        pickle.dump(export_reference_m3ae_params(params), f)
+
+    env = make_cli_env()
+    env["ARP_TPU_CHECKPOINT_DIR"] = ckpt_dir
+
+    def run(extra, tag):
+        out_dir = str(tmp_path / f"out_{tag}")
+        cmd = [
+            sys.executable, "-m", "arp_tpu.train.main",
+            "--epochs=1", "--warmup_epochs=0", "--batch_size=8", "--dataloader_n_workers=0",
+            "--log_freq=1", "--lr=1e-3", "--window_size=4",
+            "--use_vl=True", "--vl_type=clip", "--use_crop=False", "--game_name=coinrun",
+            "--val_every_epochs=0", "--test_every_epochs=0", "--eval_env=none",
+            "--patch_dim=8", "--encode_image_size=32",
+            "--model.model_type=vit_debug", "--model.transfer_type=m3ae_vit_b16",
+            "--model.use_from_scratch=False",
+            "--model.emb_dim=32", "--model.depth=2", "--model.num_heads=4",
+            "--model.mlp_ratio=2", "--model.num_ensembles=2",
+            "--model.m3ae.model_type=custom", "--model.m3ae.emb_dim=32",
+            "--model.m3ae.depth=2", "--model.m3ae.num_heads=4", "--model.m3ae.mlp_ratio=2",
+            "--model.m3ae.dec_emb_dim=16", "--model.m3ae.dec_depth=1",
+            "--model.m3ae.dec_num_heads=4",
+            f"--data.path={data_root}", "--data.image_size=32", "--data.num_frames=8",
+            "--data.window_size=4", "--data.num_demonstrations=20", "--data.use_vl=True",
+            f"--logging.output_dir={out_dir}",
+        ] + extra
+        p = subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=900)
+        assert p.returncode == 0, p.stderr[-4000:]
+        run_dir = os.path.join(out_dir, os.listdir(out_dir)[0])
+        recs = [json.loads(l) for l in open(os.path.join(run_dir, "metrics.jsonl"))]
+        return [r["train_loss"] for r in recs if "train_loss" in r]
+
+    l_base = run([], "fp32")
+    l_fast = run(["--model.frozen_bf16=True"], "fbf16")
+    assert l_base and l_fast
+    assert all(np.isfinite(l_fast))
+    rel = abs(l_fast[0] - l_base[0]) / (abs(l_base[0]) + 1e-9)
+    assert rel < 0.01, (l_base[0], l_fast[0])
