@@ -131,8 +131,13 @@ class Attention(nn.Module):
     alibi_bias: bool = False
     kernel_init: Callable = nn.linear.default_kernel_init
     # computation dtype for the qkv/out projections; the attention op itself
-    # always does fp32 scores + softmax (ops/attention.py)
+    # does fp32 scores + softmax by default (ops/attention.py)
     dtype: Any = None
+    # dtype of the (B, H, N, N) score tensor + softmax (None = fp32).  bf16
+    # halves the score tensor's HBM traffic — the dominant byte term of a
+    # long-sequence frozen encoder — at the cost of bf16 softmax statistics.
+    # Chip-dependent: measure before enabling (see docs/BENCHMARKS.md).
+    score_dtype: Any = None
 
     @nn.compact
     def __call__(self, x, deterministic=True, mask_spec=MaskSpec("causal"), kv_padding=None):
@@ -177,7 +182,8 @@ class Attention(nn.Module):
             out = jnp.einsum("bhqk,bkhd->bqhd", p.astype(v.dtype), v)
         else:
             out = dot_product_attention(
-                q, k, v, spec=mask_spec, kv_padding=kv_padding, bias=bias, impl=impl
+                q, k, v, spec=mask_spec, kv_padding=kv_padding, bias=bias, impl=impl,
+                score_dtype=self.score_dtype or jnp.float32,
             )
         out = out.reshape(b, n, self.dim)
         out = nn.Dense(self.dim, use_bias=self.use_bias, kernel_init=self.kernel_init, dtype=self.dtype, name="attn_out")(out)
@@ -228,6 +234,9 @@ class Block(nn.Module):
     # frozen (stop_gradient) towers: it halves LN/residual HBM traffic at the
     # cost of bf16 LN statistics.
     ln_dtype: Any = None
+    # dtype of the attention score tensor + softmax (None = fp32); see
+    # Attention.score_dtype. Only for frozen towers; measure per chip.
+    score_dtype: Any = None
 
     @nn.compact
     def __call__(self, x, deterministic=True, mask_spec=MaskSpec("causal"), kv_padding=None):
@@ -242,6 +251,7 @@ class Block(nn.Module):
             proj_drop=self.drop,
             alibi_bias=self.alibi_bias,
             dtype=self.compute_dtype,
+            score_dtype=self.score_dtype,
             name="attn",
         )(y, deterministic, mask_spec, kv_padding)
         y = DropPath(self.drop_path)(y, deterministic)
@@ -287,6 +297,8 @@ class Transformer(nn.Module):
     # dtype too (see Block.ln_dtype). The input is cast on entry so the
     # residual stream never re-widens. None = fp32 LNs (training recipe).
     ln_dtype: Any = None
+    # attention score/softmax dtype (None = fp32); see Attention.score_dtype.
+    score_dtype: Any = None
 
     @nn.compact
     def __call__(self, x, deterministic=True, mask_spec=MaskSpec("causal"), kv_padding=None):
@@ -308,6 +320,7 @@ class Transformer(nn.Module):
                 activation=self.activation,
                 compute_dtype=self.compute_dtype,
                 ln_dtype=self.ln_dtype,
+                score_dtype=self.score_dtype,
                 name=f"blocks_{i}",
             )(x, deterministic, mask_spec, kv_padding)
             if self.sow_intermediates:

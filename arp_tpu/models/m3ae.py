@@ -150,6 +150,11 @@ class MaskedMultimodalAutoencoder(nn.Module):
         # ln_dtype). Only for frozen (stop_gradient) encoders; keep "float32"
         # when the encoder itself trains.
         config.ln_dtype = "float32"
+        # attention score/softmax dtype; "bfloat16" halves the (B, H, N, N)
+        # score-tensor HBM traffic of the encoder — the largest byte term of
+        # the frozen-tower forward at 257 tokens. Chip-dependent (measure:
+        # scripts/bench_m3ae_dtype.py); default fp32 is the oracle recipe.
+        config.score_dtype = "float32"
         config.drop_path = 0.0
         config.image_mask_ratio = 0.75
         config.text_mask_ratio = 0.75
@@ -208,6 +213,7 @@ class MaskedMultimodalAutoencoder(nn.Module):
             remat=cfg.get("remat", False),
             compute_dtype=resolve_compute_dtype(cfg.get("compute_dtype", "float32")),
             ln_dtype=resolve_compute_dtype(cfg.get("ln_dtype", "float32")),
+            score_dtype=resolve_compute_dtype(cfg.get("score_dtype", "float32")),
         )
         self.encoder = Transformer(emb_dim=cfg.emb_dim, depth=cfg.depth, num_heads=cfg.num_heads, **kwargs)
         self.decoder = Transformer(
@@ -408,6 +414,11 @@ class MaskedAutoencoder(nn.Module):
         # ln_dtype). Only for frozen (stop_gradient) encoders; keep "float32"
         # when the encoder itself trains.
         config.ln_dtype = "float32"
+        # attention score/softmax dtype; "bfloat16" halves the (B, H, N, N)
+        # score-tensor HBM traffic of the encoder — the largest byte term of
+        # the frozen-tower forward at 257 tokens. Chip-dependent (measure:
+        # scripts/bench_m3ae_dtype.py); default fp32 is the oracle recipe.
+        config.score_dtype = "float32"
         config.drop_path = 0.0
         config.image_mask_ratio = 0.75
         config.use_type_embedding = True
@@ -444,6 +455,7 @@ class MaskedAutoencoder(nn.Module):
             remat=cfg.get("remat", False),
             compute_dtype=resolve_compute_dtype(cfg.get("compute_dtype", "float32")),
             ln_dtype=resolve_compute_dtype(cfg.get("ln_dtype", "float32")),
+            score_dtype=resolve_compute_dtype(cfg.get("score_dtype", "float32")),
         )
         self.encoder = Transformer(emb_dim=cfg.emb_dim, depth=cfg.depth, num_heads=cfg.num_heads, **kwargs)
         self.decoder = Transformer(

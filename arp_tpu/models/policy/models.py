@@ -124,6 +124,14 @@ def get_policy_default_config(updates=None) -> ConfigDict:
     # unchanged; only the (frozen, stop_gradient) embeddings move by bf16
     # rounding. Incompatible with use_from_scratch (the encoder trains there).
     config.frozen_bf16 = False
+    # attention score/softmax dtype on the frozen towers under frozen_bf16.
+    # "bfloat16" halves the (B, H, 257, 257) score-tensor HBM traffic — the
+    # largest byte term of the bandwidth-bound flagship step; measured on a
+    # v5e it takes the step from 979 to 1,386 frames/s (+41%,
+    # scripts/bench_train.py frozen_bf16 vs frozen_sm16) with encoder-only
+    # parity cosine >0.99. Set "float32" to keep the standard softmax recipe
+    # (chip-dependent — re-measure on other TPU generations).
+    config.frozen_score_dtype = "bfloat16"
 
     config.lambda_return_pred = 1.0
     config.use_symlog = False
@@ -151,9 +159,11 @@ def get_policy_default_config(updates=None) -> ConfigDict:
         if config.frozen_bf16:
             # full-cast recipe on the frozen encoder: bf16 matmuls AND bf16
             # layernorms/residuals (the param-tree cast happens at apply time,
-            # models.py::BasePolicy._frozen_m3ae_apply)
+            # models.py::BasePolicy._frozen_m3ae_apply) + the measured
+            # score/softmax dtype (frozen_score_dtype above)
             sub.compute_dtype = "bfloat16"
             sub.ln_dtype = "bfloat16"
+            sub.score_dtype = config.frozen_score_dtype
     if config.frozen_bf16:
         assert not config.use_from_scratch, (
             "frozen_bf16 is an inference recipe for FROZEN pretrained towers; "

@@ -43,12 +43,18 @@ from .masks import MaskSpec, combine_padding, mask_allowed, materialize_mask
 _BIG_NEG = -1e30
 
 
-def _xla_attention(q, k, v, spec: MaskSpec, kv_padding, scale, bias=None):
-    # q, k, v: (B, H, N, D)
+def _xla_attention(q, k, v, spec: MaskSpec, kv_padding, scale, bias=None,
+                   score_dtype=jnp.float32):
+    # q, k, v: (B, H, N, D).  ``score_dtype`` is the dtype of the (B, H, N, N)
+    # score tensor AND the softmax — fp32 is the numerically standard recipe;
+    # bf16 halves the score tensor's HBM traffic (the dominant byte term of a
+    # long-sequence encoder) at the cost of bf16 softmax statistics.  bf16's
+    # exponent range equals fp32's, so the _BIG_NEG mask fill stays finite.
     n = q.shape[2]
-    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+    score_dtype = jnp.dtype(score_dtype)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=score_dtype) * scale
     if bias is not None:
-        s = s + bias
+        s = s + bias.astype(score_dtype)
     mask = materialize_mask(spec, n)[None, None]
     if kv_padding is not None:
         mask = combine_padding(mask, kv_padding)
@@ -161,11 +167,16 @@ def dot_product_attention(
     kv_padding: Optional[jnp.ndarray] = None,
     bias=None,
     impl: Optional[str] = None,
+    score_dtype=jnp.float32,
 ):
     """Multi-head attention.  q/k/v: (batch, seq, heads, head_dim).
 
     ``kv_padding``: optional (batch, seq) array, nonzero = PAD (masked out).
     ``bias``: optional additive (1|B, H, N, N) bias (e.g. ALiBi) — xla impl only.
+    ``score_dtype``: dtype of the materialized score tensor + softmax on the
+    xla path (fp32 default; bf16 halves score HBM traffic).  The pallas
+    kernel ignores it — its online softmax is always fp32 and its scores
+    never leave VMEM.
     """
     assert q.ndim == 4, f"expected (b, n, h, d), got {q.shape}"
     scale = q.shape[-1] ** -0.5
@@ -178,5 +189,7 @@ def dot_product_attention(
         assert bias is None, "pallas path does not take dense bias; use xla"
         out = _pallas_attention(qt, kt, vt, spec, kv_padding, scale)
     else:
-        out = _xla_attention(qt, kt, vt, spec, kv_padding, scale, bias=bias)
+        out = _xla_attention(
+            qt, kt, vt, spec, kv_padding, scale, bias=bias, score_dtype=score_dtype
+        )
     return jnp.swapaxes(out, 1, 2)

@@ -106,6 +106,14 @@ def main():
         ("m3ae_f32", dict(compute_dtype="float32"), False),
         ("m3ae_bf16", dict(compute_dtype="bfloat16"), False),
         ("m3ae_full_bf16", dict(compute_dtype="bfloat16", ln_dtype="bfloat16"), True),
+        # + bf16 attention scores/softmax: halves the (B, H, 257, 257) score
+        # HBM traffic — the largest remaining byte term of the frozen forward
+        # (--analyze roofline, docs/BENCHMARKS.md). Chip-dependent knob.
+        (
+            "m3ae_full_bf16_sm16",
+            dict(compute_dtype="bfloat16", ln_dtype="bfloat16", score_dtype="bfloat16"),
+            True,
+        ),
     )
     mp = None
     for label, dts, cast_params in legs:

@@ -128,7 +128,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--variant", default="bf16",
-        choices=["fp32", "bf16", "bf16_remat", "cached", "encoder", "frozen_bf16"],
+        choices=["fp32", "bf16", "bf16_remat", "cached", "encoder", "frozen_bf16",
+                 "frozen_sm16"],
     )
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--steps", type=int, default=16)
@@ -148,10 +149,16 @@ def main():
     m3ae_lib.load_m3ae_model_vars = fake_m3ae_loader
 
     # frozen_bf16: fp32 policy + full-bf16 frozen encoder (params cast once,
-    # bf16 LNs/residuals) — the production recipe; see --model.frozen_bf16
-    frozen = args.variant == "frozen_bf16"
-    dtype = "float32" if args.variant in ("fp32", "cached", "frozen_bf16") else "bfloat16"
+    # bf16 LNs/residuals) — the production recipe; see --model.frozen_bf16.
+    # frozen_sm16: frozen_bf16 + bf16 attention scores/softmax on the frozen
+    # encoder (--model.m3ae.score_dtype=bfloat16) — halves the (B, H, 257,
+    # 257) score HBM traffic, the largest byte term of the step's roofline.
+    frozen = args.variant in ("frozen_bf16", "frozen_sm16")
+    dtype = "float32" if args.variant in ("fp32", "cached", "frozen_bf16", "frozen_sm16") else "bfloat16"
     cached = args.variant == "cached"
+    m3ae_cfg = dict(model_type="base", compute_dtype=dtype, remat=args.variant == "bf16_remat")
+    if args.variant == "frozen_sm16":
+        m3ae_cfg["score_dtype"] = "bfloat16"
     cfg = dict(
         model_type="vit_base",            # DT block mask; dims are explicit below
         transfer_type="m3ae_vit_b16_cached" if cached else "m3ae_vit_b16",
@@ -162,7 +169,7 @@ def main():
         compute_dtype=dtype,
         frozen_bf16=frozen,
         remat=args.variant == "bf16_remat",
-        m3ae=dict(model_type="base", compute_dtype=dtype, remat=args.variant == "bf16_remat"),
+        m3ae=m3ae_cfg,
     )
     model = ARPDT(config_updates=cfg, num_actions=15, patch_dim=PATCH)
 

@@ -49,6 +49,63 @@ def test_transformer_ln_dtype_full_bf16_close_to_fp32():
     assert _cos(ref, out) > 0.99
 
 
+def test_transformer_score_dtype_bf16_close_to_fp32():
+    """score_dtype=bf16 (bf16 attention scores + softmax) stays close to the
+    fp32-softmax recipe — the chip-dependent HBM-traffic knob on top of the
+    frozen full-bf16 recipe."""
+    x = jax.random.normal(jax.random.PRNGKey(6), (2, 9, 32), jnp.float32)
+    tf_fp32 = Transformer(emb_dim=32, depth=2, num_heads=4, mlp_ratio=2, mlp_bias=True)
+    params = tf_fp32.init(jax.random.PRNGKey(7), x, True)["params"]
+    ref = tf_fp32.apply({"params": params}, x, True)
+
+    tf_sm16 = Transformer(
+        emb_dim=32, depth=2, num_heads=4, mlp_ratio=2, mlp_bias=True,
+        compute_dtype=jnp.bfloat16, ln_dtype=jnp.bfloat16, score_dtype=jnp.bfloat16,
+    )
+    p16 = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), params)
+    out = tf_sm16.apply({"params": p16}, x, True)
+    assert out.dtype == jnp.bfloat16
+    assert _cos(ref, out) > 0.99
+
+
+def test_transformer_score_dtype_default_is_bit_identical():
+    """score_dtype=None must leave the fp32-softmax path untouched."""
+    x = jax.random.normal(jax.random.PRNGKey(8), (2, 9, 32), jnp.float32)
+    tf = Transformer(emb_dim=32, depth=2, num_heads=4, mlp_ratio=2, mlp_bias=True)
+    tf_explicit = Transformer(
+        emb_dim=32, depth=2, num_heads=4, mlp_ratio=2, mlp_bias=True,
+        score_dtype=jnp.float32,
+    )
+    params = tf.init(jax.random.PRNGKey(9), x, True)["params"]
+    a = tf.apply({"params": params}, x, True)
+    b = tf_explicit.apply({"params": params}, x, True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_m3ae_score_dtype_threads_through_config():
+    cfg = dict(model_type=None, emb_dim=32, dec_emb_dim=16, depth=2, dec_depth=1,
+               num_heads=4, dec_num_heads=4, mlp_ratio=2)
+    patch = jax.random.normal(jax.random.PRNGKey(12), (2, 4, PATCH * PATCH * 3), jnp.float32)
+    model32 = m3ae_lib.MaskedMultimodalAutoencoder(
+        config_updates=dict(cfg), text_vocab_size=BERT_VOCAB_SIZE
+    )
+    params = model32.init(
+        {"params": jax.random.PRNGKey(13)}, patch, None, None,
+        method=model32.forward_representation, deterministic=True,
+    )
+    ref = model32.apply(params, patch, None, None,
+                        method=model32.forward_representation, deterministic=True)
+    model16 = m3ae_lib.MaskedMultimodalAutoencoder(
+        config_updates=dict(cfg, compute_dtype="bfloat16", ln_dtype="bfloat16",
+                            score_dtype="bfloat16"),
+        text_vocab_size=BERT_VOCAB_SIZE,
+    )
+    p16 = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), params)
+    out = model16.apply(p16, patch, None, None,
+                        method=model16.forward_representation, deterministic=True)
+    assert _cos(ref, out) > 0.99
+
+
 def test_transformer_ln_dtype_default_is_bit_identical():
     """ln_dtype=None must leave the training path untouched (fp32 LNs)."""
     x = jax.random.normal(jax.random.PRNGKey(2), (2, 9, 32), jnp.float32)
@@ -200,5 +257,18 @@ def test_frozen_bf16_sets_encoder_subconfig():
     assert cfg.m3ae.compute_dtype == "bfloat16"
     assert cfg.m3ae.ln_dtype == "bfloat16"
     assert cfg.mae.ln_dtype == "bfloat16"
+    # bf16 scores are the measured default on the frozen towers (+41% step
+    # throughput on a v5e); frozen_score_dtype is the escape hatch
+    assert cfg.m3ae.score_dtype == "bfloat16"
+    assert cfg.mae.score_dtype == "bfloat16"
     # the trained policy blocks stay at the user's setting (fp32 default)
     assert cfg.compute_dtype == "float32"
+
+
+def test_frozen_score_dtype_escape_hatch():
+    cfg = get_policy_default_config(dict(frozen_bf16=True, frozen_score_dtype="float32"))
+    assert cfg.m3ae.score_dtype == "float32"
+    assert cfg.m3ae.ln_dtype == "bfloat16"
+    # without frozen_bf16 the knob is inert: the towers keep fp32 softmax
+    cfg = get_policy_default_config(dict())
+    assert cfg.m3ae.score_dtype == "float32"
