@@ -101,6 +101,10 @@ class CLIPAttention(nn.Module):
     """Self-attention with separate q/k/v/out Dense (torch-checkpoint layout)."""
 
     num_heads: int
+    # dtype of the (B, H, N, N) score tensor + softmax (None = fp32).  bf16
+    # halves the score HBM traffic; measured +6.7% on the v5e resident encode
+    # (docs/BENCHMARKS.md) — chip-dependent, only for frozen/inference use.
+    score_dtype: Any = None
 
     @nn.compact
     def __call__(self, x, mask_spec=MaskSpec("none"), kv_padding=None):
@@ -110,18 +114,24 @@ class CLIPAttention(nn.Module):
         k = nn.Dense(d, name="key")(x)
         v = nn.Dense(d, name="value")(x)
         split = lambda t: t.reshape(b, n, self.num_heads, head_dim)
-        out = dot_product_attention(split(q), split(k), split(v), spec=mask_spec, kv_padding=kv_padding)
+        out = dot_product_attention(
+            split(q), split(k), split(v), spec=mask_spec, kv_padding=kv_padding,
+            score_dtype=self.score_dtype or jnp.float32,
+        )
         out = out.reshape(b, n, d)
         return nn.Dense(d, name="out")(out)
 
 
 class ResidualAttentionBlock(nn.Module):
     num_heads: int
+    score_dtype: Any = None
 
     @nn.compact
     def __call__(self, x, mask_spec=MaskSpec("none"), kv_padding=None):
         y = LayerNorm(name="ln_1")(x)
-        x = x + CLIPAttention(self.num_heads, name="attn")(y, mask_spec, kv_padding)
+        x = x + CLIPAttention(self.num_heads, score_dtype=self.score_dtype, name="attn")(
+            y, mask_spec, kv_padding
+        )
         y = LayerNorm(name="ln_2")(x)
         return x + CLIPMLP(name="mlp")(y)
 
@@ -130,11 +140,14 @@ class CLIPTransformer(nn.Module):
     features: int
     num_layers: int
     num_heads: int
+    score_dtype: Any = None
 
     @nn.compact
     def __call__(self, x, mask_spec=MaskSpec("none"), kv_padding=None):
         for i in range(self.num_layers):
-            x = ResidualAttentionBlock(self.num_heads, name=f"resblocks.{i}")(x, mask_spec, kv_padding)
+            x = ResidualAttentionBlock(
+                self.num_heads, score_dtype=self.score_dtype, name=f"resblocks.{i}"
+            )(x, mask_spec, kv_padding)
             self.sow("intermediates", f"intermediate_layer_{i}", x)
         return x
 
@@ -145,6 +158,7 @@ class VisionTransformer(nn.Module):
     num_layers: int
     num_heads: int
     out_features: Optional[int]
+    score_dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -175,7 +189,8 @@ class VisionTransformer(nn.Module):
         x = x + positional_embedding[None, : x.shape[1]]
         x = LayerNorm(name="ln_pre")(x)
         x = feature_map = CLIPTransformer(
-            self.features, self.num_layers, self.num_heads, name="transformer"
+            self.features, self.num_layers, self.num_heads,
+            score_dtype=self.score_dtype, name="transformer"
         )(x)
         if self.out_features is not None:
             x = LayerNorm(name="ln_post")(x[:, 0])
@@ -278,6 +293,7 @@ class TextEncoder(nn.Module):
     num_layers: int
     num_heads: int
     out_features: int
+    score_dtype: Any = None
 
     @nn.compact
     def __call__(self, text):
@@ -287,9 +303,10 @@ class TextEncoder(nn.Module):
         x = nn.Embed(self.vocab_size, self.features, name="token_embedding")(text)
         x = x + positional_embedding[None]
         # causal + key-padding (pad id 0), both lazy.
-        x = CLIPTransformer(self.features, self.num_layers, self.num_heads, name="transformer")(
-            x, mask_spec=MaskSpec("causal"), kv_padding=(text == 0).astype(jnp.int32)
-        )
+        x = CLIPTransformer(
+            self.features, self.num_layers, self.num_heads,
+            score_dtype=self.score_dtype, name="transformer"
+        )(x, mask_spec=MaskSpec("causal"), kv_padding=(text == 0).astype(jnp.int32))
         x = LayerNorm(name="ln_final")(x)
         # EOT token (highest id) pools the sequence.
         x = x[jnp.arange(x.shape[0]), text.argmax(-1)]
@@ -308,6 +325,11 @@ class CLIP(nn.Module):
     vision_num_layers: Union[int, Sequence[int]]
     vision_patch_size: Optional[int] = None
     vision_return_map: bool = False
+    # attention score/softmax dtype for both towers (None = fp32); bf16 is
+    # the measured v5e win for frozen/inference use (engine ``score_bf16``,
+    # policy ``frozen_score_dtype``). ModifiedResNet ignores it (its
+    # AttentionPool computes scores in the param dtype already).
+    score_dtype: Any = None
 
     def setup(self):
         if isinstance(self.vision_num_layers, (tuple, list)):
@@ -326,6 +348,7 @@ class CLIP(nn.Module):
                 num_layers=self.vision_num_layers,
                 num_heads=self.vision_num_heads,
                 out_features=None if self.vision_return_map else self.embed_dim,
+                score_dtype=self.score_dtype,
             )
         self.text = TextEncoder(
             out_features=self.embed_dim,
@@ -333,6 +356,7 @@ class CLIP(nn.Module):
             features=self.text_features,
             num_layers=self.text_num_layers,
             num_heads=self.text_num_heads,
+            score_dtype=self.score_dtype,
         )
         self.logit_scale = self.param("logit_scale", jax.nn.initializers.zeros, ())
 

@@ -75,9 +75,24 @@ class ClipRewardEngine:
         fast_encode: bool = False,
         fast_int8: bool = False,
         fast_score_bf16: bool = False,
+        score_bf16: bool = False,
         mesh=None,
     ):
         self.model = model if model is not None else clip_models.MODELS[model_name]()
+        if score_bf16:
+            # bf16 attention scores/softmax on the STANDARD (flax model) path:
+            # halves the (B, H, N, N) score HBM traffic.  Measured v5e: the
+            # bf16 resident encode goes 2,949 -> 3,147 fps (+6.7%), overtaking
+            # the int8 fast path (docs/BENCHMARKS.md).  NOTE the asymmetry:
+            # on the PACKED fast paths the same idea (fast_score_bf16)
+            # measures SLOWER than fp32 softmax on this chip — the two knobs
+            # are deliberately separate, both chip-dependent.
+            fields = getattr(type(self.model), "__dataclass_fields__", {})
+            assert "score_dtype" in fields, (
+                f"score_bf16 requires a model with a score_dtype field "
+                f"(CLIP towers have one); got {type(self.model).__name__}"
+            )
+            self.model = self.model.clone(score_dtype=jnp.bfloat16)
         if variables is None:
             variables = clip_models.load_model_vars(model_name)
         self._dequantize = None
