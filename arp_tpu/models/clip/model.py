@@ -382,8 +382,10 @@ class CLIP(nn.Module):
 
 
 def _model_fn(name):
-    def fn():
-        return CLIP(**CONFIGS[name])
+    def fn(**overrides):
+        # overrides: module-level knobs (e.g. score_dtype under the policy's
+        # frozen_bf16 recipe) layered over the architecture config
+        return CLIP(**{**CONFIGS[name], **overrides})
 
     return fn
 

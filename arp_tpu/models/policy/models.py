@@ -160,10 +160,13 @@ def get_policy_default_config(updates=None) -> ConfigDict:
             # full-cast recipe on the frozen encoder: bf16 matmuls AND bf16
             # layernorms/residuals (the param-tree cast happens at apply time,
             # models.py::BasePolicy._frozen_m3ae_apply) + the measured
-            # score/softmax dtype (frozen_score_dtype above)
+            # score/softmax dtype (frozen_score_dtype above). An explicitly
+            # set sub-config score_dtype wins, mirroring the compute_dtype
+            # explicit-wins guard above.
             sub.compute_dtype = "bfloat16"
             sub.ln_dtype = "bfloat16"
-            sub.score_dtype = config.frozen_score_dtype
+            if sub.get("score_dtype", "float32") == "float32":
+                sub.score_dtype = config.frozen_score_dtype
     if config.frozen_bf16:
         assert not config.use_from_scratch, (
             "frozen_bf16 is an inference recipe for FROZEN pretrained towers; "
@@ -248,6 +251,16 @@ class BasePolicy(nn.Module):
     def setup(self):
         self.config = self.get_default_config(self.config_updates)
         cfg = self.config
+        # frozen_bf16 threads the measured score/softmax dtype into the frozen
+        # CLIP tower too (the m3ae/mae towers get it via their sub-configs in
+        # get_policy_default_config); CLIP's attention carries its own
+        # score_dtype knob, so the param cast in _frozen_clip_apply plus this
+        # covers the full recipe on every frozen tower.
+        clip_kwargs = (
+            {"score_dtype": resolve_compute_dtype(cfg.frozen_score_dtype)}
+            if cfg.get("frozen_bf16", False)
+            else {}
+        )
 
         if cfg.get("pp_stages", 1) > 1:
             assert cfg.att_drop == 0.0 and cfg.drop == 0.0, (
@@ -311,7 +324,7 @@ class BasePolicy(nn.Module):
             )
             if cfg.use_text and transfer_type.startswith("clip"):
                 model_name = transfer_type[len("clip_"):-len("_cached")]
-                self.pt_model = clip_lib.MODELS[model_name]()
+                self.pt_model = clip_lib.MODELS[model_name](**clip_kwargs)
                 if not cfg.use_from_scratch:
                     self.pt_params = clip_lib.load_model_vars(model_name)
             self.image_text_input = nn.Dense(cfg.emb_dim)
@@ -319,7 +332,7 @@ class BasePolicy(nn.Module):
             self.patch_emb = nn.Dense(cfg.emb_dim)
         elif transfer_type.startswith("clip"):
             model_name = transfer_type.split("_", 1)[1]
-            self.pt_model = clip_lib.MODELS[model_name]()
+            self.pt_model = clip_lib.MODELS[model_name](**clip_kwargs)
             if not cfg.use_from_scratch:
                 checkpoint_path = None if cfg.clip_checkpoint_path == "none" else cfg.clip_checkpoint_path
                 self.pt_params = clip_lib.load_model_vars(model_name, checkpoint_path=checkpoint_path)

@@ -79,6 +79,18 @@ class ClipRewardEngine:
         mesh=None,
     ):
         self.model = model if model is not None else clip_models.MODELS[model_name]()
+        if score_bf16 and (fast_encode or fast_int8):
+            # score_bf16 reconfigures the FLAX model, which the packed fast
+            # paths never run — silently inert; the packed knob is separate
+            # because the two measured opposite on this chip.
+            import warnings
+
+            warnings.warn(
+                "score_bf16 only affects the standard flax encode path and is "
+                "inert under fast_encode/fast_int8 — use fast_score_bf16 for "
+                "the packed paths",
+                stacklevel=2,
+            )
         if score_bf16:
             # bf16 attention scores/softmax on the STANDARD (flax model) path:
             # halves the (B, H, N, N) score HBM traffic.  Measured v5e: the

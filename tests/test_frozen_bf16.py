@@ -226,7 +226,7 @@ def test_policy_frozen_bf16_clip_path(monkeypatch):
 
     tiny = dict(embed_dim=16, vocab_size=97, vision_num_layers=1, vision_features=64,
                 vision_patch_size=16, text_features=16, text_num_heads=4, text_num_layers=1)
-    monkeypatch.setitem(clip_model_mod.MODELS, "tiny_test", lambda: CLIP(**tiny))
+    monkeypatch.setitem(clip_model_mod.MODELS, "tiny_test", lambda **kw: CLIP(**{**tiny, **kw}))
 
     def fake_load(model_name, checkpoint_path=None):
         model = CLIP(**tiny)

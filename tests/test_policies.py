@@ -124,7 +124,7 @@ def test_clip_from_scratch_path(monkeypatch):
 
     tiny = dict(embed_dim=16, vocab_size=97, vision_num_layers=1, vision_features=64,
                 vision_patch_size=16, text_features=16, text_num_heads=4, text_num_layers=1)
-    monkeypatch.setitem(clip_model_mod.MODELS, "tiny_test", lambda: CLIP(**tiny))
+    monkeypatch.setitem(clip_model_mod.MODELS, "tiny_test", lambda **kw: CLIP(**{**tiny, **kw}))
 
     rng = np.random.default_rng(4)
     batch = make_batch(rng, with_text=True)
@@ -163,7 +163,7 @@ def test_adapter_gate(monkeypatch):
 
     tiny = dict(embed_dim=16, vocab_size=97, vision_num_layers=1, vision_features=64,
                 vision_patch_size=16, text_features=16, text_num_heads=4, text_num_layers=1)
-    monkeypatch.setitem(clip_model_mod.MODELS, "tiny_test", lambda: CLIP(**tiny))
+    monkeypatch.setitem(clip_model_mod.MODELS, "tiny_test", lambda **kw: CLIP(**{**tiny, **kw}))
 
     rng = np.random.default_rng(7)
     batch = make_batch(rng)
@@ -264,7 +264,7 @@ def test_frozen_clip_bf16_cast(monkeypatch):
 
     tiny = dict(embed_dim=16, vocab_size=97, vision_num_layers=1, vision_features=64,
                 vision_patch_size=16, text_features=16, text_num_heads=4, text_num_layers=1)
-    monkeypatch.setitem(clip_model_mod.MODELS, "tiny_test", lambda: CLIP(**tiny))
+    monkeypatch.setitem(clip_model_mod.MODELS, "tiny_test", lambda **kw: CLIP(**{**tiny, **kw}))
     rng = np.random.default_rng(9)
     clip = CLIP(**tiny)
     clip_vars = clip.init(
