@@ -1,1 +1,8 @@
-from .models import ARPDT, BC, GCBC, EnsembleHeads, get_policy_default_config
+from .models import (
+    ARPDT,
+    BC,
+    GCBC,
+    EnsembleHeads,
+    build_frozen_qpack,
+    get_policy_default_config,
+)

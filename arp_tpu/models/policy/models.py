@@ -132,6 +132,15 @@ def get_policy_default_config(updates=None) -> ConfigDict:
     # parity cosine >0.99. Set "float32" to keep the standard softmax recipe
     # (chip-dependent — re-measure on other TPU generations).
     config.frozen_score_dtype = "bfloat16"
+    # run the frozen m3ae/mae tower through the PACKED int8 fast forward
+    # (ops/m3ae_infer.py): per-output-channel int8 weights, static activation
+    # scales calibrated once on real frames, quantization fused into the
+    # LN/GELU epilogues.  Implies frozen_bf16 (the non-matmul recipe is the
+    # same).  Requires a calibrated pack on the model (``frozen_qpack`` —
+    # build it with build_frozen_qpack(); the trainer does this automatically
+    # from its first batch).  Matches the reference's in-step encode
+    # semantics (ARPDT.py:338,451-458) with int8 matmul numerics.
+    config.frozen_int8 = False
 
     config.lambda_return_pred = 1.0
     config.use_symlog = False
@@ -143,6 +152,10 @@ def get_policy_default_config(updates=None) -> ConfigDict:
     update_config(config, updates)
     if config.model_type is not None:
         apply_size_preset(config.model_type, config)
+    if config.frozen_int8:
+        # int8 matmuls ride on the frozen_bf16 recipe (bf16 LNs/residuals +
+        # the measured score dtype); turning it on implies the full recipe
+        config.frozen_bf16 = True
     # --model.remat / --model.compute_dtype cover the whole model: propagate
     # to the frozen-encoder sub-configs (the m3ae/mae encoder dominates both
     # compute and activations under the flagship policy) unless the
@@ -234,6 +247,10 @@ class BasePolicy(nn.Module):
     use_goal: bool = False  # GCBC
     resize_clip_input: bool = False  # BC/GCBC resize to 224 in-model (BC.py:259)
     mesh: Any = None        # required when config.pp_stages > 1
+    # calibrated int8 pack for the frozen m3ae/mae tower (config.frozen_int8);
+    # build with :func:`build_frozen_qpack` — the trainer does it from its
+    # first batch. Derived from the frozen pt_params, never checkpointed.
+    frozen_qpack: Any = None
 
     @staticmethod
     @nn.nowrap
@@ -407,6 +424,27 @@ class BasePolicy(nn.Module):
         """Frozen-encoder outputs re-widen to fp32 for the trained policy."""
         return emb.astype(jnp.float32) if emb.dtype != jnp.float32 else emb
 
+    def _frozen_fast_int8(self):
+        """True when the frozen m3ae/mae tower runs the packed int8 path."""
+        cfg = self.config
+        return (
+            cfg.get("frozen_int8", False)
+            and not cfg.use_from_scratch
+            and cfg.transfer_type.startswith(("mae", "m3ae"))
+        )
+
+    def _qpack(self):
+        assert self.frozen_qpack is not None, (
+            "config.frozen_int8 needs a calibrated pack: construct the policy "
+            "with frozen_qpack=build_frozen_qpack(config, sample_batch, "
+            "patch_dim) (the trainer CLI does this from its first batch)"
+        )
+        return self.frozen_qpack
+
+    def _fast_score_dtype(self):
+        sub = self.config.m3ae if self.config.transfer_type.startswith("m3ae") else self.config.mae
+        return resolve_compute_dtype(sub.get("score_dtype", "float32")) or jnp.float32
+
     # -- encode ---------------------------------------------------------------
 
     def encode(self, batch):
@@ -526,6 +564,13 @@ class BasePolicy(nn.Module):
             patch = self.patchify(image)
             if cfg.use_from_scratch:
                 image_text_emb = self.pt_model.forward_representation(patch, deterministic=True)
+            elif self._frozen_fast_int8():
+                from ...ops import m3ae_infer
+
+                image_text_emb = m3ae_infer.m3ae_encode_int8(
+                    self._qpack(), patch, cfg.mae.num_heads,
+                    score_dtype=self._fast_score_dtype(),
+                )
             else:
                 image_text_emb = self._frozen_out(self.pt_model.apply(
                     self._frozen_m3ae_params(), patch,
@@ -551,6 +596,14 @@ class BasePolicy(nn.Module):
                     image_text_emb = self.pt_model.forward_gc_representations(
                         patch, goal_patch, deterministic=True
                     )
+                elif self._frozen_fast_int8():
+                    from ...ops import m3ae_infer
+
+                    image_text_emb = m3ae_infer.m3ae_encode_int8(
+                        self._qpack(), patch, cfg.m3ae.num_heads,
+                        goal_patch=goal_patch, score_dtype=self._fast_score_dtype(),
+                    )
+                    image_text_emb = jax.lax.stop_gradient(image_text_emb)
                 else:
                     image_text_emb = self._frozen_out(self.pt_model.apply(
                         self._frozen_m3ae_params(),
@@ -574,6 +627,30 @@ class BasePolicy(nn.Module):
                         patch, tokenized_caption, tiled_pad, deterministic=True
                     )
                     num_layers = 1
+                elif self._frozen_fast_int8():
+                    from ...ops import m3ae_infer
+
+                    if cfg.use_intermediate:
+                        out, inter = m3ae_infer.m3ae_encode_int8(
+                            self._qpack(), patch, cfg.m3ae.num_heads,
+                            text_ids=tokenized_caption, text_padding_mask=tiled_pad,
+                            score_dtype=self._fast_score_dtype(),
+                            return_intermediates=True,
+                        )
+                        num_layers = cfg.m3ae.depth
+                        # (L-1, B', N, D) block outputs flatten along batch —
+                        # the same layout the flax intermediates concat builds
+                        inter = self._frozen_out(
+                            inter[:-1].reshape((-1,) + inter.shape[2:])
+                        )
+                        image_text_emb = jnp.concatenate([inter, out], axis=0)
+                    else:
+                        image_text_emb = m3ae_infer.m3ae_encode_int8(
+                            self._qpack(), patch, cfg.m3ae.num_heads,
+                            text_ids=tokenized_caption, text_padding_mask=tiled_pad,
+                            score_dtype=self._fast_score_dtype(),
+                        )
+                        num_layers = 1
                 elif cfg.use_intermediate:
                     image_text_emb, states = self.pt_model.apply(
                         self._frozen_m3ae_params(),
@@ -729,3 +806,60 @@ class GCBC(BasePolicy):
     use_rtg: bool = False
     use_goal: bool = True
     resize_clip_input: bool = True
+
+
+def build_frozen_qpack(
+    config_updates,
+    sample_batch,
+    patch_dim: int,
+    image_size: int = 256,
+    use_goal: bool = False,
+    m3ae_loader=None,
+):
+    """Calibrate the int8 pack for a frozen_int8 policy from REAL frames.
+
+    ``sample_batch`` is one host batch in the trainer's layout (``image``:
+    {key: (B, T, H, W, C)}, optional ``instruct``/``text_padding_mask``/
+    ``goal``).  Frames go through the deterministic eval transform (resize +
+    the exact Procgen normalization) so the calibration sees the same
+    activation distribution the in-step encode sees; the pack's 5% margin
+    covers augmentation jitter (same recipe as the reward engine's lazy int8
+    calibration).  Returns the qpack to pass as the policy's ``frozen_qpack``.
+    """
+    from ...ops import m3ae_infer
+    from ...ops.augment import make_eval_transform
+    from ..m3ae import extract_patches
+
+    cfg = get_policy_default_config(config_updates)
+    tt = cfg.transfer_type
+    assert cfg.frozen_int8, "build_frozen_qpack is only for frozen_int8 configs"
+    assert tt.startswith(("mae", "m3ae")) and not tt.endswith("_cached"), tt
+    sub = cfg.m3ae if tt.startswith("m3ae") else cfg.mae
+    loader = m3ae_loader or m3ae_lib.load_m3ae_model_vars
+    variables = loader(tt.split("_", 1)[1])
+
+    transform = make_eval_transform(image_size=image_size)
+
+    def to_patches(tree):
+        frames = jnp.concatenate(
+            [jnp.asarray(v).reshape((-1,) + v.shape[-3:]) for v in tree.values()], axis=0
+        )
+        return extract_patches(transform(frames), patch_dim)
+
+    patch = to_patches(sample_batch["image"])
+    text_ids = pad = goal = None
+    if use_goal and sample_batch.get("goal") is not None:
+        goal = to_patches(sample_batch["goal"])
+        # goal-joint encode pairs each obs frame with a goal frame
+        n = min(patch.shape[0], goal.shape[0])
+        patch, goal = patch[:n], goal[:n]
+    elif cfg.use_text and tt.startswith("m3ae") and sample_batch.get("instruct") is not None:
+        ids = jnp.asarray(sample_batch["instruct"])
+        pm = jnp.asarray(sample_batch["text_padding_mask"])
+        reps = -(-patch.shape[0] // ids.shape[0])  # cover every patch row
+        text_ids = jnp.tile(ids, (reps, 1))[: patch.shape[0]]
+        pad = jnp.tile(pm, (reps, 1))[: patch.shape[0]]
+    return m3ae_infer.build_m3ae_qpack(
+        variables, sub.depth, sub.num_heads, patch,
+        text_ids=text_ids, text_padding_mask=pad, goal_patch=goal,
+    )

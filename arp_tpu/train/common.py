@@ -18,7 +18,7 @@ from ..data.instructions import (
 from ..models.policy import ARPDT, BC, GCBC
 
 
-def build_model(flags_obj, num_actions: int, mesh=None):
+def build_model(flags_obj, num_actions: int, mesh=None, frozen_qpack=None):
     if flags_obj.use_vl or flags_obj.data.use_task_reward:
         cls = ARPDT
     elif "GCBC" in flags_obj.vl_type:
@@ -31,6 +31,28 @@ def build_model(flags_obj, num_actions: int, mesh=None):
         patch_dim=flags_obj.patch_dim,
         normalize_quterion=False,
         mesh=mesh,
+        frozen_qpack=frozen_qpack,
+    )
+
+
+def maybe_build_frozen_qpack(flags_obj, sample_batch, use_goal: bool):
+    """Calibrated int8 pack for --model.frozen_int8 (None otherwise).
+
+    ``sample_batch`` must be a REAL host batch (the int8 activation scales
+    calibrate on it; see models/policy/models.py::build_frozen_qpack).
+    """
+    if not flags_obj.model.get("frozen_int8", False) or flags_obj.model.use_from_scratch:
+        return None
+    from ..models.policy import build_frozen_qpack
+
+    transfer = flags_obj.model.transfer_type
+    image_size = 256
+    if getattr(flags_obj, "encode_image_size", 0) > 0:
+        image_size = flags_obj.encode_image_size
+    absl_logging.info("frozen_int8: calibrating the packed encoder on a real batch")
+    return build_frozen_qpack(
+        flags_obj.model, sample_batch, flags_obj.patch_dim,
+        image_size=image_size, use_goal=use_goal,
     )
 
 

@@ -80,7 +80,19 @@ def main(argv):
         FLAGS.data.train_env_type,
     )
     train_dataset = ProcgenDataset(update=FLAGS.data, dataset_name=dataset_name, split="train")
-    model = build_model(FLAGS, train_dataset.num_actions)
+    frozen_qpack = None
+    if FLAGS.model.get("frozen_int8", False):
+        # calibrate on a small training batch (same frames distribution the
+        # rollout sees; the pack's margin covers the env/eval jitter)
+        from .common import _host_batch_to_arrays, maybe_build_frozen_qpack
+        from ..data.loader import DataLoader
+
+        use_goal = "GCBC" in FLAGS.vl_type
+        loader = DataLoader(train_dataset, batch_size=min(8, len(train_dataset)),
+                            shuffle=False, num_workers=0, seed=FLAGS.seed)
+        sample = _host_batch_to_arrays(next(iter(loader)), FLAGS.use_text, use_goal)
+        frozen_qpack = maybe_build_frozen_qpack(FLAGS, sample, use_goal)
+    model = build_model(FLAGS, train_dataset.num_actions, frozen_qpack=frozen_qpack)
 
     # restore params
     if FLAGS.load_checkpoint:

@@ -246,8 +246,14 @@ def main(argv):
         # PipelinedTransformer); the model needs the mesh at construction
         FLAGS.model.pp_stages = FLAGS.mesh_pp
         FLAGS.model.pp_microbatches = FLAGS.mesh_pp_microbatches
-    model = build_model(FLAGS, train_dataset.num_actions, mesh=mesh)
     use_goal = "GCBC" in FLAGS.vl_type
+    frozen_qpack = None
+    if FLAGS.model.get("frozen_int8", False):
+        from .common import maybe_build_frozen_qpack
+
+        sample = _host_batch_to_arrays(next(iter(train_loader)), use_text, use_goal)
+        frozen_qpack = maybe_build_frozen_qpack(FLAGS, sample, use_goal)
+    model = build_model(FLAGS, train_dataset.num_actions, mesh=mesh, frozen_qpack=frozen_qpack)
     learning_rate = build_lr_schedule(FLAGS, steps_per_epoch, total_steps, lr_scale)
     tx = build_optimizer(FLAGS, learning_rate, model)
 

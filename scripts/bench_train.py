@@ -129,7 +129,7 @@ def main():
     ap.add_argument(
         "--variant", default="bf16",
         choices=["fp32", "bf16", "bf16_remat", "cached", "encoder", "frozen_bf16",
-                 "frozen_sm16"],
+                 "frozen_sm16", "frozen_int8", "frozen_int8_sm16"],
     )
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--steps", type=int, default=16)
@@ -153,8 +153,11 @@ def main():
     # frozen_sm16: frozen_bf16 + bf16 attention scores/softmax on the frozen
     # encoder (--model.m3ae.score_dtype=bfloat16) — halves the (B, H, 257,
     # 257) score HBM traffic, the largest byte term of the step's roofline.
-    frozen = args.variant in ("frozen_bf16", "frozen_sm16")
-    dtype = "float32" if args.variant in ("fp32", "cached", "frozen_bf16", "frozen_sm16") else "bfloat16"
+    # frozen_int8[_sm16]: the packed int8 m3ae forward (--model.frozen_int8,
+    # ops/m3ae_infer.py), fp32 vs bf16 scores.
+    frozen = args.variant.startswith(("frozen_bf16", "frozen_sm16", "frozen_int8"))
+    int8 = args.variant.startswith("frozen_int8")
+    dtype = "bfloat16" if args.variant in ("bf16", "bf16_remat") else "float32"
     cached = args.variant == "cached"
     m3ae_cfg = dict(model_type="base", compute_dtype=dtype, remat=args.variant == "bf16_remat")
     cfg = dict(
@@ -174,9 +177,11 @@ def main():
         # score dtype: frozen_bf16 must stay the fp32-scores baseline even
         # though the config default is now bfloat16 (docs/BENCHMARKS.md's
         # 979-vs-1,386 f/s comparison reproduces only with this split)
-        cfg["frozen_score_dtype"] = "bfloat16" if args.variant == "frozen_sm16" else "float32"
-    model = ARPDT(config_updates=cfg, num_actions=15, patch_dim=PATCH)
-
+        cfg["frozen_score_dtype"] = (
+            "bfloat16" if args.variant in ("frozen_sm16", "frozen_int8_sm16") else "float32"
+        )
+    if int8:
+        cfg["frozen_int8"] = True
     rng = np.random.default_rng(0)
     host_batch = {
         "rtg": {"ob": rng.random((args.batch, WINDOW, 1), np.float32)},
@@ -191,6 +196,23 @@ def main():
         host_batch["image_emb"] = {"ob": rng.random((args.batch, WINDOW, 768), np.float32)}
     else:
         host_batch["image"] = {"ob": rng.random((args.batch, WINDOW, IMG, IMG, 3), np.float32)}
+
+    qpack = None
+    if int8:
+        # calibrate the packed int8 encoder on the bench frames themselves
+        # (the bench feeds raw [0,1) floats with no in-step augmentation, so
+        # these ARE the activation distribution the step will see)
+        from arp_tpu.models.m3ae import extract_patches
+        from arp_tpu.ops import m3ae_infer
+
+        vars_ = fake_m3ae_loader("m3ae_vit_b16")
+        frames = jnp.asarray(host_batch["image"]["ob"]).reshape((-1, IMG, IMG, 3))
+        patch = extract_patches(frames, PATCH)
+        t0 = time.time()
+        qpack = m3ae_infer.build_m3ae_qpack(vars_, 12, 12, patch)
+        print(f"int8 calibration: {time.time()-t0:.1f}s")
+
+    model = ARPDT(config_updates=cfg, num_actions=15, patch_dim=PATCH, frozen_qpack=qpack)
 
     mesh = create_mesh(MeshConfig(dp=len(jax.devices())))
     rngs = {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)}
