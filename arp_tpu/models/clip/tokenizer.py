@@ -77,6 +77,9 @@ class BPETokenizer:
 
         merges: list[tuple[str, str]] = []
         self.using_fallback_vocab = True
+        # identity string for provenance stamps (labeled HDF5 files carry it
+        # so downstream consumers can tell which vocab produced the rewards)
+        self.identity = "fallback"
         if bpe_path is not None and os.path.exists(bpe_path):
             opener = gzip.open if bpe_path.endswith(".gz") else open
             with opener(bpe_path, "rt", encoding="utf-8") as f:
@@ -85,6 +88,10 @@ class BPETokenizer:
             merge_lines = lines[1 : 49152 - 256 - 2 + 1]
             merges = [tuple(m.split()) for m in merge_lines if m.strip()]
             self.using_fallback_vocab = False
+            import hashlib
+
+            with open(bpe_path, "rb") as f:
+                self.identity = "bpe:" + hashlib.sha256(f.read()).hexdigest()[:16]
         else:
             warnings.warn(
                 "CLIP BPE merges file not found: using the deterministic "

@@ -110,7 +110,8 @@ def mesh_from_count(n: int, devices=None) -> Optional[Mesh]:
     assert jax.process_count() == 1, (
         "mesh_from_count shards host batches over addressable devices only; "
         "under multi-host (process_count "
-        f"{jax.process_count()}) shard files per host instead"
+        f"{jax.process_count()}) shard the work per host instead "
+        "(labeler: --num_hosts/--host_index + --merge)"
     )
     devices = list(devices if devices is not None else jax.devices())
     if n == -1:

@@ -271,7 +271,8 @@ class ClipRewardEngine:
             return
         assert jax.process_count() == 1, (
             "engine mesh sharding device_puts host batches, which needs every "
-            "mesh device addressable; under multi-host shard files per host"
+            "mesh device addressable; under multi-host shard the file per host "
+            "(reward/labeler.py --num_hosts/--host_index + --merge)"
         )
         from ..parallel.mesh import batch_sharding, replicated
 
@@ -325,6 +326,14 @@ class ClipRewardEngine:
 
     def tokenize(self, text: Union[str, Sequence[str]]) -> np.ndarray:
         return np.asarray(self.tokenizer(text))
+
+    @property
+    def tokenizer_identity(self) -> str:
+        """Provenance string for labeled outputs: "bpe:<sha16>" with the real
+        merges file, "fallback" under the byte-level fallback vocab, "custom"
+        for injected tokenizers without identity metadata."""
+        tok = getattr(self.tokenizer, "tokenizer", None)
+        return getattr(tok, "identity", None) or "custom"
 
     # -- feature extraction ---------------------------------------------------
 

@@ -82,6 +82,33 @@ def get_traj_boundaries(g) -> tuple[list[int], int, int]:
     return traj_idx, len_data, num_frames
 
 
+def shard_trajectory_range(traj_idx, len_data: int, num_hosts: int, host_index: int):
+    """Contiguous, disjoint, whole-trajectory shard for this host.
+
+    Trajectories are assigned by the row-boundary their START falls into
+    (``round(len_data * h / num_hosts)``), so every host derives the same
+    partition from the same file, the union covers all rows exactly once,
+    and per-trajectory cumsums never cross hosts.  Returns
+    ``(traj_lo, traj_hi, row_lo, row_hi)`` (trajectory indices into the
+    segment list; rows are [row_lo, row_hi)).
+    """
+    assert 0 <= host_index < num_hosts, (host_index, num_hosts)
+    starts = np.asarray(traj_idx[:-1])
+    bounds = np.round(len_data * np.arange(num_hosts + 1) / num_hosts).astype(int)
+    owner = np.searchsorted(bounds[1:], starts, side="right")
+    mine = np.nonzero(owner == host_index)[0]
+    if len(mine) == 0:
+        return 0, 0, 0, 0
+    traj_lo, traj_hi = int(mine[0]), int(mine[-1]) + 1
+    row_lo = int(traj_idx[traj_lo])
+    row_hi = int(min(traj_idx[traj_hi], len_data))
+    return traj_lo, traj_hi, row_lo, row_hi
+
+
+def _shard_path(data_path: str, target_key_base: str, host_index: int) -> str:
+    return f"{data_path}.{target_key_base}.rshard{host_index}.npz"
+
+
 def label_rewards(
     data_path: str,
     text,
@@ -96,14 +123,27 @@ def label_rewards(
     variables=None,
     gamma: float = 1.0,
     progress: bool = True,
+    num_hosts: int = 1,
+    host_index: int = 0,
 ) -> dict:
-    """Label an HDF5 demo file in place.  Returns timing/throughput stats."""
+    """Label an HDF5 demo file.  Returns timing/throughput stats.
+
+    Single-host (``num_hosts=1``): writes the reward/rtg datasets in place,
+    stamped with the tokenizer identity.  Multi-host: each host labels a
+    contiguous whole-trajectory shard (:func:`shard_trajectory_range`) and
+    writes a sidecar ``.rshard{i}.npz`` next to the file (HDF5 has no safe
+    concurrent writers); :func:`merge_reward_shards` assembles them into the
+    main file afterwards.  This is the routed multi-host code path the
+    engine's single-process assert points at (reference ran its trainer
+    multi-process the same batch-split way, main_procgen.py:301-316).
+    """
     if engine is None:
         engine = ClipRewardEngine(
             batch_size=batch_size, resize_mode=resize_mode, use_crop=use_crop, variables=variables
         )
 
-    g = h5py.File(data_path, "a")
+    mode = "a" if num_hosts == 1 else "r"
+    g = h5py.File(data_path, mode)
     try:
         traj_idx, len_data, num_frames = get_traj_boundaries(g)
         num_frames = num_frames_override or num_frames
@@ -114,52 +154,137 @@ def label_rewards(
 
         stats = {"frames": 0, "seconds": 0.0}
         goal_conditioned = "goal_conditioned" in model_type
+        identity = "goal_conditioned" if goal_conditioned else engine.tokenizer_identity
 
+        traj_lo, traj_hi, row_lo, row_hi = shard_trajectory_range(
+            traj_idx, len_data, num_hosts, host_index
+        )
+        n_rows = row_hi - row_lo
+
+        shard_payload = {}
         for img_key in image_keys.split(", "):
             t0 = time.time()
-            rewards = np.zeros(len_data, np.float32)
+            rewards = np.zeros(n_rows, np.float32)
             if goal_conditioned:
                 # per-trajectory goals: the engine needs traj boundaries
-                for i in range(len(traj_idx) - 1):
+                for i in range(traj_lo, traj_hi):
                     traj = slice(traj_idx[i], min(traj_idx[i + 1], len_data))
                     frames = LastFrameWindow(g[img_key], traj.start, traj.stop)
-                    rewards[traj] = engine.goal_rewards(frames, goal_index=-1)
+                    rewards[traj.start - row_lo : traj.stop - row_lo] = engine.goal_rewards(
+                        frames, goal_index=-1
+                    )
             else:
-                # one streamed pass over every frame in the file; the lazy
-                # view keeps host memory O(batch), not O(file)
-                rewards[:] = engine.text_rewards(LastFrameWindow(g[img_key]), text)
+                # one streamed pass over this host's rows; the lazy view keeps
+                # host memory O(batch), not O(file)
+                rewards[:] = engine.text_rewards(
+                    LastFrameWindow(g[img_key], row_lo, row_hi), text
+                )
             elapsed = time.time() - t0
-            stats["frames"] += len_data
+            stats["frames"] += n_rows
             stats["seconds"] += elapsed
 
             # per-trajectory return-to-go + frame re-stacking (vectorized host)
-            reward_rows = np.zeros((len_data, num_frames), np.float32)
-            rtg_rows = np.zeros((len_data, num_frames), np.float32)
-            for i in range(len(traj_idx) - 1):
-                traj = slice(traj_idx[i], min(traj_idx[i + 1], len_data))
+            reward_rows = np.zeros((n_rows, num_frames), np.float32)
+            rtg_rows = np.zeros((n_rows, num_frames), np.float32)
+            for i in range(traj_lo, traj_hi):
+                traj = slice(traj_idx[i] - row_lo, min(traj_idx[i + 1], len_data) - row_lo)
                 r = rewards[traj]
                 reward_rows[traj] = stack_frames(r, num_frames)
                 rtg_rows[traj] = stack_frames(discount_cumsum(r, gamma), num_frames)
 
-            for suffix, data in zip(target_keys, (reward_rows, rtg_rows)):
-                key = f"{img_key}_{suffix}"
-                if g.get(key) is None:
-                    g.create_dataset(
-                        key,
-                        compression="gzip",
-                        chunks=(1, num_frames),
-                        maxshape=(len_data, num_frames),
-                        data=data,
-                    )
-                else:
-                    g[key][...] = data
+            if num_hosts == 1:
+                for suffix, data in zip(target_keys, (reward_rows, rtg_rows)):
+                    key = f"{img_key}_{suffix}"
+                    if g.get(key) is None:
+                        g.create_dataset(
+                            key,
+                            compression="gzip",
+                            chunks=(1, num_frames),
+                            maxshape=(len_data, num_frames),
+                            data=data,
+                        )
+                    else:
+                        g[key][...] = data
+                    g[key].attrs["tokenizer_identity"] = identity
+            else:
+                shard_payload[f"{img_key}__reward"] = reward_rows
+                shard_payload[f"{img_key}__rtg"] = rtg_rows
             if progress:
-                fps = len_data / max(elapsed, 1e-9)
-                print(f"[{img_key}] {len_data} frames in {elapsed:.2f}s = {fps:.1f} frames/s")
+                fps = n_rows / max(elapsed, 1e-9)
+                print(
+                    f"[{img_key}] host {host_index}/{num_hosts} rows "
+                    f"[{row_lo}:{row_hi}) in {elapsed:.2f}s = {fps:.1f} frames/s"
+                )
+
+        if num_hosts > 1:
+            np.savez_compressed(
+                _shard_path(data_path, target_keys[0], host_index),
+                row_lo=row_lo,
+                row_hi=row_hi,
+                len_data=len_data,
+                num_frames=num_frames,
+                num_hosts=num_hosts,
+                image_keys=image_keys,
+                target_keys=np.asarray(target_keys),
+                tokenizer_identity=identity,
+                **shard_payload,
+            )
         stats["fps"] = stats["frames"] / max(stats["seconds"], 1e-9)
+        stats["rows"] = (row_lo, row_hi)
         return stats
     finally:
         g.close()
+
+
+def merge_reward_shards(data_path: str, model_type: str = "clip",
+                        inst_type: str = "none", cleanup: bool = True) -> dict:
+    """Assemble multi-host ``.rshard{i}.npz`` sidecars into the HDF5 file.
+
+    Verifies the shards are disjoint and cover every row exactly once, then
+    writes the same datasets (and tokenizer-identity stamps) a single-host
+    run would have.  Run on one host after all labeling hosts finish.
+    """
+    target_keys = [f"{model_type}_reward", f"{model_type}_pos_rtg"]
+    if inst_type != "none":
+        target_keys = [f"{k}_{inst_type}" for k in target_keys]
+
+    first = np.load(_shard_path(data_path, target_keys[0], 0), allow_pickle=False)
+    num_hosts = int(first["num_hosts"])
+    len_data = int(first["len_data"])
+    num_frames = int(first["num_frames"])
+    image_keys = str(first["image_keys"])
+    identity = str(first["tokenizer_identity"])
+
+    shards = [first] + [
+        np.load(_shard_path(data_path, target_keys[0], h), allow_pickle=False)
+        for h in range(1, num_hosts)
+    ]
+    covered = np.zeros(len_data, bool)
+    for s in shards:
+        lo, hi = int(s["row_lo"]), int(s["row_hi"])
+        assert not covered[lo:hi].any(), f"overlapping shard rows [{lo}:{hi})"
+        covered[lo:hi] = True
+    assert covered.all(), f"shards cover {covered.sum()}/{len_data} rows"
+
+    with h5py.File(data_path, "a") as g:
+        for img_key in image_keys.split(", "):
+            for suffix, part in zip(target_keys, ("reward", "rtg")):
+                key = f"{img_key}_{suffix}"
+                data = np.zeros((len_data, num_frames), np.float32)
+                for s in shards:
+                    data[int(s["row_lo"]) : int(s["row_hi"])] = s[f"{img_key}__{part}"]
+                if g.get(key) is None:
+                    g.create_dataset(
+                        key, compression="gzip", chunks=(1, num_frames),
+                        maxshape=(len_data, num_frames), data=data,
+                    )
+                else:
+                    g[key][...] = data
+                g[key].attrs["tokenizer_identity"] = identity
+    if cleanup:
+        for h in range(num_hosts):
+            os.remove(_shard_path(data_path, target_keys[0], h))
+    return {"num_hosts": num_hosts, "rows": len_data}
 
 
 def default_data_path(args) -> str:
@@ -216,6 +341,16 @@ def main():
     parser.add_argument("--mesh_dp", type=int, default=0,
                         help="shard encode batches data-parallel over a mesh of this "
                              "many devices (-1 = all local devices; 0 = single device)")
+    parser.add_argument("--num_hosts", type=int, default=1,
+                        help="multi-host labeling: total hosts splitting this file "
+                             "(whole-trajectory contiguous shards; each host writes "
+                             "a .rshard{i}.npz sidecar — merge with --merge)")
+    parser.add_argument("--host_index", type=int, default=0,
+                        help="this host's shard index in [0, num_hosts)")
+    parser.add_argument("--merge", action="store_true",
+                        help="merge the .rshard{i}.npz sidecars written by a "
+                             "--num_hosts run into the HDF5 file and exit "
+                             "(run once, after every host finished)")
     args = parser.parse_args()
 
     env_name = args.env_name if args.env_type == "none" else f"{args.env_name}_{args.env_type}"
@@ -226,6 +361,11 @@ def main():
     print(f"[INFO] env_name: {env_name}\t instruction: {text}")
 
     data_path = args.data_path or default_data_path(args)
+
+    if args.merge:
+        stats = merge_reward_shards(data_path, model_type=args.model_type, inst_type=args.inst_type)
+        print(f"[DONE] merged {stats['num_hosts']} host shards covering {stats['rows']} rows")
+        return
 
     import jax.numpy as jnp
 
@@ -269,8 +409,12 @@ def main():
         engine=engine,
         use_crop=args.use_crop,
         inst_type=args.inst_type,
+        num_hosts=args.num_hosts,
+        host_index=args.host_index,
     )
     print(f"[DONE] {stats['frames']} frames @ {stats['fps']:.1f} frames/s")
+    if args.num_hosts > 1:
+        print(f"[INFO] shard rows {stats['rows']} written; run --merge after all hosts finish")
 
 
 if __name__ == "__main__":
