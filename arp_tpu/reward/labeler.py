@@ -154,7 +154,10 @@ def label_rewards(
 
         stats = {"frames": 0, "seconds": 0.0}
         goal_conditioned = "goal_conditioned" in model_type
-        identity = "goal_conditioned" if goal_conditioned else engine.tokenizer_identity
+        identity = (
+            "goal_conditioned" if goal_conditioned
+            else getattr(engine, "tokenizer_identity", "custom")
+        )
 
         traj_lo, traj_hi, row_lo, row_hi = shard_trajectory_range(
             traj_idx, len_data, num_hosts, host_index
