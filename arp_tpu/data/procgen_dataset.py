@@ -275,26 +275,42 @@ class ProcgenDataset:
         traj = self.idx_to_traj[index]
         traj_start = self.h5_file_traj_idx[traj]
         traj_end = self.h5_file_traj_idx[traj + 1]
+        # hindsight goals: uniform over the future of the same trajectory,
+        # drawn once per image key so the cached- and raw-frame branches see
+        # the SAME goal step (one per-index stream, identical across modes)
+        image_keys = self.config.image_key.split(", ")
+        goal_indices = {
+            key: min(int(rng.randint(index, traj_end)), self.h5_file["ob"].shape[0] - 1)
+            for key in image_keys
+        }
         if self.config.use_cached_embeddings:
             res["image_emb"] = {}
-            # per-timestep embedding window (frame-stack back-fill semantics:
-            # indices before the trajectory start clamp to it)
-            w = self.window_size
-            idx = np.clip(np.arange(index - w + 1, index + 1), traj_start, index)
-            for key in self.config.image_key.split(", "):
-                emb_key = f"{key}_{self.config.embedding_name}_emb"
+            res["goal_emb"] = {}
+
+            def emb_window(emb_key, center):
+                # per-timestep embedding window (frame-stack back-fill
+                # semantics: indices before the trajectory start clamp to it).
                 # h5py needs increasing unique indices for fancy reads; the
                 # clamped window repeats traj_start near episode starts, so
                 # read the contiguous [min, max] slice and gather from it —
                 # never materialize the whole dataset
+                w = self.window_size
+                idx = np.clip(np.arange(center - w + 1, center + 1), traj_start, center)
                 lo, hi = int(idx[0]), int(idx[-1])
                 block = self.h5_file[emb_key][lo : hi + 1]
-                res["image_emb"][key] = block[idx - lo].astype(np.float32)
-        for key in self.config.image_key.split(", "):
+                return block[idx - lo].astype(np.float32)
+
+            for key in image_keys:
+                emb_key = f"{key}_{self.config.embedding_name}_emb"
+                res["image_emb"][key] = emb_window(emb_key, index)
+                # hindsight-goal embeddings: row j of the cache IS the
+                # embedding of step j's frame, so the goal window is the same
+                # gather centered at the sampled goal step — no separate goal
+                # cache needed (GCBC *_cached support)
+                res["goal_emb"][key] = emb_window(emb_key, goal_indices[key])
+        for key in image_keys:
             res["image"][key] = self._read_frames(key, index)[-self.window_size :]
-            # hindsight goal: uniform over the future of the same trajectory
-            goal_index = int(rng.randint(index, traj_end))
-            goal_index = min(goal_index, self.h5_file["ob"].shape[0] - 1)
+            goal_index = goal_indices[key]
             res["goal"][key] = self._read_frames(key, goal_index)[-self.window_size :]
             if self.config.use_vl:
                 if self.config.use_task_reward:

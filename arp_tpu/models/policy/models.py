@@ -327,13 +327,13 @@ class BasePolicy(nn.Module):
         if transfer_type.endswith("_cached"):
             # precomputed frozen-encoder embeddings (data/cache_embeddings.py):
             # no encoder lives in the model; text conditioning still loads the
-            # CLIP text tower when use_text is set.
-            assert not self.use_goal, (
-                f"GCBC with {transfer_type}: cached embeddings carry no goal "
-                "frames, so goal conditioning would silently train as plain "
-                "BC — use the live encoder, or extend the cache with goal "
-                "embeddings first"
-            )
+            # CLIP text tower when use_text is set.  GCBC consumes per-step
+            # hindsight-goal embeddings from the same cache (batch
+            # ``goal_emb``) — NOTE this is separate-encode conditioning
+            # (obs emb ++ goal emb), not the live m3ae path's joint
+            # (obs, goal) encode, which cannot be cached per frame; same
+            # conditioning information, different function class (docs/
+            # ARCHITECTURE.md cached-embeddings section).
             assert not (cfg.use_text and not transfer_type.startswith("clip")), (
                 f"use_text with {transfer_type}: cached mode has no live text "
                 "tower for non-CLIP encoders — cache text embeddings or use "
@@ -493,6 +493,18 @@ class BasePolicy(nn.Module):
             if cfg.use_adapter:
                 img_emb = self._apply_adapter(img_emb)
             img_emb = concat_multiple_image_emb(img_emb)
+            if self.use_goal:
+                # separate-encode goal conditioning: the cached embedding at
+                # the sampled hindsight-goal step, concatenated per timestep
+                # (the joint live encode has no per-frame cache equivalent)
+                assert batch.get("goal_emb") is not None, (
+                    f"GCBC with {transfer_type} needs cached goal embeddings "
+                    "(dataset use_cached_embeddings emits goal_emb; re-run "
+                    "data/cache_embeddings.py if the cache predates them)"
+                )
+                gemb = jnp.asarray(list(batch["goal_emb"].values())).astype(jnp.float32)
+                goal_emb = concat_multiple_image_emb(gemb.reshape((-1, gemb.shape[-1])))
+                img_emb = jnp.concatenate([img_emb, goal_emb], axis=-1)
             # text conditioning in cached mode exists only when setup built
             # the CLIP text tower (use_text + clip_*_cached); BC/GCBC batches
             # always carry instruct ids, so gate on the config, not on `text`

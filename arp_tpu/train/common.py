@@ -110,6 +110,11 @@ def get_dummy_input(flags_obj, dataset):
                 k: jnp.ones((1, window, emb_dim), jnp.float32)
                 for k in dataset.obs_shape["image"]
             },
+            # cached GCBC conditions on goal embeddings (ignored otherwise)
+            "goal_emb": {
+                k: jnp.ones((1, window, emb_dim), jnp.float32)
+                for k in dataset.obs_shape["image"]
+            },
             "rtg": {k: jnp.ones((1, window, 1), jnp.float32) for k in dataset.obs_shape["rtg"]},
             "goal": None,
             "instruct": None,
@@ -229,9 +234,13 @@ def _host_batch_to_arrays(batch, use_text: bool, use_goal: bool = False):
         out["text_padding_mask"] = None
     if not use_goal:
         out["goal"] = None
+        out.pop("goal_emb", None)
     if "image_emb" in out:
         # cached-embedding training: raw frames never leave the host
         out["image"] = None
+        if use_goal:
+            # cached GCBC conditions on goal EMBEDDINGS; raw goal frames stay
+            out["goal"] = None
     return out
 
 
