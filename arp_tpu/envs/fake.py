@@ -38,6 +38,13 @@ class FakeProcgen:
         config.use_train_levels = False
         config.image_size = 64
         config.grid = 8
+        # hidden_goal: do not render the gold goal block.  The observation
+        # alone then carries no information about the target location — the
+        # goal-conditioned-methods split of scripts/stub_benchmark.py: a
+        # GCBC policy can read the target from its goal frame (the agent
+        # rendered AT the goal), a plain BC policy is blind.  Dynamics,
+        # terminal reward, and get_state/set_state are unchanged.
+        config.hidden_goal = False
         return update_config(config, updates)
 
     def __init__(self, game_name: str = "coinrun", update=None, image_resolution: str = "high"):
@@ -56,8 +63,9 @@ class FakeProcgen:
         size = self.config.image_size
         cell = size // self.config.grid
         img = np.full((size, size, 3), 30, np.uint8)
-        gy, gx = self._goal * cell
-        img[gy : gy + cell, gx : gx + cell] = (255, 215, 0)  # goal: gold
+        if not self.config.hidden_goal:
+            gy, gx = self._goal * cell
+            img[gy : gy + cell, gx : gx + cell] = (255, 215, 0)  # goal: gold
         ay, ax = self._agent * cell
         img[ay : ay + cell, ax : ax + cell] = (200, 30, 30)  # agent: red
         return img

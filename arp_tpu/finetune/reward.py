@@ -63,7 +63,7 @@ class ClipFtRewardEngine(ClipRewardEngine):
         adapter: ClipMultiscaleAdapter | None = None,
         fast_encode: bool = False,
         fast_int8: bool = False,
-        fast_score_bf16: bool = False,
+        fast_score_bf16: bool | None = None,
         clip_config: dict | None = None,
         mesh=None,
     ):
@@ -120,7 +120,10 @@ class ClipFtRewardEngine(ClipRewardEngine):
             from ..ops.preprocess import clip_preprocess as _pre
             heads = cfg["vision_features"] // 64
             patch = cfg["vision_patch_size"]
-            # bf16 softmax scores: see ClipRewardEngine (same trade)
+            # bf16 softmax scores: see ClipRewardEngine (same measured
+            # default: None -> bf16 on the packed paths, round-4 series)
+            if fast_score_bf16 is None:
+                fast_score_bf16 = True
             score_dtype = jnp.bfloat16 if fast_score_bf16 else jnp.float32
             n_layers_used = cfg["text_num_layers"]  # adapter quirk, see model
             self._fast = vit_infer.pack_vit_params(clip_variables, cfg["vision_num_layers"])

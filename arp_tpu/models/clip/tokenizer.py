@@ -200,3 +200,29 @@ def build_tokenizer(bpe_path: Optional[str] = None, truncate: bool = False):
     fn = functools.partial(tokenize, tokenizer=tok, context_length=MAX_TEXT_LENGTH, truncate=truncate)
     fn.tokenizer = tok
     return fn
+
+
+class Char97Tokenizer:
+    """Deterministic toy char-level tokenizer over a 97-id vocabulary.
+
+    Not a CLIP tokenizer: this backs tiny-CLIP engines (test fixtures, the
+    stub benchmark's trained reward model — scripts/stub_benchmark.py) where
+    the text tower is trained from scratch against these ids, so any stable
+    injective-enough mapping works.  Kept in production code because saved
+    engine specs (``ClipRewardEngine.save_npz``) reference it by tag.
+    """
+
+    identity = "char97"
+
+    def __init__(self):
+        # ClipRewardEngine.tokenizer_identity reads .tokenizer.identity
+        self.tokenizer = self
+
+    def __call__(self, texts, context_length: int = MAX_TEXT_LENGTH):
+        if isinstance(texts, str):
+            texts = [texts]
+        out = np.zeros((len(texts), context_length), np.int32)
+        for i, t in enumerate(texts):
+            ids = [90] + [1 + (ord(c) % 80) for c in t[: context_length - 47]] + [96]
+            out[i, : len(ids)] = ids
+        return out

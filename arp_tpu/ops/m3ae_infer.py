@@ -35,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utils import get_1d_sincos_pos_embed, get_2d_sincos_pos_embed
-from .vit_infer import _attention, _ln, _ln_quant, _quant_w, _unstack
+from .vit_infer import _attention, _ln, _ln_quant, _qmatmul, _quant_w, _unstack
 
 LN_EPS = 1e-6  # flax nn.LayerNorm default (models/layers.py uses it unchanged)
 
@@ -247,12 +247,20 @@ def m3ae_encode_int8(
     score_dtype=jnp.float32,
     return_intermediates: bool = False,
     unroll: bool = False,
+    fuse_quant: bool = False,
 ):
-    """int8 forward: static activation scales, quantization fused into the
-    LN / GELU epilogues (no bf16 LN or GELU output tensor is ever written).
+    """int8 forward with static activation scales.
 
     attention + residual stream stay bf16; LN statistics and matmul epilogues
     fp32.  Output fp32 tokens, same layout as :func:`m3ae_encode`.
+
+    ``fuse_quant=True`` folds the activation quantization into the LN / GELU
+    epilogues (explicit int8 tensors between matmuls) — the round-4
+    hypothesis recipe, MEASURED SLOWER than the default on the v5e CLIP
+    tower A/B (bench_encode_variants fast_int8_sm16[_nofuse]: 3,926 vs
+    4,140 fps at b=128): XLA already fuses the LN->quantize chain into the
+    int8 dot and schedules the plain body better.  Default False = LN ->
+    bf16 -> quantize-in-matmul (:func:`vit_infer._qmatmul`).
     """
     cd = jnp.bfloat16
     x, pad = _token_stream(packed=qpacked, patch=patch, text_ids=text_ids,
@@ -265,6 +273,17 @@ def m3ae_encode_int8(
         return acc.astype(jnp.float32) * (ws * (a_scale / 127.0)) + bias
 
     def layer(x, L):
+        if not fuse_quant:
+            y = _ln(x, L["ln1_s"], L["ln1_b"], cd, eps=LN_EPS)
+            qkv = _qmatmul(y, L["a_qkv"], L["wqkv_q"], L["wqkv_ws"], L["bqkv"]).astype(cd)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            a = _attention(q, k, v, num_heads, score_dtype, kv_padding=pad)
+            x = x + _qmatmul(a, L["a_attn_out"], L["wout_q"], L["wout_ws"], L["bout"]).astype(cd)
+            y = _ln(x, L["ln2_s"], L["ln2_b"], cd, eps=LN_EPS)
+            h = _qmatmul(y, L["a_fc"], L["wfc_q"], L["wfc_ws"], L["bfc"])
+            h = jax.nn.gelu(h, approximate=True).astype(cd)  # fp32 gelu, bf16 out
+            x = x + _qmatmul(h, L["a_proj"], L["wproj_q"], L["wproj_ws"], L["bproj"]).astype(cd)
+            return x, x
         q8 = _ln_quant(x, L["ln1_s"], L["ln1_b"], L["a_qkv"], eps=LN_EPS)
         qkv = qmat(q8, L["a_qkv"], L["wqkv_q"], L["wqkv_ws"], L["bqkv"]).astype(cd)
         q, k, v = jnp.split(qkv, 3, axis=-1)

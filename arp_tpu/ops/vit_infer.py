@@ -350,6 +350,7 @@ def vit_encode_int8(
     interpret: bool = False,
     score_dtype=jnp.float32,
     return_intermediates: bool = False,
+    fuse_quant: bool = False,
 ):
     """int8 forward (static activation scales); attention + LN stay bf16/f32.
 
@@ -373,6 +374,16 @@ def vit_encode_int8(
             out = out * jax.nn.sigmoid(jnp.bfloat16(1.702) * out)
         return out
 
+    def qmat8(q8, a_scale, wq, ws, bias):
+        # pre-quantized input variant of _qmatmul (fp32 epilogue)
+        acc = jnp.matmul(q8, wq, preferred_element_type=jnp.int32)
+        out = acc.astype(jnp.float32) * (ws * (a_scale / 127.0))
+        return out if bias is None else out + bias
+
+    def quant8(y, a_scale):
+        inv = 127.0 / jnp.maximum(a_scale, 1e-12)
+        return jnp.clip(jnp.round(y.astype(jnp.float32) * inv), -127, 127).astype(jnp.int8)
+
     x = site(patches, qpacked["a_conv1"], qpacked["conv1_q"], qpacked["conv1_ws"], None)
     b = x.shape[0]
     cls = jnp.broadcast_to(qpacked["cls"].astype(cd), (b, 1, x.shape[-1]))
@@ -381,14 +392,37 @@ def vit_encode_int8(
     x = _ln(x, qpacked["ln_pre_s"], qpacked["ln_pre_b"], cd)
 
     def layer(x, L):
-        y = _ln(x, L["ln1_s"], L["ln1_b"], cd)
-        qkv = site(y, L["a_qkv"], L["wqkv_q"], L["wqkv_ws"], L["bqkv"])
+        # fuse_quant=True folds the int8 activation quantization into the
+        # LN / gelu epilogues (explicit int8 tensors between matmuls, fp32
+        # epilogues).  Hypothesis from VERDICT r3 (fp32 LN/quant passes as
+        # the int8 ceiling) — MEASURED SLOWER than the default body on the
+        # v5e at every batch (b128: 3,926 vs 4,140 fps, bench_encode_variants
+        # fast_int8_sm16[_nofuse], round 4): XLA already fuses the LN->
+        # quantize chain into the int8 dot, and the hand-written int8
+        # round-trip blocks its better schedule.  Kept as an A/B knob; the
+        # default (False) is the winner: LN -> bf16 -> quantize-in-matmul.
+        # The pallas impl keeps its quantize-in-kernel structure either way.
+        if impl == "pallas" or not fuse_quant:
+            y = _ln(x, L["ln1_s"], L["ln1_b"], cd)
+            qkv = site(y, L["a_qkv"], L["wqkv_q"], L["wqkv_ws"], L["bqkv"])
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            a = _attention(q, k, v, num_heads, score_dtype)
+            x = x + site(a, L["a_attn_out"], L["wout_q"], L["wout_ws"], L["bout"])
+            y = _ln(x, L["ln2_s"], L["ln2_b"], cd)
+            h = site(y, L["a_fc"], L["wfc_q"], L["wfc_ws"], L["bfc"], act="quickgelu")
+            x = x + site(h, L["a_proj"], L["wproj_q"], L["wproj_ws"], L["bproj"])
+            return x, x[:, 0].astype(jnp.float32)
+        q8 = _ln_quant(x, L["ln1_s"], L["ln1_b"], L["a_qkv"])
+        qkv = qmat8(q8, L["a_qkv"], L["wqkv_q"], L["wqkv_ws"], L["bqkv"]).astype(cd)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         a = _attention(q, k, v, num_heads, score_dtype)
-        x = x + site(a, L["a_attn_out"], L["wout_q"], L["wout_ws"], L["bout"])
-        y = _ln(x, L["ln2_s"], L["ln2_b"], cd)
-        h = site(y, L["a_fc"], L["wfc_q"], L["wfc_ws"], L["bfc"], act="quickgelu")
-        x = x + site(h, L["a_proj"], L["wproj_q"], L["wproj_ws"], L["bproj"])
+        a8 = quant8(a, L["a_attn_out"])
+        x = x + qmat8(a8, L["a_attn_out"], L["wout_q"], L["wout_ws"], L["bout"]).astype(cd)
+        q8 = _ln_quant(x, L["ln2_s"], L["ln2_b"], L["a_fc"])
+        h = qmat8(q8, L["a_fc"], L["wfc_q"], L["wfc_ws"], L["bfc"])
+        h = h * jax.nn.sigmoid(1.702 * h)  # fp32 quickgelu epilogue
+        h8 = quant8(h, L["a_proj"])
+        x = x + qmat8(h8, L["a_proj"], L["wproj_q"], L["wproj_ws"], L["bproj"]).astype(cd)
         return x, x[:, 0].astype(jnp.float32)
 
     if unroll:

@@ -74,7 +74,7 @@ class ClipRewardEngine:
         quantize_weights=False,
         fast_encode: bool = False,
         fast_int8: bool = False,
-        fast_score_bf16: bool = False,
+        fast_score_bf16: Optional[bool] = None,
         score_bf16: bool = False,
         mesh=None,
     ):
@@ -201,11 +201,15 @@ class ClipRewardEngine:
             # standard path (int8 calibration runs on the bf16 pack)
             fast_dtype = jnp.bfloat16 if fast_int8 else compute_dtype
             # bf16 attention scores/softmax halve the (B, H, N, N) HBM
-            # traffic, but on the v5e XLA's fp32-softmax program measures
-            # FASTER (docs/BENCHMARKS.md stability table) — this is an
-            # opt-in knob for other TPU generations.  Calibration keeps
-            # fp32 softmax: the ~1e-3 attention-output drift sits inside
+            # traffic.  Round-4 interleaved stability series (docs/
+            # BENCHMARKS.md): bf16 scores win on BOTH packed paths on this
+            # v5e (int8 2,999 -> 3,192 fps; bf16 2,544 -> 2,720), reversing
+            # the round-3 call — so None (default) resolves to bf16; pass
+            # False for the fp32-softmax recipe.  Calibration keeps fp32
+            # softmax: the ~1e-3 attention-output drift sits inside
             # quantize_packed's 1.05 amax margin.
+            if fast_score_bf16 is None:
+                fast_score_bf16 = True  # round-4 measured default
             score_dtype = jnp.bfloat16 if fast_score_bf16 else jnp.float32
             self._fast = vit_infer.pack_vit_params(
                 variables, self.model.vision_num_layers, dtype=fast_dtype
@@ -315,6 +319,77 @@ class ClipRewardEngine:
                 return self._encode_fast_int8_jit(self._fast_q, chunk_dev, normalize)
             return self._encode_fast_jit(self._fast, chunk_dev, normalize)
         return self._encode_images_jit(self.variables, chunk_dev, normalize)
+
+    # -- engine spec (self-contained save/load) -------------------------------
+
+    # CLIP constructor fields a saved spec records (everything needed to
+    # rebuild the module; perf knobs like score_dtype stay engine kwargs)
+    _SPEC_FIELDS = (
+        "vocab_size", "embed_dim", "text_features", "text_num_layers",
+        "text_num_heads", "vision_features", "vision_num_layers",
+        "vision_patch_size",
+    )
+
+    def save_npz(self, path: str):
+        """Write a self-contained engine spec: CLIP config + variables +
+        tokenizer tag + image size, loadable with :meth:`from_npz`.
+
+        The use case is reward models whose weights are not the stock OpenAI
+        checkpoints — a trained tiny CLIP (stub benchmark), a from-scratch
+        or distilled tower — handed to the eval CLIs via ``--vl_checkpoint
+        foo.npz`` so online rtg rewards match the training labels.
+        """
+        import json
+
+        import flax
+
+        cfg = {k: getattr(self.model, k) for k in self._SPEC_FIELDS}
+        if isinstance(cfg["vision_num_layers"], (tuple, list)):
+            cfg["vision_num_layers"] = list(cfg["vision_num_layers"])
+        flat = {
+            "/".join(k): np.asarray(v)
+            for k, v in flax.traverse_util.flatten_dict(
+                jax.device_get(self.variables)).items()
+        }
+        meta = {
+            "clip_config": cfg,
+            "tokenizer": self.tokenizer_identity,
+            "image_size": self.image_size,
+        }
+        np.savez_compressed(path, __meta__=np.frombuffer(
+            json.dumps(meta).encode(), dtype=np.uint8), **flat)
+
+    @classmethod
+    def from_npz(cls, path: str, **engine_kwargs):
+        """Rebuild an engine from a :meth:`save_npz` spec.
+
+        ``engine_kwargs`` override runtime knobs (batch_size, resize_mode,
+        compute_dtype, ...); the model config, weights, tokenizer, and
+        image size come from the file.
+        """
+        import json
+
+        import flax
+
+        from ..models.clip.model import CLIP
+
+        with np.load(path) as z:
+            meta = json.loads(bytes(z["__meta__"]).decode())
+            flat = {tuple(k.split("/")): z[k] for k in z.files if k != "__meta__"}
+        variables = flax.traverse_util.unflatten_dict(flat)
+        cfg = meta["clip_config"]
+        if isinstance(cfg["vision_num_layers"], list):
+            cfg["vision_num_layers"] = tuple(cfg["vision_num_layers"])
+        tokenizer = None
+        if meta["tokenizer"] == "char97":
+            from ..models.clip.tokenizer import Char97Tokenizer
+
+            tokenizer = Char97Tokenizer()
+        # "bpe:<sha16>"/"fallback"/"custom": leave None -> the engine lazily
+        # builds the standard BPE tokenizer (same vocab given the merges file)
+        engine_kwargs.setdefault("image_size", meta["image_size"])
+        return cls(model=CLIP(**cfg), variables=variables,
+                   tokenizer=tokenizer, **engine_kwargs)
 
     # -- tokenization ---------------------------------------------------------
 

@@ -26,17 +26,10 @@ TINY_CLIP_CFG = dict(
 TINY_CLIP_IMG_SIZE = 32  # engines resize frames to this
 
 
-class TinyTokenizer:
-    """Deterministic toy tokenizer over the 97-id tiny vocabulary."""
-
-    def __call__(self, texts):
-        if isinstance(texts, str):
-            texts = [texts]
-        out = np.zeros((len(texts), 77), np.int32)
-        for i, t in enumerate(texts):
-            ids = [90] + [1 + (ord(c) % 80) for c in t[:30]] + [96]
-            out[i, : len(ids)] = ids
-        return out
+# Deterministic toy tokenizer over the 97-id tiny vocabulary.  The
+# implementation lives in production code (saved engine specs reference it
+# by tag — models/clip/tokenizer.py); this alias keeps the historical name.
+from .models.clip.tokenizer import Char97Tokenizer as TinyTokenizer  # noqa: E402
 
 
 def make_tiny_clip_engine(batch_size: int = 8, **engine_kwargs):

@@ -314,9 +314,13 @@ def build_test_step(flags_obj, model, train_dataset, eval_transform, use_text, m
         "num_levels": flags_obj.env_num_levels,
         "start_level": flags_obj.env_start_level,
     }
+    fake_conf = {
+        "episode_length": flags_obj.episode_length,
+        "hidden_goal": bool(getattr(flags_obj, "env_hidden_goal", False)),
+    }
     def _make_sequential_env():
         if flags_obj.eval_env == "fake":
-            return FakeProcgen(flags_obj.game_name, {"episode_length": flags_obj.episode_length})
+            return FakeProcgen(flags_obj.game_name, dict(fake_conf))
         from ..envs.procgen import Procgen
 
         return Procgen(flags_obj.game_name, env_conf)
@@ -352,6 +356,17 @@ def build_test_step(flags_obj, model, train_dataset, eval_transform, use_text, m
 
                 reward_engine = ClipFtRewardEngine(
                     load_adapter_params(vl_ckpt), batch_size=64, use_crop=False
+                )
+            elif vl_ckpt.endswith(".npz"):
+                # self-contained engine spec (ClipRewardEngine.save_npz):
+                # custom/trained reward towers — e.g. the stub benchmark's
+                # progress-trained tiny CLIP — so online rtg rewards at eval
+                # come from the same model that labeled the training data
+                from ..reward.engine import ClipRewardEngine
+
+                reward_engine = ClipRewardEngine.from_npz(
+                    vl_ckpt, batch_size=64, resize_mode="pil", use_crop=False,
+                    compute_dtype=jnp.bfloat16 if flags_obj.reward_bf16 else jnp.float32,
                 )
             else:
                 from ..reward.engine import ClipRewardEngine
@@ -417,10 +432,7 @@ def build_test_step(flags_obj, model, train_dataset, eval_transform, use_text, m
             # per-env frame buffers would only burn host RAM
             if flags_obj.eval_env == "fake":
                 return [
-                    FakeProcgen(
-                        flags_obj.game_name,
-                        {"episode_length": flags_obj.episode_length, "record_video": False},
-                    )
+                    FakeProcgen(flags_obj.game_name, dict(fake_conf, record_video=False))
                     for _ in range(k)
                 ]
             from ..envs.procgen import Procgen

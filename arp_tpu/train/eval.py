@@ -48,6 +48,7 @@ FLAGS_DEF = define_flags_with_default(
     env_distribution_mode="hard",
     env_num_levels=500,
     env_start_level=0,
+    env_hidden_goal=False,  # fake-env only (see train/main.py)
     reward_bf16=False,
     patch_dim=16,
     encode_image_size=0,

@@ -105,6 +105,9 @@ FLAGS_DEF = define_flags_with_default(
     env_distribution_mode="hard",
     env_num_levels=500,
     env_start_level=0,
+    # fake-env only: hide the goal block in observations (the stub
+    # benchmark's goal-conditioned split — scripts/stub_benchmark.py)
+    env_hidden_goal=False,
     reward_bf16=False,
     patch_dim=16,
     encode_image_size=0,

@@ -41,6 +41,12 @@ def main():
         "fast_int8": (lambda p, x: vit_encode_int8(p, x, heads), qpacked),
         "fast_int8_unroll": (lambda p, x: vit_encode_int8(p, x, heads, unroll=True), qpacked),
         "fast_int8_sm16": (lambda p, x: vit_encode_int8(p, x, heads, score_dtype=jnp.bfloat16), qpacked),
+        # fused-quant body (int8 quantization folded into LN/GELU epilogues):
+        # A/B for the fuse_quant knob — measured SLOWER than the default at
+        # every batch (b128: 3,926 vs 4,140 fps, round-4 series)
+        "fast_int8_sm16_fuse": (
+            lambda p, x: vit_encode_int8(p, x, heads, score_dtype=jnp.bfloat16, fuse_quant=True),
+            qpacked),
         "fast_int8_pallas": (lambda p, x: vit_encode_int8(p, x, heads, impl="pallas"), qpacked),
         "fast_int8_pallas_unroll": (
             lambda p, x: vit_encode_int8(p, x, heads, impl="pallas", unroll=True), qpacked),

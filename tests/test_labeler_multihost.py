@@ -100,9 +100,10 @@ def test_tokenizer_identity_stamped_single_host(tiny_engine, tmp_path):
     label_rewards(path, "collect the coin.", engine=tiny_engine, progress=False)
     with h5py.File(path, "r") as g:
         ident = g["ob_clip_reward"].attrs["tokenizer_identity"]
-    # the tiny test tokenizer has no identity metadata -> "custom"; a real
-    # engine stamps "bpe:<sha16>" or "fallback" (tokenizer.BPETokenizer)
-    assert ident == "custom"
+    # the tiny test tokenizer carries the "char97" identity; a real engine
+    # stamps "bpe:<sha16>" or "fallback" (tokenizer.BPETokenizer), and an
+    # injected tokenizer without identity metadata stamps "custom"
+    assert ident == "char97"
 
 
 def test_goal_conditioned_multihost(tiny_engine, tmp_path):
