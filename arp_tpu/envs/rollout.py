@@ -229,6 +229,12 @@ def batch_rollout(
     if eval_hdf5 is not None:
         eval_hdf5.close()
 
+    if num_episodes == 0:
+        # degrade like a skipped eval — same contract as the parallel driver
+        # (train/common.py parallel_test_step_fn's empty-wave fallback)
+        nan = np.float32("nan")
+        return {"return": nan, "episode_length": nan, "success_rate": nan}, info, videos
+
     metric = {
         "return": np.float32(sum(ep_returns) / num_episodes),
         "episode_length": np.float32(ep_lens / num_episodes),

@@ -1,0 +1,487 @@
+"""Method-ordering benchmark on the stub engine (VERDICT r3 #3).
+
+The reference's paper protocol (README.md:36-43, local_run_procgen.py:309-321)
+needs the real Procgen C++ engine + pretrained weights — neither exists in
+this environment.  What IS testable here is the method's core ordering claims,
+end to end through the real pipeline CLIs, with a reward model that actually
+correlates with progress:
+
+  * **reward split** (visible goal, mixed-quality demos): ARPDT — the
+    CLIP-reward-conditioned decision transformer — must beat BC.  The demo
+    mixture contains expert, anti-expert, and random episodes; greedy BC
+    imitates the (bimodal) mixture while ARPDT conditioned on a high target
+    return-to-go at eval decodes the expert mode.  The return signal comes
+    from a tiny CLIP *trained* (progress-regressed) on the demo frames — not
+    a random-init tower — then used by the real labeler and, at eval, by the
+    real online reward engine (``--vl_checkpoint <spec>.npz``).
+  * **goal split** (hidden goal): GCBC must beat BC.  ``FakeProcgen`` with
+    ``hidden_goal=True`` renders no goal block, so the observation alone
+    carries no target information; GCBC reads the target from its hindsight
+    goal frame (the expert rendered near the goal), plain BC is blind.
+
+All methods share the identical from-scratch tiny-m3ae policy architecture
+and training budget; only the conditioning differs (the reference's own
+design: ARPDT.py / BC.py / GCBC.py share the m3ae encoder).  Every stage runs
+the production code path: ``TrajectoryRecorder`` collection,
+``reward.labeler`` labeling, ``arp_tpu.train.main`` training,
+``arp_tpu.train.eval`` evaluation (100 episodes, lockstep-parallel waves,
+identical initial states restored from a shared goal-eval dataset).
+
+    python scripts/stub_benchmark.py --output ./stub_results --seeds 0,1,2
+    python scripts/stub_benchmark.py --smoke   # wiring check, minutes
+
+Stages re-run individually with --stage {collect,clip,label,train,eval,
+report}; each reads the previous stage's artifacts from --output.
+"""
+
+import argparse
+import ast
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
+
+GRID = 8
+IMG = 32
+EP_LEN = 24          # expert worst case is 2*(GRID-1) = 14 steps
+MAX_EP = 30          # recorder keep bound (failed episodes hit EP_LEN < this)
+
+# the two splits; game names only label datasets/instructions (same dynamics)
+SPLITS = {
+    "reward": dict(game="coinrun", hidden_goal=False,
+                   methods=("arpdt", "bc", "gcbc")),
+    "goal": dict(game="maze", hidden_goal=True, methods=("bc", "gcbc")),
+}
+
+FULL = dict(train_eps=150, val_eps=30, eval_eps=110, clip_steps=800,
+            clip_batch=128, epochs=15, batch_size=64, episodes=100,
+            parallel_envs=10)
+SMOKE = dict(train_eps=16, val_eps=6, eval_eps=6, clip_steps=80,
+             clip_batch=32, epochs=2, batch_size=8, episodes=4,
+             parallel_envs=2)
+
+
+def cpu_env():
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO_ROOT
+    env["JAX_PLATFORMS"] = "cpu"
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
+    return env
+
+
+# -- stage: collect ------------------------------------------------------------
+
+
+def make_policy(env, kind: str, rng, eps: float = 0.1):
+    """State-based acting policies (pixel experts can't see a hidden goal)."""
+
+    def act(_obs):
+        if kind == "random" or rng.random() < eps:
+            return int(rng.integers(0, 4))
+        s = env.get_state()
+        d = np.asarray(s["goal"]) - np.asarray(s["agent"])
+        if kind == "anti":
+            d = -d
+        if abs(d[1]) >= abs(d[0]) and d[1] != 0:
+            return 1 if d[1] > 0 else 0
+        if d[0] != 0:
+            return 3 if d[0] > 0 else 2
+        return int(rng.integers(0, 4))
+
+    return act
+
+
+def manhattan_progress(state):
+    s = np.asarray(state["agent"]), np.asarray(state["goal"])
+    dist = float(np.abs(s[0] - s[1]).sum())
+    return 1.0 - dist / (2.0 * (GRID - 1))
+
+
+def collect_file(path, game, hidden_goal, schedule, seed0, success_filter,
+                 progress_path=None):
+    """Collect ``schedule`` (list of (kind, eps)) episodes into one HDF5 via
+    the production TrajectoryRecorder; optionally save per-row progress."""
+    from arp_tpu.collect.recorder import TrajectoryRecorder
+    from arp_tpu.envs.fake import FakeProcgen
+
+    env = FakeProcgen(game, {"episode_length": EP_LEN, "image_size": IMG,
+                             "grid": GRID, "hidden_goal": hidden_goal,
+                             "record_video": False})
+    rec = TrajectoryRecorder(path, game_name=game, num_frames=8,
+                             max_episode_length=MAX_EP)
+    rng = np.random.default_rng(seed0)
+    progress_rows, kinds = [], []
+    attempt = 0
+    for kind, eps in schedule:
+        while True:  # with success_filter, retry until one episode is kept
+            obs = env.reset(seed0 + attempt)
+            attempt += 1
+            policy = make_policy(env, kind, rng, eps)
+            rec.begin_episode(obs, env.get_state())
+            ep_progress = [manhattan_progress(env.get_state())]
+            done = False
+            while not done:
+                a = policy(obs)
+                obs, r, done, _ = env.step(a)
+                rec.record_step(obs, a, r, done, env.get_state())
+                ep_progress.append(manhattan_progress(env.get_state()))
+            if rec.end_episode(success_filter=success_filter):
+                # recorder keeps frames[:T] (T actions) -> first T entries
+                progress_rows.extend(ep_progress[: len(ep_progress) - 1])
+                kinds.append(kind)
+                break
+            # only a success filter can reject here (T is always < MAX_EP);
+            # retry the slot with the next seed
+    if progress_path is not None:
+        np.savez(progress_path, progress=np.asarray(progress_rows, np.float32))
+    return rec.num_recorded, kinds
+
+
+def dataset_dir(root, game, n):
+    from arp_tpu.data.procgen_dataset import dataset_dirname
+
+    return os.path.join(root, dataset_dirname(
+        game, num_demonstrations=n, num_frames=8, env_type="none"))
+
+
+def stage_collect(out, cfg):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    n_tr, n_val, n_ev = cfg["train_eps"], cfg["val_eps"], cfg["eval_eps"]
+
+    def mixture(n):
+        # 40% expert / 40% anti-expert / 20% random: no single behavior mode
+        # holds a plurality at a state, so greedy BC can't recover the expert
+        # from counts alone — the return signal must disambiguate (ARPDT).
+        n_e, n_a = int(n * 0.4), int(n * 0.4)
+        sched = ([("expert", 0.1)] * n_e + [("anti", 0.1)] * n_a
+                 + [("random", 0.0)] * (n - n_e - n_a))
+        return sched
+
+    for split, sc in SPLITS.items():
+        root = os.path.join(out, f"demos_{split}")
+        ddir = dataset_dir(root, sc["game"], n_tr)
+        os.makedirs(ddir, exist_ok=True)
+        expert_only = split == "goal"
+        for part, n, seed in (("train", n_tr, 0), ("val", n_val, 50_000)):
+            sched = [("expert", 0.1)] * n if expert_only else mixture(n)
+            kept, _ = collect_file(
+                os.path.join(ddir, f"data_{part}.hdf5"), sc["game"],
+                sc["hidden_goal"], sched, seed, success_filter=expert_only,
+                progress_path=os.path.join(ddir, f"progress_{part}.npz"),
+            )
+            print(f"[collect] {split}/{part}: {kept} episodes -> {ddir}")
+        # held-out goal-eval dataset: expert episodes, states saved; ALL
+        # methods eval from these initial states (set_state) for parity
+        edir = os.path.join(out, f"eval_{split}")
+        os.makedirs(edir, exist_ok=True)
+        kept, _ = collect_file(
+            os.path.join(edir, "data_train.hdf5"), sc["game"],
+            sc["hidden_goal"], [("expert", 0.05)] * n_ev, 10_000,
+            success_filter=True)
+        print(f"[collect] {split}/eval-goals: {kept} episodes -> {edir}")
+
+
+# -- stage: clip (train the tiny reward model) ---------------------------------
+
+
+def train_tiny_clip(out, cfg, seed=0):
+    """Regress cosine(frame, instruction) onto progress-to-goal (and to 0 for
+    distractor texts) on the reward split's demo frames, through the exact
+    preprocessing the engine applies at labeling/eval time."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import h5py
+    import jax.numpy as jnp
+    import optax
+
+    from arp_tpu.data.instructions import get_clip_instruct, get_clip_special_instruct
+    from arp_tpu.models.clip import CLIP
+    from arp_tpu.models.clip.tokenizer import Char97Tokenizer
+    from arp_tpu.ops.preprocess import clip_preprocess
+    from arp_tpu.reward.engine import ClipRewardEngine
+    from arp_tpu.testing import TINY_CLIP_CFG
+
+    game = SPLITS["reward"]["game"]
+    ddir = dataset_dir(os.path.join(out, "demos_reward"), game, cfg["train_eps"])
+
+    def load(part):
+        with h5py.File(os.path.join(ddir, f"data_{part}.hdf5"), "r") as f:
+            frames = f["ob"][:, -1]  # row t's last stacked frame = obs_t
+        prog = np.load(os.path.join(ddir, f"progress_{part}.npz"))["progress"]
+        assert len(frames) == len(prog), (len(frames), len(prog))
+        return frames, prog
+
+    frames, prog = load("train")
+    vframes, vprog = load("val")
+
+    tok = Char97Tokenizer()
+    texts = [get_clip_instruct(game),
+             get_clip_special_instruct(game, "misinfo"),
+             get_clip_special_instruct(game, "random1"),
+             "the agent wanders without reaching the coin."]
+    ids = jnp.asarray(tok(texts))
+
+    model = CLIP(**TINY_CLIP_CFG)
+    rng = jax.random.PRNGKey(seed)
+    variables = model.init(rng, jnp.zeros((1, IMG, IMG, 3), jnp.float32), ids[:1])
+    tx = optax.adam(3e-3)
+    opt_state = tx.init(variables)
+
+    @jax.jit
+    def step(variables, opt_state, batch_frames, batch_prog):
+        def loss_fn(v):
+            x = clip_preprocess(batch_frames, image_size=IMG)
+            img_f, txt_f = model.apply(v, x, ids)
+            cos = img_f @ txt_f.T  # (B, n_texts)
+            target = jnp.concatenate(
+                [batch_prog[:, None], jnp.zeros((batch_prog.shape[0], len(texts) - 1))], 1)
+            w = jnp.asarray([1.0] + [1.0 / (len(texts) - 1)] * (len(texts) - 1))
+            return jnp.mean(w * (cos - target) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(variables)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(variables, updates), opt_state, loss
+
+    drng = np.random.default_rng(seed)
+    loss = None
+    for i in range(cfg["clip_steps"]):
+        sel = drng.integers(0, len(frames), size=cfg["clip_batch"])
+        variables, opt_state, loss = step(
+            variables, opt_state, jnp.asarray(frames[sel]), jnp.asarray(prog[sel]))
+        if i % 100 == 0:
+            print(f"[clip] step {i}: loss {float(loss):.4f}")
+
+    # reward magnitude: the stock OpenAI towers ship exp(logit_scale)=100;
+    # matching it keeps the labeled rtg range inside the dataset's
+    # coinrun `max // 100 * 100` convention (data/procgen_dataset.py)
+    variables = jax.device_get(variables)
+    variables["params"]["logit_scale"] = np.float32(np.log(100.0))
+
+    engine = ClipRewardEngine(model=model, variables=variables, batch_size=256,
+                              image_size=IMG, tokenizer=tok)
+    spec = os.path.join(out, "reward_clip.npz")
+    engine.save_npz(spec)
+
+    # held-out correlation: the whole point of *training* the reward model
+    r = engine.text_rewards(vframes, texts[0])
+    corr = float(np.corrcoef(r, vprog)[0, 1])
+    r_neg = engine.text_rewards(vframes, texts[1])
+    stats = {"val_pearson_progress": corr,
+             "val_reward_mean_pos": float(r.mean()),
+             "val_reward_mean_distractor": float(r_neg.mean()),
+             "final_loss": float(loss)}
+    print(f"[clip] held-out pearson(reward, progress) = {corr:.3f}; {stats}")
+    with open(os.path.join(out, "clip_stats.json"), "w") as f:
+        json.dump(stats, f, indent=1)
+    return spec, stats
+
+
+# -- stage: label ---------------------------------------------------------------
+
+
+def stage_label(out, cfg):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from arp_tpu.data.instructions import get_clip_instruct
+    from arp_tpu.reward.engine import ClipRewardEngine
+    from arp_tpu.reward.labeler import label_rewards
+
+    engine = ClipRewardEngine.from_npz(os.path.join(out, "reward_clip.npz"),
+                                       batch_size=256)
+    for split, sc in SPLITS.items():
+        ddir = dataset_dir(os.path.join(out, f"demos_{split}"), sc["game"],
+                           cfg["train_eps"])
+        for part in ("train", "val"):
+            label_rewards(os.path.join(ddir, f"data_{part}.hdf5"),
+                          get_clip_instruct(sc["game"]), engine=engine,
+                          progress=False)
+        print(f"[label] {split}: train+val labeled ({sc['game']})")
+
+
+# -- stages: train / eval --------------------------------------------------------
+
+
+def method_flags(method, spec):
+    if method == "arpdt":
+        return ["--use_vl=True", "--vl_type=clip", "--data.use_vl=True",
+                "--data.vl_type=clip", f"--vl_checkpoint={spec}"]
+    if method == "gcbc":
+        return ["--use_vl=False", "--vl_type=GCBC", "--data.use_vl=False"]
+    return ["--use_vl=False", "--vl_type=clip", "--data.use_vl=False"]
+
+
+def common_flags(split, cfg, out, seed):
+    sc = SPLITS[split]
+    data_root = os.path.join(out, f"demos_{split}")
+    return [
+        f"--seed={seed}",
+        f"--game_name={sc['game']}", "--window_size=4", "--use_crop=False",
+        f"--episode_length={EP_LEN}", "--eval_env=fake",
+        f"--env_hidden_goal={sc['hidden_goal']}",
+        # identical from-scratch tiny-m3ae policy for every method
+        "--model.model_type=vit_debug", "--model.transfer_type=m3ae_vit_b16",
+        "--model.use_from_scratch=True",
+        "--model.m3ae.model_type=custom", "--model.m3ae.emb_dim=32",
+        "--model.m3ae.dec_emb_dim=16", "--model.m3ae.depth=2",
+        "--model.m3ae.dec_depth=1", "--model.m3ae.num_heads=4",
+        "--model.m3ae.dec_num_heads=4", "--model.m3ae.mlp_ratio=2",
+        "--model.emb_dim=32", "--model.depth=2", "--model.num_heads=4",
+        "--model.mlp_ratio=2", "--model.num_ensembles=2",
+        f"--data.path={data_root}", f"--data.image_size={IMG}",
+        "--data.num_frames=8", "--data.window_size=4",
+        f"--data.num_demonstrations={cfg['train_eps']}",
+    ]
+
+
+def run(cmd, env, log_path):
+    with open(log_path, "w") as log:
+        proc = subprocess.run(cmd, env=env, stdout=log,
+                              stderr=subprocess.STDOUT, text=True)
+    if proc.returncode != 0:
+        tail = open(log_path).read()[-4000:]
+        raise RuntimeError(f"failed (rc={proc.returncode}): {' '.join(cmd)}\n{tail}")
+
+
+def stage_train(out, cfg, seeds):
+    env = cpu_env()
+    spec = os.path.abspath(os.path.join(out, "reward_clip.npz"))
+    for split, sc in SPLITS.items():
+        for method in sc["methods"]:
+            for seed in seeds:
+                ckpt = os.path.join(out, f"ckpt_{split}_{method}_s{seed}")
+                cmd = [sys.executable, "-m", "arp_tpu.train.main",
+                       f"--epochs={cfg['epochs']}", "--warmup_epochs=0",
+                       f"--batch_size={cfg['batch_size']}", "--lr=1e-3",
+                       "--dataloader_n_workers=0", "--val_every_epochs=0",
+                       f"--test_every_epochs={cfg['epochs']}",
+                       "--num_test_episodes=0",
+                       f"--checkpoint_dir={ckpt}",
+                       f"--logging.output_dir={os.path.join(out, 'logs')}",
+                       ] + common_flags(split, cfg, out, seed) \
+                         + method_flags(method, spec)
+                print(f"[train] {split}/{method} seed={seed}", flush=True)
+                run(cmd, env, os.path.join(out, f"train_{split}_{method}_s{seed}.log"))
+
+
+def stage_eval(out, cfg, seeds):
+    env = cpu_env()
+    spec = os.path.abspath(os.path.join(out, "reward_clip.npz"))
+    results = {}
+    for split, sc in SPLITS.items():
+        eval_dir = os.path.abspath(os.path.join(out, f"eval_{split}"))
+        for method in sc["methods"]:
+            for seed in seeds:
+                ckpt = os.path.join(out, f"ckpt_{split}_{method}_s{seed}")
+                log = os.path.join(out, f"eval_{split}_{method}_s{seed}.log")
+                cmd = [sys.executable, "-m", "arp_tpu.train.eval",
+                       f"--checkpoint_dir={ckpt}",
+                       f"--num_test_episodes={cfg['episodes']}",
+                       f"--eval_parallel_envs={cfg['parallel_envs']}",
+                       # shared held-out initial states + goal frames: every
+                       # method restores the same episodes via set_state
+                       f"--eval_data_path={eval_dir}",
+                       "--eval_data_name=data_train.hdf5",
+                       f"--logging.output_dir={os.path.join(out, 'logs')}",
+                       ] + common_flags(split, cfg, out, seed) \
+                         + method_flags(method, spec)
+                print(f"[eval] {split}/{method} seed={seed}", flush=True)
+                run(cmd, env, log)
+                lines = [l for l in open(log).read().splitlines() if l.startswith("{")]
+                results[f"{split}/{method}/s{seed}"] = ast.literal_eval(lines[-1])
+    with open(os.path.join(out, "eval_raw.json"), "w") as f:
+        json.dump(results, f, indent=1)
+    return results
+
+
+# -- stage: report ---------------------------------------------------------------
+
+
+def stage_report(out, seeds):
+    with open(os.path.join(out, "eval_raw.json")) as f:
+        raw = json.load(f)
+    clip_stats = {}
+    cs = os.path.join(out, "clip_stats.json")
+    if os.path.exists(cs):
+        clip_stats = json.load(open(cs))
+
+    table = {}
+    for split, sc in SPLITS.items():
+        table[split] = {}
+        for method in sc["methods"]:
+            sr = [raw[f"{split}/{method}/s{s}"]["success_rate"] for s in seeds]
+            ret = [raw[f"{split}/{method}/s{s}"]["return"] for s in seeds]
+            table[split][method] = {
+                "success_rate_mean": float(np.mean(sr)),
+                "success_rate_std": float(np.std(sr)),
+                "return_mean": float(np.mean(ret)),
+                "per_seed_success": [float(x) for x in sr],
+            }
+    ordering = {
+        "reward_split_arpdt_gt_bc": table.get("reward", {}).get("arpdt", {}).get(
+            "success_rate_mean", 0.0) > table.get("reward", {}).get("bc", {}).get(
+            "success_rate_mean", 1.0),
+        "goal_split_gcbc_gt_bc": table.get("goal", {}).get("gcbc", {}).get(
+            "success_rate_mean", 0.0) > table.get("goal", {}).get("bc", {}).get(
+            "success_rate_mean", 1.0),
+    }
+    results = {"table": table, "ordering": ordering, "clip": clip_stats,
+               "seeds": list(seeds), "config": {"grid": GRID, "image": IMG,
+                                                "episode_length": EP_LEN}}
+    with open(os.path.join(out, "results.json"), "w") as f:
+        json.dump(results, f, indent=1)
+
+    print("\n| Split | Method | Success rate | Return | Seeds |")
+    print("|---|---|---|---|---|")
+    for split, methods in table.items():
+        for m, r in methods.items():
+            print(f"| {split} | {m} | {r['success_rate_mean']:.3f} "
+                  f"± {r['success_rate_std']:.3f} | {r['return_mean']:.2f} | {len(seeds)} |")
+    print(f"\nordering checks: {ordering}")
+    print(f"results written to {os.path.join(out, 'results.json')}")
+    return results
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("--output", default="./stub_results")
+    p.add_argument("--seeds", default="0,1,2")
+    p.add_argument("--stage", default="all",
+                   choices=["all", "collect", "clip", "label", "train", "eval", "report"])
+    p.add_argument("--smoke", action="store_true")
+    args = p.parse_args()
+
+    cfg = SMOKE if args.smoke else FULL
+    seeds = [int(s) for s in args.seeds.split(",")]
+    if args.smoke:
+        seeds = seeds[:1]
+    out = os.path.abspath(args.output)
+    os.makedirs(out, exist_ok=True)
+
+    stages = ([args.stage] if args.stage != "all"
+              else ["collect", "clip", "label", "train", "eval", "report"])
+    for st in stages:
+        if st == "collect":
+            stage_collect(out, cfg)
+        elif st == "clip":
+            train_tiny_clip(out, cfg)
+        elif st == "label":
+            stage_label(out, cfg)
+        elif st == "train":
+            stage_train(out, cfg, seeds)
+        elif st == "eval":
+            stage_eval(out, cfg, seeds)
+        elif st == "report":
+            stage_report(out, seeds)
+
+
+if __name__ == "__main__":
+    main()
