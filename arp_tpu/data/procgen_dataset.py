@@ -34,7 +34,12 @@ def build_instruction_tokenizer(use_bert: bool = True, max_length: int = 77, voc
     """
     if use_bert:
         tokenizer = None
-        vocab_path = vocab_path or os.environ.get("ARP_TPU_BERT_VOCAB")
+        # explicit arg -> ARP_TPU_BERT_VOCAB -> vendored arp_tpu/assets/ ->
+        # download cache (populate via download.fetch_asset("bert_vocab"))
+        from ..models.clip.download import resolve_asset
+
+        vocab_path = resolve_asset("bert_vocab", explicit=vocab_path,
+                                   env_var="ARP_TPU_BERT_VOCAB")
         if vocab_path and os.path.exists(vocab_path):
             from transformers import BertTokenizer
 

@@ -32,6 +32,96 @@ CHECKPOINT_URLS = {
 CHECKPOINT_URLS["vit_b32_clip4clip"] = CHECKPOINT_URLS["vit_b32"]
 CHECKPOINT_URLS["vit_b16_clip4clip"] = CHECKPOINT_URLS["vit_b16"]
 
+# Small redistributable tokenizer assets.  Exact CLIP text ids need the BPE
+# merges file (reference auto-downloads it, openai/tokenizer.py:43-64); m3ae
+# instruction ids need the BERT wordpiece vocab (data_procgen.py:208-249).
+# Resolution order everywhere: explicit path -> env var -> arp_tpu/assets/
+# (vendor point) -> ~/.cache/arp_tpu -> opt-in download -> loud fallback.
+ASSET_URLS = {
+    "clip_bpe": (
+        "bpe_simple_vocab_16e6.txt.gz",
+        "https://github.com/openai/CLIP/raw/main/clip/bpe_simple_vocab_16e6.txt.gz",
+    ),
+    "bert_vocab": (
+        "bert_base_uncased_vocab.txt",
+        "https://huggingface.co/bert-base-uncased/resolve/main/vocab.txt",
+    ),
+}
+
+# Directory users (or packagers) drop the assets into to make exact ids the
+# zero-config default; see arp_tpu/assets/README.md.
+ASSETS_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), "assets")
+
+
+def resolve_asset(name: str, explicit: Optional[str] = None,
+                  env_var: Optional[str] = None) -> Optional[str]:
+    """Local path for a tokenizer asset, or None if absent everywhere.
+
+    Never touches the network; ``fetch_asset`` is the explicit opt-in for
+    that.  Checked in order: explicit arg, env var, the vendored
+    ``arp_tpu/assets/`` dir, the download cache.
+    """
+    filename, _url = ASSET_URLS[name]
+    candidates = [explicit]
+    if env_var:
+        candidates.append(os.environ.get(env_var))
+    candidates.append(os.path.join(ASSETS_DIR, filename))
+    cache = os.environ.get("ARP_TPU_CHECKPOINT_DIR", os.path.expanduser("~/.cache/arp_tpu"))
+    candidates.append(os.path.join(cache, filename))
+    for c in candidates:
+        if c and os.path.exists(c):
+            return c
+    return None
+
+
+def fetch_asset(
+    name: str,
+    download_dir: Optional[str] = None,
+    allow_download: Optional[bool] = None,
+    expected_sha256: Optional[str] = None,
+    _urlopen=urllib.request.urlopen,
+) -> str:
+    """Download a tokenizer asset into the cache (explicit opt-in only).
+
+    Unlike the model checkpoints, these URLs embed no digest; pass
+    ``expected_sha256`` to pin one (recommended for production) — without a
+    pin the download is trust-on-first-use and the sha256 is logged so the
+    caller can record it.
+    """
+    filename, url = ASSET_URLS[name]
+    download_dir = download_dir or os.environ.get(
+        "ARP_TPU_CHECKPOINT_DIR", os.path.expanduser("~/.cache/arp_tpu")
+    )
+    target = os.path.join(download_dir, filename)
+    if os.path.isfile(target):
+        if expected_sha256 and sha256_of(target) != expected_sha256:
+            raise RuntimeError(
+                f"cached asset {target} has sha256 {sha256_of(target)}, "
+                f"expected {expected_sha256}; delete it and retry")
+        return target
+    if not downloads_allowed(allow_download):
+        raise PermissionError(
+            f"asset {name} not found (looked in arp_tpu/assets/ and {download_dir}) "
+            "and downloads are disabled (egress-free default). Place the file "
+            f"manually or set ARP_TPU_ALLOW_DOWNLOAD=1 to fetch {url}.")
+    os.makedirs(download_dir, exist_ok=True)
+    fd, tmp_path = tempfile.mkstemp(dir=download_dir, suffix=".part")
+    try:
+        digest = hashlib.sha256()
+        with os.fdopen(fd, "wb") as out, _urlopen(url) as resp:
+            while chunk := resp.read(1 << 20):
+                out.write(chunk)
+                digest.update(chunk)
+        if expected_sha256 and digest.hexdigest() != expected_sha256:
+            raise RuntimeError(
+                f"downloaded {url} has sha256 {digest.hexdigest()}, expected {expected_sha256}")
+        os.replace(tmp_path, target)
+    finally:
+        if os.path.exists(tmp_path):
+            os.unlink(tmp_path)
+    return target
+
 
 def expected_sha256(model_name: str) -> str:
     url = CHECKPOINT_URLS[model_name]

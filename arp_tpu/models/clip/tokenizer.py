@@ -194,8 +194,17 @@ def tokenize(
 
 
 def build_tokenizer(bpe_path: Optional[str] = None, truncate: bool = False):
-    """Returns a tokenize fn: texts -> (n, 77) int32 ids."""
-    bpe_path = bpe_path or os.environ.get("ARP_TPU_BPE_PATH")
+    """Returns a tokenize fn: texts -> (n, 77) int32 ids.
+
+    Merges-file resolution (first hit wins): explicit ``bpe_path``,
+    ``ARP_TPU_BPE_PATH``, the vendored ``arp_tpu/assets/`` dir, the
+    ``~/.cache/arp_tpu`` download cache (populate with
+    ``download.fetch_asset("clip_bpe")`` where egress exists).  Exact OpenAI
+    ids whenever any source is present; loud fallback vocab otherwise.
+    """
+    from .download import resolve_asset
+
+    bpe_path = resolve_asset("clip_bpe", explicit=bpe_path, env_var="ARP_TPU_BPE_PATH")
     tok = BPETokenizer(bpe_path)
     fn = functools.partial(tokenize, tokenizer=tok, context_length=MAX_TEXT_LENGTH, truncate=truncate)
     fn.tokenizer = tok
