@@ -268,6 +268,19 @@ class BasePolicy(nn.Module):
     def setup(self):
         self.config = self.get_default_config(self.config_updates)
         cfg = self.config
+        if self.use_goal and not (
+            cfg.transfer_type.startswith("m3ae") or cfg.transfer_type.endswith("_cached")
+        ):
+            import warnings
+
+            warnings.warn(
+                f"GCBC with transfer_type={cfg.transfer_type!r} does NOT "
+                "consume the goal frame (reference parity: GCBC.py's none/"
+                "clip branches ignore batch['goal']; only the m3ae joint "
+                "encode and the cached-embedding path condition on goals) — "
+                "this configuration trains as plain BC.",
+                stacklevel=2,
+            )
         # frozen_bf16 threads the measured score/softmax dtype into the frozen
         # CLIP tower too (the m3ae/mae towers get it via their sub-configs in
         # get_policy_default_config); CLIP's attention carries its own

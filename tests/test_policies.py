@@ -298,3 +298,29 @@ def test_memory_knob_propagation():
     # defaults stay untouched
     base = ARPDT.get_default_config({})
     assert not base.m3ae.remat and base.m3ae.compute_dtype == "float32"
+
+
+def test_gcbc_goal_blind_transfer_warns():
+    """GCBC with a transfer type whose encoder branch ignores the goal frame
+    (reference parity: GCBC.py's none/clip branches) must warn loudly that it
+    trains as plain BC; the goal-consuming m3ae path must not warn."""
+    import warnings
+
+    rng = np.random.default_rng(11)
+    batch = make_batch(rng)
+
+    model = GCBC(config_updates=base_config(), num_actions=15, patch_dim=PATCH)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        _init_and_forward(model, batch)
+    assert any("trains as plain BC" in str(w.message) for w in caught)
+
+    m3ae_cfg = {"model_type": None, "emb_dim": 32, "dec_emb_dim": 16, "depth": 2,
+                "dec_depth": 1, "num_heads": 4, "dec_num_heads": 4, "mlp_ratio": 2}
+    cfg = base_config(transfer_type="m3ae_vit_b16", use_from_scratch=True)
+    cfg["m3ae"] = m3ae_cfg
+    model = GCBC(config_updates=cfg, num_actions=15, patch_dim=PATCH)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        _init_and_forward(model, batch)
+    assert not any("trains as plain BC" in str(w.message) for w in caught)
