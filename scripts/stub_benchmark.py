@@ -58,12 +58,34 @@ SPLITS = {
     "goal": dict(game="maze", hidden_goal=True, methods=("bc", "gcbc")),
 }
 
-FULL = dict(train_eps=150, val_eps=30, eval_eps=110, clip_steps=800,
+FULL = dict(train_eps=150, val_eps=30, eval_eps=110, clip_steps=2500,
             clip_batch=128, epochs=15, batch_size=64, episodes=100,
             parallel_envs=10)
 SMOKE = dict(train_eps=16, val_eps=6, eval_eps=6, clip_steps=80,
              clip_batch=32, epochs=2, batch_size=8, episodes=4,
              parallel_envs=2)
+
+# Reward baseline: the regression target is (progress - BASE).  Without a
+# baseline, longer episodes out-accumulate shorter ones regardless of
+# quality (measured at target=progress: expert 323 vs anti-expert 1178
+# labeled return, inverting the signal return-conditioning needs); with it,
+# below-baseline wandering accumulates negative return, so episode length
+# punishes bad behavior instead of rewarding it.  Still linear/monotone in
+# progress — the easiest regression target (round-4 pilot: the peaked p^4
+# alternative fit notably worse, pearson 0.43 vs 0.62).  BASE must sit above
+# the uniform-start mean progress (E[p] = 0.625 on an 8x8 grid: E[manhattan]
+# = 5.25 of max 14), else random wandering still nets positive return
+# (measured at BASE=0.55: random +133 vs expert +107).
+REWARD_BASE = 0.7
+
+# Reward-model tower (engine specs are self-contained, so this is free to
+# differ from the test fixture's TINY_CLIP_CFG): the round-4 pilot measured
+# held-out pearson 0.46 for the 2-layer/64-feature fixture vs 0.62 for this
+# 3-layer/128-feature tower at equal steps.
+REWARD_CLIP_CFG = dict(
+    embed_dim=64, vocab_size=97, vision_num_layers=3, vision_features=128,
+    vision_patch_size=8, text_features=64, text_num_heads=4, text_num_layers=2,
+)
 
 
 def cpu_env():
@@ -138,7 +160,8 @@ def collect_file(path, game, hidden_goal, schedule, seed0, success_filter,
             # only a success filter can reject here (T is always < MAX_EP);
             # retry the slot with the next seed
     if progress_path is not None:
-        np.savez(progress_path, progress=np.asarray(progress_rows, np.float32))
+        np.savez(progress_path, progress=np.asarray(progress_rows, np.float32),
+                 kinds=np.asarray(kinds))
     return rec.num_recorded, kinds
 
 
@@ -207,7 +230,6 @@ def train_tiny_clip(out, cfg, seed=0):
     from arp_tpu.models.clip.tokenizer import Char97Tokenizer
     from arp_tpu.ops.preprocess import clip_preprocess
     from arp_tpu.reward.engine import ClipRewardEngine
-    from arp_tpu.testing import TINY_CLIP_CFG
 
     game = SPLITS["reward"]["game"]
     ddir = dataset_dir(os.path.join(out, "demos_reward"), game, cfg["train_eps"])
@@ -229,10 +251,10 @@ def train_tiny_clip(out, cfg, seed=0):
              "the agent wanders without reaching the coin."]
     ids = jnp.asarray(tok(texts))
 
-    model = CLIP(**TINY_CLIP_CFG)
+    model = CLIP(**REWARD_CLIP_CFG)
     rng = jax.random.PRNGKey(seed)
     variables = model.init(rng, jnp.zeros((1, IMG, IMG, 3), jnp.float32), ids[:1])
-    tx = optax.adam(3e-3)
+    tx = optax.adam(optax.cosine_decay_schedule(1e-3, cfg["clip_steps"]))
     opt_state = tx.init(variables)
 
     @jax.jit
@@ -242,7 +264,8 @@ def train_tiny_clip(out, cfg, seed=0):
             img_f, txt_f = model.apply(v, x, ids)
             cos = img_f @ txt_f.T  # (B, n_texts)
             target = jnp.concatenate(
-                [batch_prog[:, None], jnp.zeros((batch_prog.shape[0], len(texts) - 1))], 1)
+                [(batch_prog - REWARD_BASE)[:, None],
+                 jnp.zeros((batch_prog.shape[0], len(texts) - 1))], 1)
             w = jnp.asarray([1.0] + [1.0 / (len(texts) - 1)] * (len(texts) - 1))
             return jnp.mean(w * (cos - target) ** 2)
 
@@ -256,7 +279,7 @@ def train_tiny_clip(out, cfg, seed=0):
         sel = drng.integers(0, len(frames), size=cfg["clip_batch"])
         variables, opt_state, loss = step(
             variables, opt_state, jnp.asarray(frames[sel]), jnp.asarray(prog[sel]))
-        if i % 100 == 0:
+        if i % 250 == 0:
             print(f"[clip] step {i}: loss {float(loss):.4f}")
 
     # reward magnitude: the stock OpenAI towers ship exp(logit_scale)=100;
@@ -273,8 +296,11 @@ def train_tiny_clip(out, cfg, seed=0):
     # held-out correlation: the whole point of *training* the reward model
     r = engine.text_rewards(vframes, texts[0])
     corr = float(np.corrcoef(r, vprog)[0, 1])
+    corr_t = float(np.corrcoef(r, vprog - REWARD_BASE)[0, 1])
     r_neg = engine.text_rewards(vframes, texts[1])
     stats = {"val_pearson_progress": corr,
+             "val_pearson_target": corr_t,
+             "reward_base": REWARD_BASE,
              "val_reward_mean_pos": float(r.mean()),
              "val_reward_mean_distractor": float(r_neg.mean()),
              "final_loss": float(loss)}
@@ -305,6 +331,45 @@ def stage_label(out, cfg):
                           get_clip_instruct(sc["game"]), engine=engine,
                           progress=False)
         print(f"[label] {split}: train+val labeled ({sc['game']})")
+    sep = separation_report(out, cfg)
+    with open(os.path.join(out, "label_separation.json"), "w") as f:
+        json.dump(sep, f, indent=1)
+
+
+def separation_report(out, cfg):
+    """Per-demo-kind labeled-return statistics on the reward split — the
+    discrimination the return-conditioned method depends on.  Printed and
+    saved so a failed ordering is attributable (reward model vs policy)."""
+    import h5py
+
+    game = SPLITS["reward"]["game"]
+    ddir = dataset_dir(os.path.join(out, "demos_reward"), game, cfg["train_eps"])
+    with h5py.File(os.path.join(ddir, "data_train.hdf5"), "r") as f:
+        done = f["done"][:, -1]
+        r = f["ob_clip_reward"][:, -1]
+    kinds = np.load(os.path.join(ddir, "progress_train.npz"),
+                    allow_pickle=True)["kinds"]
+    bounds = np.concatenate([[0], np.nonzero(done)[0] + 1])
+    rets = np.array([r[a:b].sum() for a, b in zip(bounds[:-1], bounds[1:])])
+    sep = {}
+    for k in dict.fromkeys(kinds.tolist()):
+        sel = kinds == k
+        sep[k] = {"n": int(sel.sum()), "return_mean": float(rets[sel].mean()),
+                  "return_std": float(rets[sel].std())}
+        print(f"[label] separation {k:7s}: return "
+              f"{sep[k]['return_mean']:8.1f} ± {sep[k]['return_std']:.1f} (n={sep[k]['n']})")
+    if {"expert", "anti"} <= sep.keys():
+        ok = sep["expert"]["return_mean"] > sep["anti"]["return_mean"]
+        sep["expert_gt_anti"] = bool(ok)
+        print(f"[label] expert > anti labeled return: {ok}")
+    # eval conditioning target for the return-conditioned method: an
+    # expert-level return (90th pct of expert episodes).  The dataset-max
+    # default would track whichever single episode the reward model scored
+    # noisiest, not expert behavior — the standard DT target-return
+    # hyperparameter, chosen from demo statistics.
+    sel = kinds == "expert"
+    sep["expert_return_p90"] = float(np.percentile(rets[sel], 90))
+    return sep
 
 
 # -- stages: train / eval --------------------------------------------------------
@@ -375,6 +440,10 @@ def stage_train(out, cfg, seeds):
 def stage_eval(out, cfg, seeds):
     env = cpu_env()
     spec = os.path.abspath(os.path.join(out, "reward_clip.npz"))
+    sep_path = os.path.join(out, "label_separation.json")
+    expert_rtg = None
+    if os.path.exists(sep_path):
+        expert_rtg = json.load(open(sep_path)).get("expert_return_p90")
     results = {}
     for split, sc in SPLITS.items():
         eval_dir = os.path.abspath(os.path.join(out, f"eval_{split}"))
@@ -393,6 +462,10 @@ def stage_eval(out, cfg, seeds):
                        f"--logging.output_dir={os.path.join(out, 'logs')}",
                        ] + common_flags(split, cfg, out, seed) \
                          + method_flags(method, spec)
+                if method == "arpdt" and expert_rtg is not None:
+                    # condition on an expert-level return (see
+                    # separation_report), not the noisy dataset max
+                    cmd.append(f"--return_to_go={expert_rtg}")
                 print(f"[eval] {split}/{method} seed={seed}", flush=True)
                 run(cmd, env, log)
                 lines = [l for l in open(log).read().splitlines() if l.startswith("{")]
