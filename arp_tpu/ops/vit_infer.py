@@ -140,6 +140,37 @@ def _attention(q, k, v, num_heads, score_dtype=jnp.float32, kv_padding=None):
     return out.reshape(b, n, d)
 
 
+def _attention_int8(q, k, v, num_heads, a_in, score_dtype=jnp.bfloat16):
+    """w8a8 attention: int8 QK^T and P@V with static scales (round-4 lever).
+
+    ``a_in`` is one calibrated amax covering q/k/v (they come out of the same
+    fused qkv matmul, site ``attn_in``).  Both attention matmuls run
+    int8xint8->int32 on the MXU (double rate) and, more importantly for this
+    bandwidth-bound program, the (B, H, N, N) probability tensor and the
+    q/k/v operands move through HBM at half/quarter width.  The probability
+    quantization scale is static by construction (softmax output is in
+    [0, 1], so scale = 1/127 exactly); only q/k/v need calibration.
+    Accuracy is bounded by the cosine tests (tests/test_vit_infer.py) and
+    the engine reward-MAE tests, same regime as the body matmuls.
+    """
+    b, n, d = q.shape
+    hd = d // num_heads
+    inv = 127.0 / jnp.maximum(a_in, 1e-12)
+
+    def q8(t):
+        t = jnp.clip(jnp.round(t.astype(jnp.float32) * inv), -127, 127)
+        return t.astype(jnp.int8).reshape(b, n, num_heads, hd)
+
+    qi, ki, vi = q8(q), q8(k), q8(v)
+    s = jnp.einsum("bqhd,bkhd->bhqk", qi, ki, preferred_element_type=jnp.int32)
+    s_scale = (a_in / 127.0) ** 2 * hd**-0.5
+    p = jax.nn.softmax((s.astype(jnp.float32) * s_scale).astype(score_dtype), axis=-1)
+    p8 = jnp.round(p.astype(jnp.float32) * 127.0).astype(jnp.int8)  # probs in [0, 1]
+    out = jnp.einsum("bhqk,bkhd->bqhd", p8, vi, preferred_element_type=jnp.int32)
+    out = out.astype(jnp.float32) * ((a_in / 127.0) / 127.0)
+    return out.reshape(b, n, d).astype(jnp.bfloat16)
+
+
 def _unstack(layers):
     n = int(jax.tree_util.tree_leaves(layers)[0].shape[0])  # static under jit
     return [jax.tree_util.tree_map(lambda a, _i=i: a[_i], layers) for i in range(n)]
@@ -219,6 +250,7 @@ def calibrate_vit(packed, patches, num_heads: int):
         y = _ln(x, L["ln1_s"], L["ln1_b"], cd)
         a_qkv = jnp.max(jnp.abs(y.astype(jnp.float32)))
         qkv = (y @ L["wqkv"].astype(cd)).astype(jnp.float32) + L["bqkv"]
+        a_attn_in = jnp.max(jnp.abs(qkv))  # q/k/v operand scale (int8_attn)
         q, k, v = jnp.split(qkv.astype(cd), 3, axis=-1)
         a = _attention(q, k, v, num_heads)
         a_out = jnp.max(jnp.abs(a.astype(jnp.float32)))
@@ -229,7 +261,8 @@ def calibrate_vit(packed, patches, num_heads: int):
         h = h * jax.nn.sigmoid(jnp.float32(1.702).astype(cd) * h)
         a_proj = jnp.max(jnp.abs(h.astype(jnp.float32)))
         x = x + ((h @ L["wproj"].astype(cd)).astype(jnp.float32) + L["bproj"]).astype(cd)
-        return x, {"qkv": a_qkv, "attn_out": a_out, "fc": a_fc, "proj": a_proj}
+        return x, {"qkv": a_qkv, "attn_in": a_attn_in, "attn_out": a_out,
+                   "fc": a_fc, "proj": a_proj}
 
     x, site_amax = jax.lax.scan(layer, x, packed["layers"])
     feat = _ln(x[:, 0], packed["ln_post_s"], packed["ln_post_b"], cd)
@@ -254,6 +287,8 @@ def quantize_packed(packed, amax, margin: float = 1.05) -> dict:
         layers[wname + "_ws"] = ws
         layers.pop(wname)
         layers["a_" + site] = jnp.asarray(amax["layers"][site], jnp.float32) * margin
+    if "attn_in" in amax["layers"]:  # absent in packs calibrated before round 4
+        layers["a_attn_in"] = jnp.asarray(amax["layers"]["attn_in"], jnp.float32) * margin
     qpack["layers"] = layers
     q, ws = _quant_w(packed["conv1"])
     qpack.update(conv1_q=q, conv1_ws=ws, a_conv1=jnp.asarray(amax["conv1"], jnp.float32) * margin)
@@ -351,16 +386,23 @@ def vit_encode_int8(
     score_dtype=jnp.float32,
     return_intermediates: bool = False,
     fuse_quant: bool = False,
+    int8_attn: bool = False,
 ):
     """int8 forward (static activation scales); attention + LN stay bf16/f32.
 
     ``impl="pallas"`` routes every int8 matmul through
     :func:`fused_int8_matmul` (quantize + int8 MXU dot + scale/bias/gelu
     epilogue in one kernel, weights VMEM-resident); ``"xla"`` uses plain
-    jnp ops and lets XLA schedule.
+    jnp ops and lets XLA schedule.  ``int8_attn=True`` additionally runs the
+    two attention matmuls w8a8 (:func:`_attention_int8`) — requires a pack
+    calibrated with the ``attn_in`` site.
     """
     cd = jnp.bfloat16
     L = qpacked["layers"]
+    if int8_attn and "a_attn_in" not in L:
+        raise ValueError(
+            "int8_attn needs the 'attn_in' calibration site — recalibrate "
+            "this pack with calibrate_vit (round-4+) before quantize_packed")
 
     def site(y, a, wq, ws, bias, act="none"):
         if impl == "pallas":
@@ -406,7 +448,10 @@ def vit_encode_int8(
             y = _ln(x, L["ln1_s"], L["ln1_b"], cd)
             qkv = site(y, L["a_qkv"], L["wqkv_q"], L["wqkv_ws"], L["bqkv"])
             q, k, v = jnp.split(qkv, 3, axis=-1)
-            a = _attention(q, k, v, num_heads, score_dtype)
+            if int8_attn:
+                a = _attention_int8(q, k, v, num_heads, L["a_attn_in"], score_dtype)
+            else:
+                a = _attention(q, k, v, num_heads, score_dtype)
             x = x + site(a, L["a_attn_out"], L["wout_q"], L["wout_ws"], L["bout"])
             y = _ln(x, L["ln2_s"], L["ln2_b"], cd)
             h = site(y, L["a_fc"], L["wfc_q"], L["wfc_ws"], L["bfc"], act="quickgelu")
@@ -415,7 +460,10 @@ def vit_encode_int8(
         q8 = _ln_quant(x, L["ln1_s"], L["ln1_b"], L["a_qkv"])
         qkv = qmat8(q8, L["a_qkv"], L["wqkv_q"], L["wqkv_ws"], L["bqkv"]).astype(cd)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        a = _attention(q, k, v, num_heads, score_dtype)
+        if int8_attn:
+            a = _attention_int8(q, k, v, num_heads, L["a_attn_in"], score_dtype)
+        else:
+            a = _attention(q, k, v, num_heads, score_dtype)
         a8 = quant8(a, L["a_attn_out"])
         x = x + qmat8(a8, L["a_attn_out"], L["wout_q"], L["wout_ws"], L["bout"]).astype(cd)
         q8 = _ln_quant(x, L["ln2_s"], L["ln2_b"], L["a_fc"])

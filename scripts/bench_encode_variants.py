@@ -41,6 +41,12 @@ def main():
         "fast_int8": (lambda p, x: vit_encode_int8(p, x, heads), qpacked),
         "fast_int8_unroll": (lambda p, x: vit_encode_int8(p, x, heads, unroll=True), qpacked),
         "fast_int8_sm16": (lambda p, x: vit_encode_int8(p, x, heads, score_dtype=jnp.bfloat16), qpacked),
+        # w8a8 attention I/O: int8 QK^T and P@V with static scales — the one
+        # untried lever from the round-4 roofline writeup (halves the
+        # (B,H,N,N) probability traffic and the q/k/v operand width)
+        "fast_int8_sm16_a8": (
+            lambda p, x: vit_encode_int8(p, x, heads, score_dtype=jnp.bfloat16, int8_attn=True),
+            qpacked),
         # fused-quant body (int8 quantization folded into LN/GELU epilogues):
         # A/B for the fuse_quant knob — measured SLOWER than the default at
         # every batch (b128: 3,926 vs 4,140 fps, round-4 series)

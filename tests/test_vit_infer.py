@@ -89,6 +89,41 @@ def test_int8_static_calibrated_close():
     assert c2 > 0.97, c2
 
 
+def test_int8_attention_calibrated_close():
+    """w8a8 attention (int8 QK^T / P@V, static scales) stays feature-close
+    to the oracle and to the bf16-attention int8 path it extends."""
+    model, variables, patches = _setup()
+    want = np.asarray(model.apply(variables, patches, normalize=False, method=model.encode_image))
+    packed = pack_vit_params(variables, N_LAYERS)
+    amax = jax.tree_util.tree_map(np.asarray, calibrate_vit(packed, patches, HEADS))
+    qpacked = quantize_packed(packed, amax)
+    got = vit_encode_int8(qpacked, patches, HEADS, score_dtype=jnp.bfloat16, int8_attn=True)
+    c = _cos(got, want)
+    assert c > 0.97, c
+    ref = vit_encode_int8(qpacked, patches, HEADS, score_dtype=jnp.bfloat16)
+    c_ref = _cos(got, ref)
+    assert c_ref > 0.98, c_ref
+    # calibration transfers to fresh inputs
+    rng = np.random.default_rng(2)
+    fresh = jnp.asarray(rng.normal(size=np.asarray(patches).shape).astype(np.float32))
+    want2 = np.asarray(model.apply(variables, fresh, normalize=False, method=model.encode_image))
+    c2 = _cos(vit_encode_int8(qpacked, fresh, HEADS, score_dtype=jnp.bfloat16, int8_attn=True), want2)
+    assert c2 > 0.96, c2
+
+
+def test_int8_attention_needs_round4_pack():
+    """Packs calibrated without the attn_in site refuse int8_attn loudly."""
+    import pytest
+
+    model, variables, patches = _setup()
+    packed = pack_vit_params(variables, N_LAYERS)
+    amax = jax.tree_util.tree_map(np.asarray, calibrate_vit(packed, patches, HEADS))
+    amax["layers"] = {k: v for k, v in amax["layers"].items() if k != "attn_in"}
+    qpacked = quantize_packed(packed, amax)
+    with pytest.raises(ValueError, match="attn_in"):
+        vit_encode_int8(qpacked, patches, HEADS, int8_attn=True)
+
+
 def test_engine_fast_paths_match_standard():
     """ClipRewardEngine(fast_encode=True) rewards match the standard path
     closely (bf16) and int8 stays within quantization tolerance."""
