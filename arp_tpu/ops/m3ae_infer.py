@@ -35,7 +35,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utils import get_1d_sincos_pos_embed, get_2d_sincos_pos_embed
-from .vit_infer import _attention, _ln, _ln_quant, _qmatmul, _quant_w, _unstack
+from .vit_infer import (
+    _attention,
+    _attention_int8,
+    _ln,
+    _ln_quant,
+    _qmatmul,
+    _quant_w,
+    _unstack,
+)
 
 LN_EPS = 1e-6  # flax nn.LayerNorm default (models/layers.py uses it unchanged)
 
@@ -202,7 +210,9 @@ def calibrate_m3ae(packed, patch, num_heads: int, text_ids=None,
     def layer(x, L):
         y = _ln(x, L["ln1_s"], L["ln1_b"], cd, eps=LN_EPS)
         a_qkv = jnp.max(jnp.abs(y.astype(jnp.float32)))
-        qkv = ((y @ L["wqkv"].astype(cd)).astype(jnp.float32) + L["bqkv"]).astype(cd)
+        qkv = (y @ L["wqkv"].astype(cd)).astype(jnp.float32) + L["bqkv"]
+        a_attn_in = jnp.max(jnp.abs(qkv))  # q/k/v operand scale (int8_attn)
+        qkv = qkv.astype(cd)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         a = _attention(q, k, v, num_heads, kv_padding=pad)
         a_out = jnp.max(jnp.abs(a.astype(jnp.float32)))
@@ -213,7 +223,8 @@ def calibrate_m3ae(packed, patch, num_heads: int, text_ids=None,
         h = jax.nn.gelu(h, approximate=True)
         a_proj = jnp.max(jnp.abs(h))
         x = x + ((h.astype(cd) @ L["wproj"].astype(cd)).astype(jnp.float32) + L["bproj"]).astype(cd)
-        return x, {"qkv": a_qkv, "attn_out": a_out, "fc": a_fc, "proj": a_proj}
+        return x, {"qkv": a_qkv, "attn_in": a_attn_in, "attn_out": a_out,
+                   "fc": a_fc, "proj": a_proj}
 
     _, site_amax = jax.lax.scan(layer, x, packed["layers"])
     return {"img": amax_img, "layers": site_amax}
@@ -230,6 +241,8 @@ def quantize_m3ae_packed(packed, amax, margin: float = 1.05) -> dict:
         layers[wname + "_ws"] = ws
         layers.pop(wname)
         layers["a_" + site] = jnp.asarray(amax["layers"][site], jnp.float32) * margin
+    if "attn_in" in amax["layers"]:  # absent in packs calibrated before round 4
+        layers["a_attn_in"] = jnp.asarray(amax["layers"]["attn_in"], jnp.float32) * margin
     qpack["layers"] = layers
     q, ws = _quant_w(packed["img_w"])
     qpack.update(img_w_q=q, img_w_ws=ws, a_img=jnp.asarray(amax["img"], jnp.float32) * margin)
@@ -248,6 +261,7 @@ def m3ae_encode_int8(
     return_intermediates: bool = False,
     unroll: bool = False,
     fuse_quant: bool = False,
+    int8_attn: bool = False,
 ):
     """int8 forward with static activation scales.
 
@@ -261,23 +275,37 @@ def m3ae_encode_int8(
     4,140 fps at b=128): XLA already fuses the LN->quantize chain into the
     int8 dot and schedules the plain body better.  Default False = LN ->
     bf16 -> quantize-in-matmul (:func:`vit_infer._qmatmul`).
+
+    ``int8_attn=True`` runs the two attention matmuls w8a8
+    (:func:`vit_infer._attention_int8`) — requires a pack calibrated with
+    the ``attn_in`` site (round 4+).
     """
     cd = jnp.bfloat16
     x, pad = _token_stream(packed=qpacked, patch=patch, text_ids=text_ids,
                            text_padding_mask=text_padding_mask,
                            goal_patch=goal_patch, cd=cd, quantized=True)
     L = qpacked["layers"]
+    if int8_attn and "a_attn_in" not in L:
+        raise ValueError(
+            "int8_attn needs the 'attn_in' calibration site — recalibrate "
+            "this pack with calibrate_m3ae (round-4+) before quantize_m3ae_packed")
 
     def qmat(q8, a_scale, wq, ws, bias):
         acc = jnp.matmul(q8, wq, preferred_element_type=jnp.int32)
         return acc.astype(jnp.float32) * (ws * (a_scale / 127.0)) + bias
+
+    def attn(q, k, v, L):
+        if int8_attn:
+            return _attention_int8(q, k, v, num_heads, L["a_attn_in"],
+                                   score_dtype, kv_padding=pad)
+        return _attention(q, k, v, num_heads, score_dtype, kv_padding=pad)
 
     def layer(x, L):
         if not fuse_quant:
             y = _ln(x, L["ln1_s"], L["ln1_b"], cd, eps=LN_EPS)
             qkv = _qmatmul(y, L["a_qkv"], L["wqkv_q"], L["wqkv_ws"], L["bqkv"]).astype(cd)
             q, k, v = jnp.split(qkv, 3, axis=-1)
-            a = _attention(q, k, v, num_heads, score_dtype, kv_padding=pad)
+            a = attn(q, k, v, L)
             x = x + _qmatmul(a, L["a_attn_out"], L["wout_q"], L["wout_ws"], L["bout"]).astype(cd)
             y = _ln(x, L["ln2_s"], L["ln2_b"], cd, eps=LN_EPS)
             h = _qmatmul(y, L["a_fc"], L["wfc_q"], L["wfc_ws"], L["bfc"])
@@ -287,7 +315,7 @@ def m3ae_encode_int8(
         q8 = _ln_quant(x, L["ln1_s"], L["ln1_b"], L["a_qkv"], eps=LN_EPS)
         qkv = qmat(q8, L["a_qkv"], L["wqkv_q"], L["wqkv_ws"], L["bqkv"]).astype(cd)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        a = _attention(q, k, v, num_heads, score_dtype, kv_padding=pad)
+        a = attn(q, k, v, L)
         inv = 127.0 / jnp.maximum(L["a_attn_out"], 1e-12)
         a8 = jnp.clip(jnp.round(a.astype(jnp.float32) * inv), -127, 127).astype(jnp.int8)
         x = x + qmat(a8, L["a_attn_out"], L["wout_q"], L["wout_ws"], L["bout"]).astype(cd)

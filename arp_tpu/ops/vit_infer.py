@@ -140,7 +140,8 @@ def _attention(q, k, v, num_heads, score_dtype=jnp.float32, kv_padding=None):
     return out.reshape(b, n, d)
 
 
-def _attention_int8(q, k, v, num_heads, a_in, score_dtype=jnp.bfloat16):
+def _attention_int8(q, k, v, num_heads, a_in, score_dtype=jnp.bfloat16,
+                    kv_padding=None):
     """w8a8 attention: int8 QK^T and P@V with static scales (round-4 lever).
 
     ``a_in`` is one calibrated amax covering q/k/v (they come out of the same
@@ -164,7 +165,11 @@ def _attention_int8(q, k, v, num_heads, a_in, score_dtype=jnp.bfloat16):
     qi, ki, vi = q8(q), q8(k), q8(v)
     s = jnp.einsum("bqhd,bkhd->bhqk", qi, ki, preferred_element_type=jnp.int32)
     s_scale = (a_in / 127.0) ** 2 * hd**-0.5
-    p = jax.nn.softmax((s.astype(jnp.float32) * s_scale).astype(score_dtype), axis=-1)
+    s = (s.astype(jnp.float32) * s_scale).astype(score_dtype)
+    if kv_padding is not None:
+        pad = (kv_padding != 0)[:, None, None, :]  # (B, 1, 1, N) over keys
+        s = jnp.where(pad, jnp.asarray(-1e30, score_dtype), s)
+    p = jax.nn.softmax(s, axis=-1)
     p8 = jnp.round(p.astype(jnp.float32) * 127.0).astype(jnp.int8)  # probs in [0, 1]
     out = jnp.einsum("bhqk,bkhd->bqhd", p8, vi, preferred_element_type=jnp.int32)
     out = out.astype(jnp.float32) * ((a_in / 127.0) / 127.0)

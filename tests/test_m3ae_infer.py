@@ -152,6 +152,46 @@ def test_int8_cosine(variant):
     assert _cos(out, ref) > 0.98, _cos(out, ref)
 
 
+@pytest.mark.parametrize("variant", ["image", "text", "goal"])
+def test_int8_attn_cosine(variant):
+    """w8a8 attention (int8_attn=True) stays close on every token stream,
+    incl. the padded-text path (kv mask applied on int32-derived scores)."""
+    model, params, patch = _make()
+    kw = {}
+    if variant == "text":
+        ids = jax.random.randint(jax.random.PRNGKey(2), (3, 7), 0, VOCAB)
+        pad = jnp.zeros((3, 7), jnp.float32).at[:, 5:].set(1.0)
+        kw = dict(text_ids=ids, text_padding_mask=pad)
+        ref = model.apply(params, patch, ids, pad,
+                          method=model.forward_representation, deterministic=True)
+    elif variant == "goal":
+        goal = jax.random.normal(jax.random.PRNGKey(3), patch.shape)
+        kw = dict(goal_patch=goal)
+        ref = model.apply(params, patch, goal,
+                          method=model.forward_gc_representations, deterministic=True)
+    else:
+        ref = model.apply(params, patch, None, None,
+                          method=model.forward_representation, deterministic=True)
+    qpack = m3ae_infer.build_m3ae_qpack(params, DEPTH, HEADS, patch, **kw)
+    out = m3ae_infer.m3ae_encode_int8(qpack, patch, HEADS, int8_attn=True,
+                                      score_dtype=jnp.bfloat16, **kw)
+    assert out.dtype == jnp.float32
+    assert _cos(out, ref) > 0.97, _cos(out, ref)
+    base = m3ae_infer.m3ae_encode_int8(qpack, patch, HEADS,
+                                       score_dtype=jnp.bfloat16, **kw)
+    assert _cos(out, base) > 0.98, _cos(out, base)
+
+
+def test_int8_attn_needs_round4_pack():
+    model, params, patch = _make()
+    packed = m3ae_infer.pack_m3ae_params(params, DEPTH)
+    amax = jax.device_get(m3ae_infer.calibrate_m3ae(packed, patch, HEADS))
+    amax["layers"] = {k: v for k, v in amax["layers"].items() if k != "attn_in"}
+    qpack = m3ae_infer.quantize_m3ae_packed(packed, amax)
+    with pytest.raises(ValueError, match="attn_in"):
+        m3ae_infer.m3ae_encode_int8(qpack, patch, HEADS, int8_attn=True)
+
+
 def test_int8_intermediates_shape():
     model, params, patch = _make()
     qpack = m3ae_infer.build_m3ae_qpack(params, DEPTH, HEADS, patch)
