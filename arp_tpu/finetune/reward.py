@@ -64,6 +64,7 @@ class ClipFtRewardEngine(ClipRewardEngine):
         fast_encode: bool = False,
         fast_int8: bool = False,
         fast_score_bf16: bool | None = None,
+        fast_int8_attn: bool = False,
         clip_config: dict | None = None,
         mesh=None,
     ):
@@ -153,11 +154,13 @@ class ClipFtRewardEngine(ClipRewardEngine):
                 )
                 return _adapt(final, inter)
 
+            int8_attn = bool(fast_int8_attn) and bool(fast_int8)
+
             @jax.jit
             def _encode_fast_int8(qpacked, frames, normalize):
                 final, inter = vit_infer.vit_encode_int8(
                     qpacked, _patchify(frames), heads, return_intermediates=True,
-                    score_dtype=score_dtype,
+                    score_dtype=score_dtype, int8_attn=int8_attn,
                 )
                 return _adapt(final, inter)
 

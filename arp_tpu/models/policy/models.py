@@ -141,6 +141,13 @@ def get_policy_default_config(updates=None) -> ConfigDict:
     # from its first batch).  Matches the reference's in-step encode
     # semantics (ARPDT.py:338,451-458) with int8 matmul numerics.
     config.frozen_int8 = False
+    # additionally run the frozen tower's two attention matmuls w8a8
+    # (ops/vit_infer.py::_attention_int8): int8 QK^T and P@V with static
+    # scales — halves the probability-tensor HBM traffic on top of
+    # frozen_int8.  Implies frozen_int8.  Off by default pending the
+    # per-chip A/B (bench_encode_variants fast_int8_sm16_a8; see
+    # docs/BENCHMARKS.md round-4 attention series).
+    config.frozen_int8_attn = False
 
     config.lambda_return_pred = 1.0
     config.use_symlog = False
@@ -152,6 +159,8 @@ def get_policy_default_config(updates=None) -> ConfigDict:
     update_config(config, updates)
     if config.model_type is not None:
         apply_size_preset(config.model_type, config)
+    if config.frozen_int8_attn:
+        config.frozen_int8 = True  # w8a8 attention rides on the int8 pack
     if config.frozen_int8:
         # int8 matmuls ride on the frozen_bf16 recipe (bf16 LNs/residuals +
         # the measured score dtype); turning it on implies the full recipe
@@ -595,6 +604,7 @@ class BasePolicy(nn.Module):
                 image_text_emb = m3ae_infer.m3ae_encode_int8(
                     self._qpack(), patch, cfg.mae.num_heads,
                     score_dtype=self._fast_score_dtype(),
+                    int8_attn=cfg.get("frozen_int8_attn", False),
                 )
             else:
                 image_text_emb = self._frozen_out(self.pt_model.apply(
@@ -627,6 +637,7 @@ class BasePolicy(nn.Module):
                     image_text_emb = m3ae_infer.m3ae_encode_int8(
                         self._qpack(), patch, cfg.m3ae.num_heads,
                         goal_patch=goal_patch, score_dtype=self._fast_score_dtype(),
+                        int8_attn=cfg.get("frozen_int8_attn", False),
                     )
                     image_text_emb = jax.lax.stop_gradient(image_text_emb)
                 else:
@@ -661,6 +672,7 @@ class BasePolicy(nn.Module):
                             text_ids=tokenized_caption, text_padding_mask=tiled_pad,
                             score_dtype=self._fast_score_dtype(),
                             return_intermediates=True,
+                            int8_attn=cfg.get("frozen_int8_attn", False),
                         )
                         num_layers = cfg.m3ae.depth
                         # (L-1, B', N, D) block outputs flatten along batch —
@@ -674,6 +686,7 @@ class BasePolicy(nn.Module):
                             self._qpack(), patch, cfg.m3ae.num_heads,
                             text_ids=tokenized_caption, text_padding_mask=tiled_pad,
                             score_dtype=self._fast_score_dtype(),
+                            int8_attn=cfg.get("frozen_int8_attn", False),
                         )
                         num_layers = 1
                 elif cfg.use_intermediate:

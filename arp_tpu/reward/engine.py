@@ -75,6 +75,7 @@ class ClipRewardEngine:
         fast_encode: bool = False,
         fast_int8: bool = False,
         fast_score_bf16: Optional[bool] = None,
+        fast_int8_attn: bool = False,
         score_bf16: bool = False,
         mesh=None,
     ):
@@ -228,13 +229,20 @@ class ClipRewardEngine:
                     normalize,
                 )
 
+            # w8a8 attention on top of the int8 body (int8 QK^T / P@V with
+            # static scales) — per-chip A/B via bench_encode_variants
+            # fast_int8_sm16_a8; off by default.
+            int8_attn = bool(fast_int8_attn) and bool(fast_int8)
+
             @jax.jit
             def _encode_fast_int8(qpacked, frames, normalize):
                 x = clip_preprocess_packed_patches(
                     frames, channels=3, image_size=img_size, patch_size=patch_size
                 )
                 return _finish_features(
-                    vit_infer.vit_encode_int8(qpacked, x, heads, score_dtype=score_dtype),
+                    vit_infer.vit_encode_int8(
+                        qpacked, x, heads, score_dtype=score_dtype, int8_attn=int8_attn
+                    ),
                     normalize,
                 )
 

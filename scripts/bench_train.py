@@ -129,7 +129,8 @@ def main():
     ap.add_argument(
         "--variant", default="bf16",
         choices=["fp32", "bf16", "bf16_remat", "cached", "encoder", "frozen_bf16",
-                 "frozen_sm16", "frozen_int8", "frozen_int8_sm16"],
+                 "frozen_sm16", "frozen_int8", "frozen_int8_sm16",
+                 "frozen_int8_sm16_a8"],
     )
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--steps", type=int, default=16)
@@ -178,10 +179,15 @@ def main():
         # though the config default is now bfloat16 (docs/BENCHMARKS.md's
         # 979-vs-1,386 f/s comparison reproduces only with this split)
         cfg["frozen_score_dtype"] = (
-            "bfloat16" if args.variant in ("frozen_sm16", "frozen_int8_sm16") else "float32"
+            "bfloat16"
+            if args.variant in ("frozen_sm16", "frozen_int8_sm16", "frozen_int8_sm16_a8")
+            else "float32"
         )
     if int8:
         cfg["frozen_int8"] = True
+    if args.variant == "frozen_int8_sm16_a8":
+        # w8a8 attention on the frozen tower (int8 QK^T / P@V, static scales)
+        cfg["frozen_int8_attn"] = True
     rng = np.random.default_rng(0)
     host_batch = {
         "rtg": {"ob": rng.random((args.batch, WINDOW, 1), np.float32)},

@@ -116,6 +116,23 @@ def test_policy_frozen_int8_parity_and_grads(frozen_m3ae_loader):
     assert float(np.abs(np.asarray(grads["image_text_input"]["kernel"])).max()) > 0
 
 
+def test_policy_frozen_int8_attn_parity(frozen_m3ae_loader):
+    """frozen_int8_attn (w8a8 attention on top of the int8 pack) stays close
+    to frozen_bf16 at the policy level and implies frozen_int8."""
+    from arp_tpu.models.policy.models import get_policy_default_config
+
+    cfg = get_policy_default_config(dict(frozen_int8_attn=True,
+                                         transfer_type="m3ae_vit_b16"))
+    assert cfg.frozen_int8 and cfg.frozen_bf16
+
+    batch = make_batch(np.random.default_rng(12))
+    _, _, out_ref = _policy_outputs(_base(frozen_bf16=True), batch)
+    qpack = _qpack_for(batch, frozen_m3ae_loader)
+    _, _, out = _policy_outputs(_base(frozen_int8_attn=True), batch, qpack=qpack)
+    assert _cos(out_ref["action_pred"], out["action_pred"]) > 0.95
+    assert np.isfinite(float(out["loss"]))
+
+
 def test_policy_frozen_int8_gcbc_goal(frozen_m3ae_loader):
     batch = make_batch(np.random.default_rng(9), with_goal=True)
     _, _, out_ref = _policy_outputs(_base(frozen_bf16=True), batch, model_cls=GCBC)

@@ -163,6 +163,13 @@ def test_engine_fast_paths_match_standard():
     g0 = base.goal_rewards(frames, goal_index=-1)
     g1 = fast.goal_rewards(frames, goal_index=-1)
     np.testing.assert_allclose(g1, g0, rtol=0.08, atol=0.3)
+    # w8a8 attention rides on the int8 engine path (fast_int8_attn knob)
+    a8 = ClipRewardEngine(model=model, variables=variables, batch_size=4,
+                          resize_mode="pil", image_size=IMG_SIZE, tokenizer=tok,
+                          fast_int8=True, fast_int8_attn=True)
+    r4 = a8.text_rewards(frames, "a coin")
+    np.testing.assert_allclose(r4, r0, rtol=0.12, atol=0.12)
+    np.testing.assert_allclose(r4, r2, rtol=0.06, atol=0.06)
 
 
 def test_fused_int8_matmul_kernel():
