@@ -275,6 +275,13 @@ def _write_detail(per_mode, model, variables, batch_size, src, path="bench_detai
     detail["encode_resident_int8_sm16_fps"] = resident_fps(
         lambda p, x: vit_encode_int8(p, x, heads, score_dtype=jnp.bfloat16), qpacked
     )
+    # + w8a8 attention (int8 QK^T / P@V, static scales): the round-4 lever on
+    # top of int8_sm16 — recorded here so the per-round driver artifact
+    # carries the A/B on real hardware (defaults flip only on a measured win)
+    detail["encode_resident_int8_sm16_a8_fps"] = resident_fps(
+        lambda p, x: vit_encode_int8(p, x, heads, score_dtype=jnp.bfloat16, int8_attn=True),
+        qpacked,
+    )
     with open(path, "w") as f:
         json.dump(detail, f, indent=1)
 
