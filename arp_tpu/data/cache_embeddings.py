@@ -57,9 +57,14 @@ def main():
                    help="packed fused-QKV encode path (ops/vit_infer.py)")
     p.add_argument("--fast_int8", action="store_true",
                    help="static-int8 MXU encode (calibrated on the first batch)")
-    p.add_argument("--fast_score_bf16", action="store_true",
-                   help="bf16 attention scores/softmax on the fast paths "
-                        "(chip-dependent; measured below fp32 softmax on v5e)")
+    p.add_argument("--fast_score_bf16", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="bf16 attention scores/softmax on the fast paths. "
+                        "Unset = the engine's measured default (True on v5e, "
+                        "round-4 series); --no-fast_score_bf16 forces fp32 softmax")
+    p.add_argument("--fast_int8_attn", action="store_true",
+                   help="w8a8 attention on the int8 fast path (int8 QK^T and "
+                        "P@V with static scales; needs --fast_int8)")
     p.add_argument("--mesh_dp", type=int, default=0,
                    help="shard encode batches data-parallel over a mesh of this "
                         "many devices (-1 = all local devices; 0 = single device)")
@@ -83,6 +88,7 @@ def main():
         fast_encode=args.fast,
         fast_int8=args.fast_int8,
         fast_score_bf16=args.fast_score_bf16,
+        fast_int8_attn=args.fast_int8_attn,
         mesh=mesh,
     )
     stats = cache_clip_embeddings(args.data_path, engine, args.image_keys)

@@ -230,6 +230,9 @@ def main():
     parser.add_argument("--bf16", action="store_true")
     parser.add_argument("--fast", action="store_true")
     parser.add_argument("--fast_int8", action="store_true")
+    parser.add_argument("--fast_int8_attn", action="store_true",
+                        help="w8a8 attention on the int8 fast path (int8 QK^T "
+                             "and P@V with static scales; needs --fast_int8)")
     parser.add_argument("--mesh_dp", type=int, default=0,
                         help="shard encode batches data-parallel over a mesh of this "
                              "many devices (-1 = all local devices; 0 = single device)")
@@ -258,6 +261,7 @@ def main():
             use_crop=args.use_crop,
             fast_encode=args.fast,
             fast_int8=args.fast_int8,
+            fast_int8_attn=args.fast_int8_attn,
             mesh=mesh,
         )
     else:
@@ -268,6 +272,7 @@ def main():
             compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
             fast_encode=args.fast,
             fast_int8=args.fast_int8,
+            fast_int8_attn=args.fast_int8_attn,
             mesh=mesh,
         )
     server = RewardServer(engine)

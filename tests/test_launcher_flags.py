@@ -59,6 +59,20 @@ def _declared_flags(module: str) -> set:
     return set(json.loads(out.stdout))
 
 
+def test_fast_score_bf16_cli_default_is_engine_default():
+    """The labeler/cache CLIs must NOT force fast_score_bf16=False when the
+    flag is unset (a store_true default would silently defeat the engine's
+    measured None->True default, round-4 regression): the tri-state flag
+    exposes --no-fast_score_bf16 for an explicit fp32-softmax override."""
+    env = make_cli_env()
+    for module in ("arp_tpu.reward.labeler", "arp_tpu.data.cache_embeddings"):
+        out = subprocess.run([sys.executable, "-m", module, "--help"], env=env,
+                             capture_output=True, text=True, timeout=240)
+        assert out.returncode == 0, out.stderr[-1500:]
+        assert "--no-fast_score_bf16" in out.stdout, module
+        assert "--fast_int8_attn" in out.stdout, module
+
+
 @pytest.mark.parametrize("script,module", sorted(LAUNCHERS.items()))
 def test_launcher_flags_are_declared(script, module):
     src = open(os.path.join(REPO, "jobs", script)).read()
