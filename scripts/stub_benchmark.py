@@ -403,9 +403,18 @@ def method_flags(method, spec):
 def common_flags(split, cfg, out, seed):
     sc = SPLITS[split]
     data_root = os.path.join(out, f"demos_{split}")
+    # window_size is an experiment knob (--window): with the reference
+    # default 4, the DT token stream carries the previous W-1 ACTIONS — on a
+    # mixed-quality demo set the action history alone identifies the
+    # behavior mode, so every method can hit high train accuracy while
+    # ignoring the return token entirely, and at eval (empty history) all
+    # of them collapse to the same self-consistent mode (measured round 4:
+    # ARPDT == BC == 9% bit-identical evals).  window 1 removes the leak:
+    # [obs, rtg, action] per step — the rtg token is the ONLY mode signal.
+    w = cfg.get("window", 4)
     return [
         f"--seed={seed}",
-        f"--game_name={sc['game']}", "--window_size=4", "--use_crop=False",
+        f"--game_name={sc['game']}", f"--window_size={w}", "--use_crop=False",
         f"--episode_length={EP_LEN}", "--eval_env=fake",
         f"--env_hidden_goal={sc['hidden_goal']}",
         # identical from-scratch tiny-m3ae policy for every method
@@ -418,7 +427,7 @@ def common_flags(split, cfg, out, seed):
         "--model.emb_dim=32", "--model.depth=2", "--model.num_heads=4",
         "--model.mlp_ratio=2", "--model.num_ensembles=2",
         f"--data.path={data_root}", f"--data.image_size={IMG}",
-        "--data.num_frames=8", "--data.window_size=4",
+        "--data.num_frames=8", f"--data.window_size={w}",
         f"--data.num_demonstrations={cfg['train_eps']}",
     ]
 
@@ -570,10 +579,20 @@ def main():
     p.add_argument("--device", default="cpu", choices=["cpu", "tpu"],
                    help="backend for the train/eval CLIs (collect/clip/label "
                         "always run on CPU — they are host/data bound)")
+    p.add_argument("--window", type=int, default=None,
+                   help="policy window_size (default: the config's; see the "
+                        "action-history-leak note in common_flags — 1 is the "
+                        "clean return-conditioning test, 4 the reference default)")
+    p.add_argument("--data_from", default=None,
+                   help="reuse the collect/clip/label artifacts of another "
+                        "--output dir (symlinked): demos/eval datasets and the "
+                        "trained reward model are window-independent")
     p.add_argument("--smoke", action="store_true")
     args = p.parse_args()
 
-    cfg = SMOKE if args.smoke else FULL
+    cfg = dict(SMOKE if args.smoke else FULL)
+    if args.window is not None:
+        cfg["window"] = args.window
     seeds = [int(s) for s in args.seeds.split(",")]
     if args.smoke:
         seeds = seeds[:1]
@@ -582,6 +601,15 @@ def main():
 
     stages = ([args.stage] if args.stage != "all"
               else ["collect", "clip", "label", "train", "eval", "report"])
+    if args.data_from:
+        src = os.path.abspath(args.data_from)
+        for name in ("demos_reward", "demos_goal", "eval_reward", "eval_goal",
+                     "reward_clip.npz", "clip_stats.json", "label_separation.json"):
+            dst = os.path.join(out, name)
+            if not os.path.exists(dst):
+                os.symlink(os.path.join(src, name), dst)
+        stages = [s for s in stages if s not in ("collect", "clip", "label")]
+        print(f"[data_from] linked artifacts from {src}; stages = {stages}")
     for st in stages:
         if st == "collect":
             stage_collect(out, cfg)
