@@ -62,9 +62,11 @@ def main():
                    help="bf16 attention scores/softmax on the fast paths. "
                         "Unset = the engine's measured default (True on v5e, "
                         "round-4 series); --no-fast_score_bf16 forces fp32 softmax")
-    p.add_argument("--fast_int8_attn", action="store_true",
+    p.add_argument("--fast_int8_attn", action=argparse.BooleanOptionalAction,
+                   default=None,
                    help="w8a8 attention on the int8 fast path (int8 QK^T and "
-                        "P@V with static scales; needs --fast_int8)")
+                        "P@V with static scales; needs --fast_int8). Unset = "
+                        "the engine's measured default (True on v5e, round-4 A/B)")
     p.add_argument("--mesh_dp", type=int, default=0,
                    help="shard encode batches data-parallel over a mesh of this "
                         "many devices (-1 = all local devices; 0 = single device)")

@@ -64,7 +64,7 @@ class ClipFtRewardEngine(ClipRewardEngine):
         fast_encode: bool = False,
         fast_int8: bool = False,
         fast_score_bf16: bool | None = None,
-        fast_int8_attn: bool = False,
+        fast_int8_attn: bool | None = None,
         clip_config: dict | None = None,
         mesh=None,
     ):
@@ -154,6 +154,10 @@ class ClipFtRewardEngine(ClipRewardEngine):
                 )
                 return _adapt(final, inter)
 
+            # round-4 measured default: w8a8 attention wins at every batch on
+            # the v5e (see ClipRewardEngine); None resolves to True under int8
+            if fast_int8_attn is None:
+                fast_int8_attn = True
             int8_attn = bool(fast_int8_attn) and bool(fast_int8)
 
             @jax.jit

@@ -144,10 +144,12 @@ def get_policy_default_config(updates=None) -> ConfigDict:
     # additionally run the frozen tower's two attention matmuls w8a8
     # (ops/vit_infer.py::_attention_int8): int8 QK^T and P@V with static
     # scales — halves the probability-tensor HBM traffic on top of
-    # frozen_int8.  Implies frozen_int8.  Off by default pending the
-    # per-chip A/B (bench_encode_variants fast_int8_sm16_a8; see
-    # docs/BENCHMARKS.md round-4 attention series).
-    config.frozen_int8_attn = False
+    # frozen_int8.  Round-4 measured on the v5e: flagship step 118 -> 86
+    # ms (+36%, bench_train frozen_int8_sm16 vs _a8), resident encode +15%
+    # (docs/BENCHMARKS.md).  "auto" (default) resolves to True under
+    # frozen_int8 and False otherwise; set "true" to force it (implies
+    # frozen_int8) or "false" for the bf16-attention int8 recipe.
+    config.frozen_int8_attn = "auto"
 
     config.lambda_return_pred = 1.0
     config.use_symlog = False
@@ -159,8 +161,13 @@ def get_policy_default_config(updates=None) -> ConfigDict:
     update_config(config, updates)
     if config.model_type is not None:
         apply_size_preset(config.model_type, config)
-    if config.frozen_int8_attn:
-        config.frozen_int8 = True  # w8a8 attention rides on the int8 pack
+    attn = str(config.frozen_int8_attn).lower()
+    assert attn in ("auto", "true", "false", "1", "0"), config.frozen_int8_attn
+    if attn in ("true", "1"):
+        config.frozen_int8 = True  # explicit w8a8 rides on the int8 pack
+    elif attn == "auto":
+        attn = "true" if config.frozen_int8 else "false"
+    config.frozen_int8_attn = "true" if attn in ("true", "1") else "false"
     if config.frozen_int8:
         # int8 matmuls ride on the frozen_bf16 recipe (bf16 LNs/residuals +
         # the measured score dtype); turning it on implies the full recipe
@@ -467,6 +474,11 @@ class BasePolicy(nn.Module):
         sub = self.config.m3ae if self.config.transfer_type.startswith("m3ae") else self.config.mae
         return resolve_compute_dtype(sub.get("score_dtype", "float32")) or jnp.float32
 
+    def _int8_attn(self) -> bool:
+        """w8a8 attention on the packed frozen tower (normalized by
+        get_policy_default_config: 'auto' resolved to 'true'/'false')."""
+        return str(self.config.get("frozen_int8_attn", "false")).lower() in ("true", "1")
+
     # -- encode ---------------------------------------------------------------
 
     def encode(self, batch):
@@ -604,7 +616,7 @@ class BasePolicy(nn.Module):
                 image_text_emb = m3ae_infer.m3ae_encode_int8(
                     self._qpack(), patch, cfg.mae.num_heads,
                     score_dtype=self._fast_score_dtype(),
-                    int8_attn=cfg.get("frozen_int8_attn", False),
+                    int8_attn=self._int8_attn(),
                 )
             else:
                 image_text_emb = self._frozen_out(self.pt_model.apply(
@@ -637,7 +649,7 @@ class BasePolicy(nn.Module):
                     image_text_emb = m3ae_infer.m3ae_encode_int8(
                         self._qpack(), patch, cfg.m3ae.num_heads,
                         goal_patch=goal_patch, score_dtype=self._fast_score_dtype(),
-                        int8_attn=cfg.get("frozen_int8_attn", False),
+                        int8_attn=self._int8_attn(),
                     )
                     image_text_emb = jax.lax.stop_gradient(image_text_emb)
                 else:
@@ -672,7 +684,7 @@ class BasePolicy(nn.Module):
                             text_ids=tokenized_caption, text_padding_mask=tiled_pad,
                             score_dtype=self._fast_score_dtype(),
                             return_intermediates=True,
-                            int8_attn=cfg.get("frozen_int8_attn", False),
+                            int8_attn=self._int8_attn(),
                         )
                         num_layers = cfg.m3ae.depth
                         # (L-1, B', N, D) block outputs flatten along batch —
@@ -686,7 +698,7 @@ class BasePolicy(nn.Module):
                             self._qpack(), patch, cfg.m3ae.num_heads,
                             text_ids=tokenized_caption, text_padding_mask=tiled_pad,
                             score_dtype=self._fast_score_dtype(),
-                            int8_attn=cfg.get("frozen_int8_attn", False),
+                            int8_attn=self._int8_attn(),
                         )
                         num_layers = 1
                 elif cfg.use_intermediate:

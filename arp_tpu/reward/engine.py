@@ -75,7 +75,7 @@ class ClipRewardEngine:
         fast_encode: bool = False,
         fast_int8: bool = False,
         fast_score_bf16: Optional[bool] = None,
-        fast_int8_attn: bool = False,
+        fast_int8_attn: Optional[bool] = None,
         score_bf16: bool = False,
         mesh=None,
     ):
@@ -230,8 +230,13 @@ class ClipRewardEngine:
                 )
 
             # w8a8 attention on top of the int8 body (int8 QK^T / P@V with
-            # static scales) — per-chip A/B via bench_encode_variants
-            # fast_int8_sm16_a8; off by default.
+            # static scales).  Round-4 interleaved A/B on the v5e: wins at
+            # every batch (b64 +8%, b128 4,146 -> 4,781 fps +15%, b256 +25%;
+            # docs/BENCHMARKS.md) — so None (default) resolves to True under
+            # fast_int8; pass False for the bf16-attention int8 recipe
+            # (re-measure per chip via bench_encode_variants fast_int8_sm16_a8).
+            if fast_int8_attn is None:
+                fast_int8_attn = True  # round-4 measured default
             int8_attn = bool(fast_int8_attn) and bool(fast_int8)
 
             @jax.jit

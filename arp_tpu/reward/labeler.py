@@ -344,9 +344,12 @@ def main():
                              "v5e, round-4 interleaved series — see "
                              "docs/BENCHMARKS.md); --no-fast_score_bf16 forces "
                              "the fp32-softmax recipe")
-    parser.add_argument("--fast_int8_attn", action="store_true",
+    parser.add_argument("--fast_int8_attn", action=argparse.BooleanOptionalAction,
+                        default=None,
                         help="w8a8 attention on the int8 fast path (int8 QK^T "
-                             "and P@V with static scales; needs --fast_int8)")
+                             "and P@V with static scales; needs --fast_int8). "
+                             "Unset = the engine's measured default (True on "
+                             "v5e under --fast_int8, round-4 A/B)")
     parser.add_argument("--mesh_dp", type=int, default=0,
                         help="shard encode batches data-parallel over a mesh of this "
                              "many devices (-1 = all local devices; 0 = single device)")

@@ -185,9 +185,12 @@ def main():
         )
     if int8:
         cfg["frozen_int8"] = True
-    if args.variant == "frozen_int8_sm16_a8":
-        # w8a8 attention on the frozen tower (int8 QK^T / P@V, static scales)
-        cfg["frozen_int8_attn"] = True
+        # round-4 default is auto->true under frozen_int8; the plain int8
+        # variants measure the bf16-attention recipe, _a8 the w8a8 winner
+        # (measured 118 -> 86 ms/step, +36%)
+        cfg["frozen_int8_attn"] = (
+            "true" if args.variant == "frozen_int8_sm16_a8" else "false"
+        )
     rng = np.random.default_rng(0)
     host_batch = {
         "rtg": {"ob": rng.random((args.batch, WINDOW, 1), np.float32)},

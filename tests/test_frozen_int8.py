@@ -118,17 +118,24 @@ def test_policy_frozen_int8_parity_and_grads(frozen_m3ae_loader):
 
 def test_policy_frozen_int8_attn_parity(frozen_m3ae_loader):
     """frozen_int8_attn (w8a8 attention on top of the int8 pack) stays close
-    to frozen_bf16 at the policy level and implies frozen_int8."""
+    to frozen_bf16 at the policy level; 'true' implies frozen_int8 and the
+    'auto' default resolves to true under frozen_int8 (round-4 measured
+    default: flagship step 118 -> 86 ms)."""
     from arp_tpu.models.policy.models import get_policy_default_config
 
-    cfg = get_policy_default_config(dict(frozen_int8_attn=True,
+    cfg = get_policy_default_config(dict(frozen_int8_attn="true",
                                          transfer_type="m3ae_vit_b16"))
     assert cfg.frozen_int8 and cfg.frozen_bf16
+    auto = get_policy_default_config(dict(frozen_int8=True,
+                                          transfer_type="m3ae_vit_b16"))
+    assert auto.frozen_int8_attn == "true"
+    off = get_policy_default_config(dict(transfer_type="m3ae_vit_b16"))
+    assert off.frozen_int8_attn == "false" and not off.frozen_int8
 
     batch = make_batch(np.random.default_rng(12))
     _, _, out_ref = _policy_outputs(_base(frozen_bf16=True), batch)
     qpack = _qpack_for(batch, frozen_m3ae_loader)
-    _, _, out = _policy_outputs(_base(frozen_int8_attn=True), batch, qpack=qpack)
+    _, _, out = _policy_outputs(_base(frozen_int8_attn="true"), batch, qpack=qpack)
     assert _cos(out_ref["action_pred"], out["action_pred"]) > 0.95
     assert np.isfinite(float(out["loss"]))
 

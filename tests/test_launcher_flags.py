@@ -70,7 +70,7 @@ def test_fast_score_bf16_cli_default_is_engine_default():
                              capture_output=True, text=True, timeout=240)
         assert out.returncode == 0, out.stderr[-1500:]
         assert "--no-fast_score_bf16" in out.stdout, module
-        assert "--fast_int8_attn" in out.stdout, module
+        assert "--no-fast_int8_attn" in out.stdout, module
 
 
 @pytest.mark.parametrize("script,module", sorted(LAUNCHERS.items()))
