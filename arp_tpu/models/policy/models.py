@@ -833,6 +833,21 @@ class BasePolicy(nn.Module):
         # (ARPDT.py:494-495 does the same even when use_symlog is off)
         return symexp(self(batch, deterministic=True)["return_pred"])
 
+    def sample_action(self, batch, rng, temperature: float = 1.0):
+        """Seeded temperature sampling over the action logits.
+
+        Beyond the reference (ARPDT.py:488-492 is greedy-only): greedy decode
+        makes collapsed policies bit-identical across methods on shared
+        initial states (round-4 finding — every method landed on the same
+        22.11-step episodes), so ordering experiments sample instead.
+        temperature -> 0 recovers greedy; the rng is caller-seeded so evals
+        stay reproducible.
+        """
+        pred = self(batch, deterministic=True)["action_pred"][:, -1, :]
+        if not self.config.use_discrete_action:
+            return pred
+        return jax.random.categorical(rng, pred / jnp.maximum(temperature, 1e-6), axis=-1)
+
 
 class ARPDT(BasePolicy):
     """Return-conditioned policy with CLIP rewards (reference: arp_dt/ARPDT.py)."""

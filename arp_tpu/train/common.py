@@ -394,15 +394,37 @@ def build_test_step(flags_obj, model, train_dataset, eval_transform, use_text, m
                 f"(inst_type={flags_obj.data.inst_type!r}); pass --eval_instruct"
             )
 
+    # 0.0 = greedy (reference parity, ARPDT.py:488-492); > 0 = seeded
+    # temperature sampling (see BasePolicy.sample_action for why ordering
+    # experiments need it)
+    temperature = float(getattr(flags_obj, "eval_temperature", 0.0) or 0.0)
+
     @jax.jit
-    def policy_fn_jit(params, inputs):
+    def policy_fn_jit(params, inputs, rng):
         merged = dict(inputs)
         # fill instruct only when the caller left it unset — the parallel
         # eval path tiles it to its env batch first
         for k, v in instruct_info.items():
             if merged.get(k) is None:
                 merged[k] = v
+        if temperature > 0.0:
+            return model.apply(
+                {"params": params}, merged, rng, temperature, method=model.sample_action
+            )
         return model.apply({"params": params}, merged, method=model.greedy_action)
+
+    def make_stepwise_policy_rng(rng):
+        """Per-call key stream: the rollout engines pass the SAME key to
+        every policy call, which would make temperature sampling repeat one
+        sample pattern — fold in a host-side call counter instead."""
+        counter = {"t": 0}
+
+        def next_key(base):
+            key = jax.random.fold_in(base, counter["t"])
+            counter["t"] += 1
+            return key
+
+        return lambda base: next_key(base if base is not None else rng)
 
     return_to_go = (
         getattr(train_dataset, "return_to_go", 1000.0)
@@ -447,6 +469,7 @@ def build_test_step(flags_obj, model, train_dataset, eval_transform, use_text, m
                 params = gather_to_host(gstate.params, mesh)
             else:
                 params = jax.device_get(gstate.params)
+            step_key = make_stepwise_policy_rng(rng)
 
             def policy(inputs, rngs):
                 if instruct_info["instruct"] is not None:
@@ -458,7 +481,7 @@ def build_test_step(flags_obj, model, train_dataset, eval_transform, use_text, m
                             np.asarray(instruct_info["text_padding_mask"]), b, axis=0
                         ),
                     )
-                return policy_fn_jit(params, inputs)
+                return policy_fn_jit(params, inputs, step_key(rngs))
 
             from ..envs.rollout import load_goal_and_state, open_goal_eval
 
@@ -477,8 +500,22 @@ def build_test_step(flags_obj, model, train_dataset, eval_transform, use_text, m
                             load_goal_and_state(eval_data_path, eval_hdf5, traj_idx, ep)
                             for ep in eps
                         ]
-                        goals = np.stack([g for g, _ in pairs])
                         states = [s for _, s in pairs]
+                        # goal-swap sensitivity probe: shift pairs episode
+                        # ep's initial state with episode (ep+shift)'s goal
+                        # frame — a goal-reading policy must drop, a
+                        # goal-blind one is unaffected
+                        shift = int(getattr(flags_obj, "eval_goal_shift", 0) or 0)
+                        if shift:
+                            goals = np.stack([
+                                load_goal_and_state(
+                                    eval_data_path, eval_hdf5, traj_idx,
+                                    (ep + shift) % total,
+                                )[0]
+                                for ep in eps
+                            ])
+                        else:
+                            goals = np.stack([g for g, _ in pairs])
                     m = parallel_rollout(
                         rng=rng,
                         envs=_make_envs(len(eps)),
@@ -527,9 +564,10 @@ def build_test_step(flags_obj, model, train_dataset, eval_transform, use_text, m
             params = gather_to_host(gstate.params, mesh)
         else:
             params = jax.device_get(gstate.params)
+        step_key = make_stepwise_policy_rng(rng)
 
         def policy(inputs, rngs):
-            return policy_fn_jit(params, inputs)
+            return policy_fn_jit(params, inputs, step_key(rngs))
 
         return batch_rollout(
             rng=rng,

@@ -31,6 +31,13 @@ FLAGS_DEF = define_flags_with_default(
     num_test_episodes=100,
     # >1: batched lockstep eval via parallel_rollout (waves of N envs)
     eval_parallel_envs=0,
+    # 0.0 = greedy decode (reference parity); >0 = seeded temperature
+    # sampling (BasePolicy.sample_action) — required for method-ordering
+    # experiments where collapsed greedy policies tie bit-identically
+    eval_temperature=0.0,
+    # conditioning-sensitivity probe: pair episode ep's initial state with
+    # episode (ep+shift)'s goal frame (parallel eval path only)
+    eval_goal_shift=0,
     return_to_go=0.0,
     scale=10.0,
     game_name="coinrun",

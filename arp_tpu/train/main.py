@@ -79,6 +79,8 @@ FLAGS_DEF = define_flags_with_default(
     num_test_episodes=5,
     # >1: batched lockstep eval via parallel_rollout (waves of N envs)
     eval_parallel_envs=0,
+    # 0.0 = greedy decode (reference parity); >0 = seeded temperature sampling
+    eval_temperature=0.0,
     return_to_go=0.0,
     scale=10.0,
     game_name="coinrun",

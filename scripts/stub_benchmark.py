@@ -484,47 +484,92 @@ def stage_train(out, cfg, seeds, device="cpu"):
                 open(done, "w").write("ok\n")
 
 
+# Eval decode: seeded temperature sampling.  Round 4 measured that greedy
+# decode on shared initial states makes collapsed policies BIT-IDENTICAL
+# across methods and seeds (every method: same 22.11 mean episode length) —
+# zero discriminating power exactly when policies are near a degenerate
+# optimum.  T=0.7 keeps the decoded mode dominant while letting any two
+# different policies produce different trajectories (VERDICT r4 weak #2).
+EVAL_TEMPERATURE = 0.7
+PROBE_EPISODES = 60      # probe runs use fewer episodes (sensitivity, not SR)
+GOAL_SHIFT = 7           # goal-swap probe: episode ep gets episode ep+7's goal
+
+
+def eval_variants(split, method, sep):
+    """(name, extra_flags, episodes) eval runs per (split, method).
+
+    ``primary`` feeds the ordering table; ``greedy`` records the reference's
+    argmax protocol for comparison; ``rtg_*`` / ``goalswap`` are the
+    conditioning-sensitivity probes (VERDICT r4 next #2) that make an
+    ordering failure attributable: a policy that ignores its conditioning
+    token shows a flat rtg curve / no goal-swap drop regardless of how the
+    argmax-vs-argmax comparison lands.
+    """
+    variants = [("primary", [f"--eval_temperature={EVAL_TEMPERATURE}"], None),
+                ("greedy", [], None)]
+    if method == "arpdt" and sep:
+        p90 = sep["expert_return_p90"]
+        targets = {
+            "anti": sep.get("anti", {}).get("return_mean", -500.0),
+            "zero": 0.0,
+            "expert_p90": p90,       # == the primary's conditioning target
+            "expert_2x": 2.0 * p90,
+        }
+        for name, rtg in targets.items():
+            variants.append((f"rtg_{name}",
+                             [f"--eval_temperature={EVAL_TEMPERATURE}",
+                              f"--return_to_go={rtg}"], PROBE_EPISODES))
+    if method == "gcbc":
+        variants.append(("goalswap",
+                         [f"--eval_temperature={EVAL_TEMPERATURE}",
+                          f"--eval_goal_shift={GOAL_SHIFT}"], PROBE_EPISODES))
+    return variants
+
+
 def stage_eval(out, cfg, seeds, device="cpu"):
     env = stage_env(device)
     spec = os.path.abspath(os.path.join(out, "reward_clip.npz"))
     sep_path = os.path.join(out, "label_separation.json")
-    expert_rtg = None
-    if os.path.exists(sep_path):
-        expert_rtg = json.load(open(sep_path)).get("expert_return_p90")
+    sep = json.load(open(sep_path)) if os.path.exists(sep_path) else {}
+    expert_rtg = sep.get("expert_return_p90")
     results = {}
     for split, sc in SPLITS.items():
         eval_dir = os.path.abspath(os.path.join(out, f"eval_{split}"))
         for method in sc["methods"]:
             for seed in seeds:
-                key = f"{split}/{method}/s{seed}"
-                per_run = os.path.join(out, f"eval_{split}_{method}_s{seed}.json")
-                if os.path.exists(per_run):  # resume: already measured
-                    results[key] = json.load(open(per_run))
-                    print(f"[eval] {key}: done, skipping", flush=True)
-                    continue
-                ckpt = os.path.join(out, f"ckpt_{split}_{method}_s{seed}")
-                log = os.path.join(out, f"eval_{split}_{method}_s{seed}.log")
-                cmd = [sys.executable, "-m", "arp_tpu.train.eval",
-                       f"--checkpoint_dir={ckpt}",
-                       f"--num_test_episodes={cfg['episodes']}",
-                       f"--eval_parallel_envs={cfg['parallel_envs']}",
-                       # shared held-out initial states + goal frames: every
-                       # method restores the same episodes via set_state
-                       f"--eval_data_path={eval_dir}",
-                       "--eval_data_name=data_train.hdf5",
-                       f"--logging.output_dir={os.path.join(out, 'logs')}",
-                       ] + common_flags(split, cfg, out, seed) \
-                         + method_flags(method, spec)
-                if method == "arpdt" and expert_rtg is not None:
-                    # condition on an expert-level return (see
-                    # separation_report), not the noisy dataset max
-                    cmd.append(f"--return_to_go={expert_rtg}")
-                print(f"[eval] {key}", flush=True)
-                run(cmd, env, log)
-                lines = [l for l in open(log).read().splitlines() if l.startswith("{")]
-                results[key] = ast.literal_eval(lines[-1])
-                with open(per_run, "w") as f:
-                    json.dump(results[key], f, indent=1)
+                for variant, extra, episodes in eval_variants(split, method, sep):
+                    key = f"{split}/{method}/s{seed}/{variant}"
+                    tag = f"{split}_{method}_s{seed}_{variant}"
+                    per_run = os.path.join(out, f"eval_{tag}.json")
+                    if os.path.exists(per_run):  # resume: already measured
+                        results[key] = json.load(open(per_run))
+                        print(f"[eval] {key}: done, skipping", flush=True)
+                        continue
+                    ckpt = os.path.join(out, f"ckpt_{split}_{method}_s{seed}")
+                    log = os.path.join(out, f"eval_{tag}.log")
+                    cmd = [sys.executable, "-m", "arp_tpu.train.eval",
+                           f"--checkpoint_dir={ckpt}",
+                           f"--num_test_episodes={episodes or cfg['episodes']}",
+                           f"--eval_parallel_envs={cfg['parallel_envs']}",
+                           # shared held-out initial states + goal frames:
+                           # every method restores the same episodes via
+                           # set_state
+                           f"--eval_data_path={eval_dir}",
+                           "--eval_data_name=data_train.hdf5",
+                           f"--logging.output_dir={os.path.join(out, 'logs')}",
+                           ] + common_flags(split, cfg, out, seed) \
+                             + method_flags(method, spec) + extra
+                    if (method == "arpdt" and expert_rtg is not None
+                            and not any(a.startswith("--return_to_go") for a in extra)):
+                        # condition on an expert-level return (see
+                        # separation_report), not the noisy dataset max
+                        cmd.append(f"--return_to_go={expert_rtg}")
+                    print(f"[eval] {key}", flush=True)
+                    run(cmd, env, log)
+                    lines = [l for l in open(log).read().splitlines() if l.startswith("{")]
+                    results[key] = ast.literal_eval(lines[-1])
+                    with open(per_run, "w") as f:
+                        json.dump(results[key], f, indent=1)
     with open(os.path.join(out, "eval_raw.json"), "w") as f:
         json.dump(results, f, indent=1)
     return results

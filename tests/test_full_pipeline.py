@@ -91,6 +91,8 @@ def test_five_stage_pipeline(tmp_path):
         f"--checkpoint_dir={ckpt_dir}", "--num_test_episodes=1", "--episode_length=6",
         "--use_vl=True", "--vl_type=clip", "--use_crop=False", "--game_name=coinrun",
         "--eval_env=fake", "--window_size=4",
+        # seeded temperature sampling (round-5 ordering-eval decode path)
+        "--eval_temperature=0.7",
         "--model.model_type=vit_debug", "--model.transfer_type=none",
         "--model.emb_dim=32", "--model.depth=2", "--model.num_heads=4",
         "--model.mlp_ratio=2", "--model.num_ensembles=2",

@@ -92,6 +92,32 @@ def test_greedy_action_discrete():
     assert ret.shape == (2, WINDOW, 1)
 
 
+def test_sample_action_temperature():
+    """sample_action: greedy limit at T->0, reproducible per key, and actually
+    stochastic at high temperature (the round-4 ordering eval needs
+    non-degenerate decode — see BasePolicy.sample_action)."""
+    rng = np.random.default_rng(7)
+    batch = make_batch(rng, batch_size=8)
+    model = ARPDT(config_updates=base_config(), num_actions=15, patch_dim=PATCH)
+    rngs = {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)}
+    params = model.init(rngs, batch, deterministic=True)["params"]
+    greedy = model.apply({"params": params}, batch, method=model.greedy_action)
+
+    key = jax.random.PRNGKey(42)
+    cold = model.apply({"params": params}, batch, key, 1e-4, method=model.sample_action)
+    np.testing.assert_array_equal(np.asarray(cold), np.asarray(greedy))
+
+    hot1 = model.apply({"params": params}, batch, key, 50.0, method=model.sample_action)
+    hot1b = model.apply({"params": params}, batch, key, 50.0, method=model.sample_action)
+    np.testing.assert_array_equal(np.asarray(hot1), np.asarray(hot1b))  # seeded
+    hots = [
+        np.asarray(model.apply({"params": params}, batch, jax.random.PRNGKey(k), 50.0,
+                               method=model.sample_action))
+        for k in range(5)
+    ]
+    assert any(not np.array_equal(hots[0], h) for h in hots[1:]), "high-T samples never varied"
+
+
 def test_arpdt_trains():
     """A few adamw steps must reduce the action CE loss on a fixed batch."""
     rng = np.random.default_rng(3)
