@@ -578,26 +578,82 @@ def stage_eval(out, cfg, seeds, device="cpu"):
 # -- stage: report ---------------------------------------------------------------
 
 
-def stage_report(out, seeds):
+RTG_PROBE_ORDER = ("anti", "zero", "expert_p90", "expert_2x")
+
+
+def stage_report(out, seeds, window=None):
     with open(os.path.join(out, "eval_raw.json")) as f:
         raw = json.load(f)
     clip_stats = {}
     cs = os.path.join(out, "clip_stats.json")
     if os.path.exists(cs):
         clip_stats = json.load(open(cs))
+    sep_path = os.path.join(out, "label_separation.json")
+    sep = json.load(open(sep_path)) if os.path.exists(sep_path) else {}
+
+    def sr(split, method, seed, variant):
+        return raw[f"{split}/{method}/s{seed}/{variant}"]["success_rate"]
 
     table = {}
     for split, sc in SPLITS.items():
         table[split] = {}
         for method in sc["methods"]:
-            sr = [raw[f"{split}/{method}/s{s}"]["success_rate"] for s in seeds]
-            ret = [raw[f"{split}/{method}/s{s}"]["return"] for s in seeds]
+            vals = {v: [sr(split, method, s, v) for s in seeds]
+                    for v in ("primary", "greedy")}
+            ret = [raw[f"{split}/{method}/s{s}/primary"]["return"] for s in seeds]
             table[split][method] = {
-                "success_rate_mean": float(np.mean(sr)),
-                "success_rate_std": float(np.std(sr)),
+                "success_rate_mean": float(np.mean(vals["primary"])),
+                "success_rate_std": float(np.std(vals["primary"])),
                 "return_mean": float(np.mean(ret)),
-                "per_seed_success": [float(x) for x in sr],
+                "per_seed_success": [float(x) for x in vals["primary"]],
+                "greedy_success_mean": float(np.mean(vals["greedy"])),
             }
+
+    # conditioning-sensitivity probes (VERDICT r4 next #2): attribute any
+    # ordering outcome to "the policy reads its conditioning token" vs not
+    probes = {}
+    if "arpdt" in SPLITS["reward"]["methods"]:
+        curves = []
+        for s in seeds:
+            curve = {name: float(sr("reward", "arpdt", s, f"rtg_{name}"))
+                     for name in RTG_PROBE_ORDER
+                     if f"reward/arpdt/s{s}/rtg_{name}" in raw}
+            curves.append(curve)
+        mean_curve = {name: float(np.mean([c[name] for c in curves]))
+                      for name in RTG_PROBE_ORDER if all(name in c for c in curves)}
+        vals = [mean_curve[n] for n in RTG_PROBE_ORDER if n in mean_curve]
+        probes["rtg_monotonicity"] = {
+            "targets": {n: (sep.get(n, {}).get("return_mean")
+                            if n == "anti" else
+                            0.0 if n == "zero" else
+                            sep.get("expert_return_p90", 0.0) * (2.0 if n == "expert_2x" else 1.0))
+                        for n in mean_curve},
+            "mean_curve": mean_curve,
+            "per_seed": curves,
+            # the paper's mechanism predicts success increases with the
+            # conditioning target up to the expert level
+            "responds": bool(len(vals) >= 2 and vals[-2] > vals[0]),
+            "monotone_pairs": float(np.mean([vals[i + 1] >= vals[i]
+                                             for i in range(len(vals) - 1)])) if len(vals) > 1 else None,
+        }
+    goalswap = {}
+    for split, sc in SPLITS.items():
+        if "gcbc" not in sc["methods"]:
+            continue
+        drops = []
+        for s in seeds:
+            k = f"{split}/gcbc/s{s}/goalswap"
+            if k in raw:
+                drops.append(float(sr(split, "gcbc", s, "primary")) - float(raw[k]["success_rate"]))
+        if drops:
+            goalswap[split] = {"true_minus_swapped_mean": float(np.mean(drops)),
+                               "per_seed": drops,
+                               # a goal-reading policy must lose success when
+                               # fed a mismatched goal frame
+                               "reads_goal": bool(np.mean(drops) > 0)}
+    if goalswap:
+        probes["goal_swap"] = goalswap
+
     ordering = {
         "reward_split_arpdt_gt_bc": table.get("reward", {}).get("arpdt", {}).get(
             "success_rate_mean", 0.0) > table.get("reward", {}).get("bc", {}).get(
@@ -606,21 +662,64 @@ def stage_report(out, seeds):
             "success_rate_mean", 0.0) > table.get("goal", {}).get("bc", {}).get(
             "success_rate_mean", 1.0),
     }
-    results = {"table": table, "ordering": ordering, "clip": clip_stats,
-               "seeds": list(seeds), "config": {"grid": GRID, "image": IMG,
-                                                "episode_length": EP_LEN}}
+    results = {"table": table, "ordering": ordering, "probes": probes,
+               "clip": clip_stats, "seeds": list(seeds),
+               "config": {"grid": GRID, "image": IMG, "episode_length": EP_LEN,
+                          "window": window,
+                          "eval_temperature": EVAL_TEMPERATURE,
+                          "episodes": FULL["episodes"]}}
     with open(os.path.join(out, "results.json"), "w") as f:
         json.dump(results, f, indent=1)
 
-    print("\n| Split | Method | Success rate | Return | Seeds |")
-    print("|---|---|---|---|---|")
-    for split, methods in table.items():
-        for m, r in methods.items():
-            print(f"| {split} | {m} | {r['success_rate_mean']:.3f} "
-                  f"± {r['success_rate_std']:.3f} | {r['return_mean']:.2f} | {len(seeds)} |")
-    print(f"\nordering checks: {ordering}")
+    print(render_results_markdown(results))
     print(f"results written to {os.path.join(out, 'results.json')}")
     return results
+
+
+def render_results_markdown(results):
+    """The committed results table (docs/STUB_BENCHMARK.md) is GENERATED from
+    results.json by this function — docs cannot drift from artifacts."""
+    seeds = results["seeds"]
+    lines = ["| Split | Method | Success (sampled T=%.1f) | Greedy | Return | Seeds |"
+             % results["config"].get("eval_temperature", 0.0),
+             "|---|---|---|---|---|---|"]
+    for split, methods in results["table"].items():
+        for m, r in methods.items():
+            lines.append(
+                f"| {split} | {m} | {r['success_rate_mean']:.3f} ± {r['success_rate_std']:.3f} "
+                f"| {r.get('greedy_success_mean', float('nan')):.3f} "
+                f"| {r['return_mean']:.2f} | {len(seeds)} |")
+    o = results["ordering"]
+    lines.append("")
+    lines.append(f"Ordering: reward-split ARPDT > BC = **{o['reward_split_arpdt_gt_bc']}**, "
+                 f"goal-split GCBC > BC = **{o['goal_split_gcbc_gt_bc']}**.")
+    p = results.get("probes", {})
+    if "rtg_monotonicity" in p:
+        mc = p["rtg_monotonicity"]["mean_curve"]
+        curve = " → ".join(f"{k}:{v:.3f}" for k, v in mc.items())
+        lines.append(f"ARPDT rtg-conditioning curve (mean success): {curve} "
+                     f"(responds: **{p['rtg_monotonicity']['responds']}**).")
+    for split, g in p.get("goal_swap", {}).items():
+        lines.append(f"GCBC goal-swap drop ({split} split): "
+                     f"{g['true_minus_swapped_mean']:+.3f} "
+                     f"(reads goal: **{g['reads_goal']}**).")
+    return "\n".join(lines)
+
+
+def write_docs_table(results, docs_path):
+    """Substitute the generated table between the RESULTS_TABLE markers."""
+    begin, end = "<!-- RESULTS_TABLE -->", "<!-- /RESULTS_TABLE -->"
+    text = open(docs_path).read()
+    if begin not in text:
+        raise SystemExit(f"{docs_path} has no {begin} marker")
+    if end not in text:  # legacy single dead marker: make it a region
+        text = text.replace(begin, begin + "\n" + end)
+    head, rest = text.split(begin, 1)
+    _, tail = rest.split(end, 1)
+    block = render_results_markdown(results)
+    with open(docs_path, "w") as f:
+        f.write(head + begin + "\n" + block + "\n" + end + tail)
+    print(f"[report] wrote results table into {docs_path}")
 
 
 def main():
@@ -640,6 +739,9 @@ def main():
                    help="reuse the collect/clip/label artifacts of another "
                         "--output dir (symlinked): demos/eval datasets and the "
                         "trained reward model are window-independent")
+    p.add_argument("--write_docs", default=None,
+                   help="after report: substitute the generated results table "
+                        "into this markdown file's RESULTS_TABLE region")
     p.add_argument("--smoke", action="store_true")
     args = p.parse_args()
 
@@ -675,7 +777,9 @@ def main():
         elif st == "eval":
             stage_eval(out, cfg, seeds, device=args.device)
         elif st == "report":
-            stage_report(out, seeds)
+            results = stage_report(out, seeds, window=cfg.get("window"))
+            if args.write_docs:
+                write_docs_table(results, args.write_docs)
 
 
 if __name__ == "__main__":

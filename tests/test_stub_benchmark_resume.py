@@ -62,15 +62,32 @@ def test_stage_train_skips_done_runs(tmp_path, monkeypatch):
     assert launched == []
 
 
+def _variant_matrix(mod, seeds, sep):
+    return [(split, method, seed, variant)
+            for split, sc in mod.SPLITS.items()
+            for method in sc["methods"] for seed in seeds
+            for variant, _, _ in mod.eval_variants(split, method, sep)]
+
+
 def test_stage_eval_resumes_from_sidecars(tmp_path, monkeypatch):
     mod = _load_module()
     seeds = [0]
-    matrix = _matrix(mod, seeds)
+    sep = {"expert_return_p90": 70.0,
+           "anti": {"return_mean": -556.0}, "random": {"return_mean": -203.0}}
+    with open(tmp_path / "label_separation.json", "w") as f:
+        json.dump(sep, f)
+    matrix = _variant_matrix(mod, seeds, sep)
+    # every (split, method, seed) has a sampled primary + greedy variant,
+    # arpdt additionally the 4-point rtg sweep, gcbc the goal-swap probe
+    assert ("reward", "arpdt", 0, "primary") in matrix
+    assert ("reward", "arpdt", 0, "rtg_anti") in matrix
+    assert ("goal", "gcbc", 0, "goalswap") in matrix
+    assert len(matrix) == 5 * 2 + 4 + 2  # 5 runs x {primary,greedy} + sweep + 2 gcbc swaps
 
     # pre-measured result for the first run
-    split0, method0, seed0 = matrix[0]
+    split0, method0, seed0, variant0 = matrix[0]
     done = {"success_rate": 0.75, "return": 1.25}
-    with open(tmp_path / f"eval_{split0}_{method0}_s{seed0}.json", "w") as f:
+    with open(tmp_path / f"eval_{split0}_{method0}_s{seed0}_{variant0}.json", "w") as f:
         json.dump(done, f)
 
     launched = []
@@ -83,14 +100,64 @@ def test_stage_eval_resumes_from_sidecars(tmp_path, monkeypatch):
     monkeypatch.setattr(mod, "run", fake_run)
     results = mod.stage_eval(str(tmp_path), mod.SMOKE, seeds)
 
-    key0 = f"{split0}/{method0}/s{seed0}"
+    key0 = f"{split0}/{method0}/s{seed0}/{variant0}"
     assert results[key0] == done  # loaded from the sidecar, not re-run
-    assert f"eval_{split0}_{method0}_s{seed0}.log" not in launched
+    assert f"eval_{split0}_{method0}_s{seed0}_{variant0}.log" not in launched
     assert len(launched) == len(matrix) - 1
     # each fresh run wrote its own sidecar for the next resume
-    for split, method, seed in matrix[1:]:
-        sidecar = tmp_path / f"eval_{split}_{method}_s{seed}.json"
+    for split, method, seed, variant in matrix[1:]:
+        sidecar = tmp_path / f"eval_{split}_{method}_s{seed}_{variant}.json"
         assert json.load(open(sidecar)) == {"success_rate": 0.5, "return": 0.0}
     # aggregate artifact exists and covers the whole matrix
     raw = json.load(open(tmp_path / "eval_raw.json"))
-    assert set(raw) == {f"{s}/{m}/s{d}" for s, m, d in matrix}
+    assert set(raw) == {f"{s}/{m}/s{d}/{v}" for s, m, d, v in matrix}
+
+
+def test_stage_report_table_probes_and_docs(tmp_path):
+    """stage_report aggregates variants into table + probes, and
+    write_docs_table substitutes the generated markdown into the doc's
+    RESULTS_TABLE region (docs cannot drift from artifacts)."""
+    mod = _load_module()
+    seeds = [0, 1]
+    sep = {"expert_return_p90": 70.0,
+           "anti": {"return_mean": -556.0}, "random": {"return_mean": -203.0}}
+    with open(tmp_path / "label_separation.json", "w") as f:
+        json.dump(sep, f)
+
+    sr = {"primary": {"arpdt": 0.6, "bc": 0.2, "gcbc": 0.3},
+          "greedy": {"arpdt": 0.5, "bc": 0.2, "gcbc": 0.25}}
+    raw = {}
+    for split, sc in mod.SPLITS.items():
+        for method in sc["methods"]:
+            for s in seeds:
+                for variant, _, _ in mod.eval_variants(split, method, sep):
+                    if variant.startswith("rtg_"):
+                        v = {"rtg_anti": 0.1, "rtg_zero": 0.2,
+                             "rtg_expert_p90": 0.55, "rtg_expert_2x": 0.5}[variant]
+                    elif variant == "goalswap":
+                        v = 0.1
+                    else:
+                        v = sr[variant][method]
+                    raw[f"{split}/{method}/s{s}/{variant}"] = {
+                        "success_rate": v, "return": v * 10, "episode_length": 20.0}
+    with open(tmp_path / "eval_raw.json", "w") as f:
+        json.dump(raw, f)
+
+    results = mod.stage_report(str(tmp_path), seeds, window=1)
+    assert results["ordering"] == {"reward_split_arpdt_gt_bc": True,
+                                   "goal_split_gcbc_gt_bc": True}
+    probe = results["probes"]["rtg_monotonicity"]
+    assert probe["responds"] is True  # 0.55 @ p90 > 0.1 @ anti
+    assert probe["mean_curve"]["rtg_anti".removeprefix("rtg_")] == 0.1
+    swap = results["probes"]["goal_swap"]["goal"]
+    assert swap["reads_goal"] is True and swap["true_minus_swapped_mean"] > 0
+
+    doc = tmp_path / "DOC.md"
+    doc.write_text("# title\n\n<!-- RESULTS_TABLE -->\n\ntail\n")
+    mod.write_docs_table(results, str(doc))
+    text = doc.read_text()
+    assert "| reward | arpdt | 0.600" in text and "tail" in text
+    assert text.count("<!-- RESULTS_TABLE -->") == 1
+    # idempotent: a re-run replaces the region instead of appending
+    mod.write_docs_table(results, str(doc))
+    assert doc.read_text().count("| reward | arpdt | 0.600") == 1
