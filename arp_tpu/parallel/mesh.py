@@ -138,6 +138,10 @@ def batch_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
 _TP_COL_RULES = (r".*qkv/kernel$", r".*fc1/kernel$", r".*/query/kernel$", r".*/key/kernel$", r".*/value/kernel$")
 _TP_ROW_RULES = (r".*attn_out/kernel$", r".*fc2/kernel$", r".*/out/kernel$")
 
+# ZeRO-3 fallback floor: leaves below this many elements (16 KB at f32) are
+# replicated instead of fsdp-sharded — see the comment in _spec_for.
+_FSDP_MIN_ELEMENTS = 4096
+
 
 def _spec_for(path: str, shape: tuple[int, ...], dp: int, fsdp: int, tp: int) -> P:
     if "stacked_blocks" in path:
@@ -158,8 +162,14 @@ def _spec_for(path: str, shape: tuple[int, ...], dp: int, fsdp: int, tp: int) ->
                 if fsdp > 1 and shape[-1] % fsdp == 0:
                     spec[-1] = "fsdp"
                 return P(*spec)
-    if fsdp > 1 and len(shape) >= 1:
-        # Shard the largest divisible dim over fsdp (ZeRO-3 style).
+    if fsdp > 1 and len(shape) >= 1 and int(np.prod(shape)) >= _FSDP_MIN_ELEMENTS:
+        # Shard the largest divisible dim over fsdp (ZeRO-3 style).  Tiny
+        # leaves stay replicated: sharding a KB-sized kernel saves nothing
+        # and, when the sharded dim is a dense CONTRACTING dim (e.g. the
+        # 32x32 AdapterMLP kernels), GSPMD reshards the batch-sharded
+        # activation onto the transposed fsdp axis to match — an
+        # "involuntary full rematerialization" (measured in the round-4
+        # flagship dryrun, MULTICHIP_r04.json).
         order = sorted(range(len(shape)), key=lambda i: -shape[i])
         for i in order:
             if shape[i] >= fsdp and shape[i] % fsdp == 0:

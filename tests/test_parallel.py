@@ -42,15 +42,20 @@ def test_partition_params_tp_rules():
             "attn": {"qkv": {"kernel": jnp.zeros((128, 384))}, "attn_out": {"kernel": jnp.zeros((128, 128))}},
             "mlp": {"fc1": {"kernel": jnp.zeros((128, 512))}, "fc2": {"kernel": jnp.zeros((512, 128))}},
         },
-        "head": {"kernel": jnp.zeros((128, 3)), "bias": jnp.zeros((3,))},
+        "head": {"kernel": jnp.zeros((128, 64)), "bias": jnp.zeros((3,))},
+        # below the ZeRO-3 floor (_FSDP_MIN_ELEMENTS): must stay replicated —
+        # fsdp-sharding a 32x32 contracting dim provoked GSPMD involuntary
+        # full rematerialization in the round-4 flagship dryrun
+        "adapter": {"kernel": jnp.zeros((32, 32))},
     }
     sh = partition_params(params, mesh)
     assert sh["blocks_0"]["attn"]["qkv"]["kernel"].spec == P("fsdp", "tp")
     assert sh["blocks_0"]["mlp"]["fc1"]["kernel"].spec == P("fsdp", "tp")
     assert sh["blocks_0"]["mlp"]["fc2"]["kernel"].spec == P("tp", "fsdp")
     assert sh["blocks_0"]["attn"]["attn_out"]["kernel"].spec == P("tp", "fsdp")
-    assert sh["head"]["kernel"].spec == P("fsdp", None)
+    assert sh["head"]["kernel"].spec == P("fsdp", None)  # 8192 elems >= floor
     assert sh["head"]["bias"].spec == P()
+    assert sh["adapter"]["kernel"].spec == P()  # 1024 elems < floor
 
 
 def test_train_step_dp_matches_single_device():
