@@ -123,6 +123,15 @@ class ClipRewardEngine:
         self.image_size = image_size or clip_models.IMAGE_RESOLUTION.get(model_name, 224)
         self.compute_dtype = compute_dtype
         self._tokenizer = tokenizer
+        # machine-checkable numeric-path provenance (stamped onto labeled
+        # datasets): the measured defaults of the packed knobs have flipped
+        # between rounds, so "which recipe produced these rewards" must be
+        # recorded on the artifact, not inferred from CLI flags
+        self._recipe = (
+            f"flax;{jnp.dtype(compute_dtype).name}"
+            f";score={'bfloat16' if score_bf16 else 'float32'}"
+            f";resize={resize_mode};crop={int(use_crop)};wq={int(quantize_weights)}"
+        )
 
         model = self.model
         img_size = self.image_size
@@ -238,6 +247,11 @@ class ClipRewardEngine:
             if fast_int8_attn is None:
                 fast_int8_attn = True  # round-4 measured default
             int8_attn = bool(fast_int8_attn) and bool(fast_int8)
+            self._recipe = (
+                f"packed;{'int8' if fast_int8 else jnp.dtype(fast_dtype).name}"
+                f";score={jnp.dtype(score_dtype).name};int8_attn={int(int8_attn)}"
+                f";resize={resize_mode};crop={int(use_crop)}"
+            )
 
             @jax.jit
             def _encode_fast_int8(qpacked, frames, normalize):
@@ -422,6 +436,15 @@ class ClipRewardEngine:
         for injected tokenizers without identity metadata."""
         tok = getattr(self.tokenizer, "tokenizer", None)
         return getattr(tok, "identity", None) or "custom"
+
+    @property
+    def encode_recipe(self) -> str:
+        """Provenance string for the numeric path that produces rewards:
+        compute path (flax/packed), dtype/int8, score dtype, int8_attn,
+        resize mode, crop.  Stamped onto labeled datasets so reward
+        provenance stays machine-checkable across measured-default flips
+        (e.g. fast_score_bf16/int8_attn None -> True in round 4)."""
+        return self._recipe
 
     # -- feature extraction ---------------------------------------------------
 

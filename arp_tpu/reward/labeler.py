@@ -168,7 +168,13 @@ def label_rewards(
         for img_key in image_keys.split(", "):
             t0 = time.time()
             rewards = np.zeros(n_rows, np.float32)
-            if goal_conditioned:
+            if n_rows == 0:
+                # a skewed multi-host split (num_hosts > trajectory count)
+                # can leave a shard empty: skip the engine (its batcher
+                # rejects zero-length windows) but still fall through so the
+                # (empty) sidecar is written — --merge requires every shard
+                pass
+            elif goal_conditioned:
                 # per-trajectory goals: the engine needs traj boundaries
                 for i in range(traj_lo, traj_hi):
                     traj = slice(traj_idx[i], min(traj_idx[i + 1], len_data))
@@ -209,6 +215,8 @@ def label_rewards(
                     else:
                         g[key][...] = data
                     g[key].attrs["tokenizer_identity"] = identity
+                    g[key].attrs["encode_recipe"] = getattr(
+                        engine, "encode_recipe", "custom")
             else:
                 shard_payload[f"{img_key}__reward"] = reward_rows
                 shard_payload[f"{img_key}__rtg"] = rtg_rows
@@ -230,6 +238,7 @@ def label_rewards(
                 image_keys=image_keys,
                 target_keys=np.asarray(target_keys),
                 tokenizer_identity=identity,
+                encode_recipe=getattr(engine, "encode_recipe", "custom"),
                 **shard_payload,
             )
         stats["fps"] = stats["frames"] / max(stats["seconds"], 1e-9)
@@ -251,30 +260,69 @@ def merge_reward_shards(data_path: str, model_type: str = "clip",
     if inst_type != "none":
         target_keys = [f"{k}_{inst_type}" for k in target_keys]
 
-    first = np.load(_shard_path(data_path, target_keys[0], 0), allow_pickle=False)
+    def load_shard(h):
+        path = _shard_path(data_path, target_keys[0], h)
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"missing reward shard {path}: host {h} never finished "
+                f"(or wrote under different --model_type/--inst_type flags)"
+            )
+        try:
+            s = np.load(path, allow_pickle=False)
+            s.get("row_lo")  # force the zip directory read
+        except Exception as e:  # zipfile/format errors: truncated writes
+            raise ValueError(f"corrupted reward shard {path}: {e}") from e
+        return path, s
+
+    _, first = load_shard(0)
     num_hosts = int(first["num_hosts"])
     len_data = int(first["len_data"])
     num_frames = int(first["num_frames"])
     image_keys = str(first["image_keys"])
     identity = str(first["tokenizer_identity"])
+    recipe = str(first["encode_recipe"]) if "encode_recipe" in first else "custom"
 
-    shards = [first] + [
-        np.load(_shard_path(data_path, target_keys[0], h), allow_pickle=False)
-        for h in range(1, num_hosts)
-    ]
+    shards = [load_shard(h) for h in range(num_hosts)]
     covered = np.zeros(len_data, bool)
-    for s in shards:
+    for path, s in shards:
         lo, hi = int(s["row_lo"]), int(s["row_hi"])
-        assert not covered[lo:hi].any(), f"overlapping shard rows [{lo}:{hi})"
+        # every shard must agree on the file geometry and carry exactly the
+        # payload its row range promises — a truncated or foreign sidecar
+        # must be rejected here, not silently zero-fill the merged dataset
+        if (int(s["num_hosts"]), int(s["len_data"]), int(s["num_frames"])) != (
+                num_hosts, len_data, num_frames):
+            raise ValueError(
+                f"inconsistent shard {path}: (num_hosts, len_data, num_frames)="
+                f"({int(s['num_hosts'])}, {int(s['len_data'])}, {int(s['num_frames'])})"
+                f" != shard0's ({num_hosts}, {len_data}, {num_frames})"
+            )
+        for img_key in image_keys.split(", "):
+            for part in ("reward", "rtg"):
+                name = f"{img_key}__{part}"
+                if name not in s:
+                    raise ValueError(f"corrupted reward shard {path}: missing array {name}")
+                if s[name].shape != (hi - lo, num_frames):
+                    raise ValueError(
+                        f"corrupted reward shard {path}: {name} has shape "
+                        f"{s[name].shape}, expected ({hi - lo}, {num_frames}) "
+                        f"for rows [{lo}:{hi})"
+                    )
+        if covered[lo:hi].any():
+            raise ValueError(f"overlapping shard rows [{lo}:{hi}) in {path}")
         covered[lo:hi] = True
-    assert covered.all(), f"shards cover {covered.sum()}/{len_data} rows"
+    if not covered.all():
+        missing = np.nonzero(~covered)[0]
+        raise ValueError(
+            f"shards cover {int(covered.sum())}/{len_data} rows "
+            f"(first uncovered row: {int(missing[0])})"
+        )
 
     with h5py.File(data_path, "a") as g:
         for img_key in image_keys.split(", "):
             for suffix, part in zip(target_keys, ("reward", "rtg")):
                 key = f"{img_key}_{suffix}"
                 data = np.zeros((len_data, num_frames), np.float32)
-                for s in shards:
+                for _, s in shards:
                     data[int(s["row_lo"]) : int(s["row_hi"])] = s[f"{img_key}__{part}"]
                 if g.get(key) is None:
                     g.create_dataset(
@@ -284,6 +332,7 @@ def merge_reward_shards(data_path: str, model_type: str = "clip",
                 else:
                     g[key][...] = data
                 g[key].attrs["tokenizer_identity"] = identity
+                g[key].attrs["encode_recipe"] = recipe
     if cleanup:
         for h in range(num_hosts):
             os.remove(_shard_path(data_path, target_keys[0], h))
@@ -327,6 +376,11 @@ def main():
                         help="must match the collect stage (affects the dirname suffix)")
     parser.add_argument("--model_type", type=str, default="clip")
     parser.add_argument("--model_ckpt_dir", type=str, default=None)
+    parser.add_argument("--vl_checkpoint", type=str, default=None,
+                        help=".npz engine spec (ClipRewardEngine.save_npz): "
+                             "label with a trained/custom reward tower — same "
+                             "flag the eval CLIs accept, so labeling and "
+                             "online eval rewards can share one model")
     parser.add_argument("--use_crop", type=lambda s: s.lower() in ("1", "true"), default=False)
     parser.add_argument("--inst_type", type=str, default="none")
     parser.add_argument("--batch_size", type=int, default=256)
@@ -396,6 +450,19 @@ def main():
             adapter_params=adapter_params,
             batch_size=args.batch_size,
             use_crop=args.use_crop,
+            fast_encode=args.fast,
+            fast_int8=args.fast_int8,
+            fast_score_bf16=args.fast_score_bf16,
+            fast_int8_attn=args.fast_int8_attn,
+            mesh=mesh,
+        )
+    elif args.vl_checkpoint:
+        engine = ClipRewardEngine.from_npz(
+            args.vl_checkpoint,
+            batch_size=args.batch_size,
+            resize_mode=args.resize_mode,
+            use_crop=args.use_crop,
+            compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
             fast_encode=args.fast,
             fast_int8=args.fast_int8,
             fast_score_bf16=args.fast_score_bf16,
