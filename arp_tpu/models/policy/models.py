@@ -412,10 +412,14 @@ class BasePolicy(nn.Module):
 
         return extract_patches(x, self.patch_dim)
 
-    def _apply_adapter(self, emb):
-        adapter = AdapterMLP(hidden_dim=emb.shape[-1], output_dim=emb.shape[-1], num_layers=2)
+    def _apply_adapter(self, *embs):
+        """Gated adapter on one or more same-width embeddings; multiple
+        arrays share ONE adapter module (cached GCBC runs obs and goal
+        halves through the same params — one frozen-encoder output space)."""
+        adapter = AdapterMLP(hidden_dim=embs[0].shape[-1], output_dim=embs[0].shape[-1], num_layers=2)
         res = nn.sigmoid(self.residual_weight)
-        return res * adapter(emb) + (1 - res) * emb
+        out = tuple(res * adapter(e) + (1 - res) * e for e in embs)
+        return out[0] if len(out) == 1 else out
 
     def _frozen_clip_apply(self, method, x):
         """Run the frozen CLIP tower, honoring ``compute_dtype`` /
@@ -524,9 +528,7 @@ class BasePolicy(nn.Module):
             # flow as the live clip path (adapter / text concat / tanh proj)
             emb = jnp.asarray(list(batch["image_emb"].values())).astype(jnp.float32)
             img_emb = emb.reshape((-1, emb.shape[-1]))
-            if cfg.use_adapter:
-                img_emb = self._apply_adapter(img_emb)
-            img_emb = concat_multiple_image_emb(img_emb)
+            goal_emb = None
             if self.use_goal:
                 # separate-encode goal conditioning: the cached embedding at
                 # the sampled hindsight-goal step, concatenated per timestep
@@ -537,8 +539,20 @@ class BasePolicy(nn.Module):
                     "data/cache_embeddings.py if the cache predates them)"
                 )
                 gemb = jnp.asarray(list(batch["goal_emb"].values())).astype(jnp.float32)
-                goal_emb = concat_multiple_image_emb(gemb.reshape((-1, gemb.shape[-1])))
-                img_emb = jnp.concatenate([img_emb, goal_emb], axis=-1)
+                goal_emb = gemb.reshape((-1, gemb.shape[-1]))
+            if cfg.use_adapter:
+                # both halves of the conditioning vector must live in the
+                # SAME embedding space: one shared adapter transforms obs AND
+                # goal embeddings (adapted-obs ++ raw-goal was incoherent)
+                if goal_emb is not None:
+                    img_emb, goal_emb = self._apply_adapter(img_emb, goal_emb)
+                else:
+                    img_emb = self._apply_adapter(img_emb)
+            img_emb = concat_multiple_image_emb(img_emb)
+            if goal_emb is not None:
+                img_emb = jnp.concatenate(
+                    [img_emb, concat_multiple_image_emb(goal_emb)], axis=-1
+                )
             # text conditioning in cached mode exists only when setup built
             # the CLIP text tower (use_text + clip_*_cached); BC/GCBC batches
             # always carry instruct ids, so gate on the config, not on `text`
@@ -880,6 +894,8 @@ def build_frozen_qpack(
     image_size: int = 256,
     use_goal: bool = False,
     m3ae_loader=None,
+    amax=None,
+    return_amax: bool = False,
 ):
     """Calibrate the int8 pack for a frozen_int8 policy from REAL frames.
 
@@ -890,6 +906,12 @@ def build_frozen_qpack(
     activation distribution the in-step encode sees; the pack's 5% margin
     covers augmentation jitter (same recipe as the reward engine's lazy int8
     calibration).  Returns the qpack to pass as the policy's ``frozen_qpack``.
+
+    ``amax``: previously-saved calibration scales (see train/common.py
+    ``save_frozen_amax``) — skips calibration so a restored checkpoint sees
+    the SAME frozen-tower numerics it trained with instead of recalibrating
+    on whatever batch the eval process sampled.  ``return_amax=True``
+    additionally returns the (host) amax tree for persisting.
     """
     from ...ops import m3ae_infer
     from ...ops.augment import make_eval_transform
@@ -902,6 +924,11 @@ def build_frozen_qpack(
     sub = cfg.m3ae if tt.startswith("m3ae") else cfg.mae
     loader = m3ae_loader or m3ae_lib.load_m3ae_model_vars
     variables = loader(tt.split("_", 1)[1])
+
+    if amax is not None:
+        packed = m3ae_infer.pack_m3ae_params(variables, sub.depth)
+        qpack = m3ae_infer.quantize_m3ae_packed(packed, amax)
+        return (qpack, amax) if return_amax else qpack
 
     transform = make_eval_transform(image_size=image_size)
 
@@ -927,4 +954,5 @@ def build_frozen_qpack(
     return m3ae_infer.build_m3ae_qpack(
         variables, sub.depth, sub.num_heads, patch,
         text_ids=text_ids, text_padding_mask=pad, goal_patch=goal,
+        return_amax=return_amax,
     )

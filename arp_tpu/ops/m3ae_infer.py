@@ -350,6 +350,7 @@ def build_m3ae_qpack(
     text_padding_mask=None,
     goal_patch=None,
     margin: float = 1.05,
+    return_amax: bool = False,
 ):
     """pack -> calibrate (jitted, on real frames) -> quantize, in one call.
 
@@ -359,7 +360,8 @@ def build_m3ae_qpack(
     calibration in reward/engine.py).
     """
     packed = pack_m3ae_params(variables, depth)
-    amax = jax.jit(calibrate_m3ae, static_argnums=(2,))(
+    amax = jax.device_get(jax.jit(calibrate_m3ae, static_argnums=(2,))(
         packed, sample_patch, num_heads, text_ids, text_padding_mask, goal_patch
-    )
-    return quantize_m3ae_packed(packed, jax.device_get(amax), margin=margin)
+    ))
+    qpack = quantize_m3ae_packed(packed, amax, margin=margin)
+    return (qpack, amax) if return_amax else qpack

@@ -35,25 +35,77 @@ def build_model(flags_obj, num_actions: int, mesh=None, frozen_qpack=None):
     )
 
 
-def maybe_build_frozen_qpack(flags_obj, sample_batch, use_goal: bool):
+def _frozen_amax_path(checkpoint_dir: str) -> str:
+    return os.path.join(checkpoint_dir, "frozen_int8_amax.npz")
+
+
+def save_frozen_amax(checkpoint_dir: str, amax) -> str:
+    """Persist frozen_int8 calibration scales next to the checkpoint.
+
+    The scales are a handful of scalars per layer (KBs); saving them means a
+    restored checkpoint rebuilds the EXACT int8 pack it trained with instead
+    of recalibrating on whatever batch the restoring process sampled
+    (ADVICE r4: eval recalibrated on batch<=8/shuffle=False and saw slightly
+    different frozen-tower numerics than training)."""
+    import numpy as np
+
+    path = _frozen_amax_path(checkpoint_dir)
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    np.savez(path, img=np.asarray(amax["img"]),
+             **{f"layers/{k}": np.asarray(v) for k, v in amax["layers"].items()})
+    return path
+
+
+def load_frozen_amax(checkpoint_dir: str):
+    """Saved calibration scales, or None when absent (pre-round-5 runs)."""
+    import numpy as np
+
+    path = _frozen_amax_path(checkpoint_dir)
+    if not checkpoint_dir or not os.path.exists(path):
+        return None
+    with np.load(path) as z:
+        return {
+            "img": z["img"],
+            "layers": {k.split("/", 1)[1]: z[k] for k in z.files if k.startswith("layers/")},
+        }
+
+
+def maybe_build_frozen_qpack(flags_obj, sample_batch, use_goal: bool,
+                             checkpoint_dir: str = "", save: bool = False):
     """Calibrated int8 pack for --model.frozen_int8 (None otherwise).
 
     ``sample_batch`` must be a REAL host batch (the int8 activation scales
     calibrate on it; see models/policy/models.py::build_frozen_qpack).
+    With ``checkpoint_dir``: reuse its saved calibration scales when present
+    (training-time numerics win over a fresh sample); with ``save``: persist
+    freshly-calibrated scales there for future restores.
     """
     if not flags_obj.model.get("frozen_int8", False) or flags_obj.model.use_from_scratch:
         return None
     from ..models.policy import build_frozen_qpack
 
-    transfer = flags_obj.model.transfer_type
     image_size = 256
     if getattr(flags_obj, "encode_image_size", 0) > 0:
         image_size = flags_obj.encode_image_size
+
+    amax = load_frozen_amax(checkpoint_dir)
+    if amax is not None:
+        absl_logging.info(
+            "frozen_int8: rebuilding the pack from saved calibration scales (%s)",
+            _frozen_amax_path(checkpoint_dir),
+        )
+        return build_frozen_qpack(
+            flags_obj.model, sample_batch, flags_obj.patch_dim,
+            image_size=image_size, use_goal=use_goal, amax=amax,
+        )
     absl_logging.info("frozen_int8: calibrating the packed encoder on a real batch")
-    return build_frozen_qpack(
+    qpack, amax = build_frozen_qpack(
         flags_obj.model, sample_batch, flags_obj.patch_dim,
-        image_size=image_size, use_goal=use_goal,
+        image_size=image_size, use_goal=use_goal, return_amax=True,
     )
+    if save and checkpoint_dir:
+        save_frozen_amax(checkpoint_dir, amax)
+    return qpack
 
 
 def build_lr_schedule(flags_obj, steps_per_epoch: int, total_steps: int, lr_scale: float = 1.0):

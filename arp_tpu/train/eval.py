@@ -99,7 +99,11 @@ def main(argv):
         loader = DataLoader(train_dataset, batch_size=min(8, len(train_dataset)),
                             shuffle=False, num_workers=0, seed=FLAGS.seed)
         sample = _host_batch_to_arrays(next(iter(loader)), FLAGS.use_text, use_goal)
-        frozen_qpack = maybe_build_frozen_qpack(FLAGS, sample, use_goal)
+        # prefer the scales the TRAINING run saved (same frozen-tower
+        # numerics as the checkpoint); recalibrate only when absent
+        frozen_qpack = maybe_build_frozen_qpack(
+            FLAGS, sample, use_goal, checkpoint_dir=FLAGS.checkpoint_dir
+        )
     model = build_model(FLAGS, train_dataset.num_actions, frozen_qpack=frozen_qpack)
 
     # restore params

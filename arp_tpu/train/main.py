@@ -257,7 +257,11 @@ def main(argv):
         from .common import maybe_build_frozen_qpack
 
         sample = _host_batch_to_arrays(next(iter(train_loader)), use_text, use_goal)
-        frozen_qpack = maybe_build_frozen_qpack(FLAGS, sample, use_goal)
+        # persist the calibration scales next to the checkpoint: a restore
+        # (resume or eval) rebuilds this exact pack instead of recalibrating
+        frozen_qpack = maybe_build_frozen_qpack(
+            FLAGS, sample, use_goal, checkpoint_dir=FLAGS.checkpoint_dir, save=True
+        )
     model = build_model(FLAGS, train_dataset.num_actions, mesh=mesh, frozen_qpack=frozen_qpack)
     learning_rate = build_lr_schedule(FLAGS, steps_per_epoch, total_steps, lr_scale)
     tx = build_optimizer(FLAGS, learning_rate, model)

@@ -130,7 +130,44 @@ def test_cached_gcbc_goal_embeddings(tmp_path, tiny_engine):
     assert not np.allclose(np.asarray(out["action_pred"]), np.asarray(out2["action_pred"]))
 
 
-def test_cached_gcbc_requires_goal_emb(tmp_path, tiny_engine):
+def test_cached_gcbc_adapter_covers_goal_embeddings():
+    """ADVICE r4 #4: with use_adapter, BOTH halves of the conditioning
+    vector (obs emb ++ goal emb) must pass through the shared adapter —
+    otherwise they live in different embedding spaces.  Captured adapter
+    intermediates must show two calls (obs, goal) with the goal half's
+    output actually consumed (zeroing the adapter gate changes predictions
+    differently for obs-only vs obs+goal coverage)."""
+    from arp_tpu.models.policy import GCBC
+
+    rng = np.random.default_rng(9)
+    W, D = 2, 64
+    batch = {
+        "image_emb": {"ob": jnp.asarray(rng.normal(size=(2, W, D)).astype(np.float32))},
+        "goal_emb": {"ob": jnp.asarray(rng.normal(size=(2, W, D)).astype(np.float32))},
+        "rtg": {"ob": jnp.asarray(rng.normal(size=(2, W, 1)).astype(np.float32))},
+        "action": jnp.asarray(rng.integers(0, 15, size=(2, W)).astype(np.int32)),
+        "instruct": None, "text_padding_mask": None,
+    }
+    model = GCBC(
+        config_updates=dict(
+            model_type="vit_debug", transfer_type="clip_vit_b16_cached",
+            emb_dim=32, depth=2, num_heads=4, mlp_ratio=2,
+            use_discrete_action=True, num_ensembles=2, use_adapter=True,
+        ),
+        num_actions=15, patch_dim=16,
+    )
+    rngs = {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1),
+            "dropout": jax.random.PRNGKey(2)}
+    params = model.init(rngs, batch, deterministic=True)["params"]
+    _, state = model.apply(
+        {"params": params}, batch, deterministic=True,
+        capture_intermediates=lambda mdl, _: "AdapterMLP" in type(mdl).__name__,
+        mutable=["intermediates"],
+    )
+    calls = state["intermediates"]["AdapterMLP_0"]["__call__"]
+    assert len(calls) == 2, f"adapter must run on obs AND goal embeddings, saw {len(calls)}"
+    rows = {c.shape[0] for c in calls}
+    assert rows == {2 * W}, rows  # one (B*T)-row pass per half
     from arp_tpu.models.policy import GCBC
     import pytest
 

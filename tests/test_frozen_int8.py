@@ -219,6 +219,43 @@ def test_build_frozen_qpack_end_to_end(frozen_m3ae_loader):
     assert _cos(out_ref["action_pred"], out["action_pred"]) > 0.95
 
 
+def test_amax_save_load_rebuilds_identical_qpack(frozen_m3ae_loader, tmp_path):
+    """Persisted calibration scales (ADVICE r4 #3): rebuilding the pack from
+    saved amaxes is bit-identical to the original calibration-time pack, even
+    when no calibration batch statistics are available at restore time."""
+    from arp_tpu.train.common import load_frozen_amax, save_frozen_amax
+
+    rng = np.random.default_rng(16)
+    frames = rng.integers(0, 255, size=(2, WINDOW, IMG, IMG, 3)).astype(np.uint8)
+    raw_batch = {
+        "image": {"ob": jnp.asarray(frames)},
+        "rtg": {"ob": jnp.asarray(rng.normal(size=(2, WINDOW, 1)).astype(np.float32))},
+        "action": jnp.asarray(rng.integers(0, 15, size=(2, WINDOW)).astype(np.int32)),
+        "goal": None, "instruct": None, "text_padding_mask": None,
+    }
+    cfg = _base(frozen_int8=True)
+    qpack, amax = build_frozen_qpack(cfg, raw_batch, PATCH, image_size=IMG, return_amax=True)
+
+    save_frozen_amax(str(tmp_path), amax)
+    loaded = load_frozen_amax(str(tmp_path))
+    assert loaded is not None and set(loaded["layers"]) == set(amax["layers"])
+
+    # a DIFFERENT (would-be recalibration) batch must not matter: the pack is
+    # rebuilt purely from the stored scales
+    other_batch = dict(raw_batch, image={"ob": jnp.asarray(
+        rng.integers(0, 255, size=(2, WINDOW, IMG, IMG, 3)).astype(np.uint8))})
+    qpack2 = build_frozen_qpack(cfg, other_batch, PATCH, image_size=IMG, amax=loaded)
+
+    flat1 = jax.tree_util.tree_leaves_with_path(qpack)
+    flat2 = jax.tree_util.tree_leaves_with_path(qpack2)
+    assert len(flat1) == len(flat2)
+    for (p1, a), (p2, b) in zip(flat1, flat2):
+        assert p1 == p2
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=str(p1))
+
+    assert load_frozen_amax(str(tmp_path / "absent")) is None
+
+
 def test_frozen_int8_implies_frozen_bf16():
     from arp_tpu.models.policy import get_policy_default_config
 
