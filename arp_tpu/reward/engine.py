@@ -117,6 +117,23 @@ class ClipRewardEngine:
 
             variables, self._dequantize = quantize_tree(variables)
         self.variables = variables
+        # lane alignment: the encoder pads every dispatch to batch_size, and
+        # a non-64-multiple resident batch is ruinous on the 128-lane MXU
+        # (measured v5e: B=48 collapses to 2,097 fps vs 4,778 at B=128 —
+        # docs/BENCHMARKS.md §3b).  Rounding UP is free: the pad rows existed
+        # anyway, results for real rows are unchanged, and total padded rows
+        # can only shrink.  Tiny dev sizes (<32) are left alone.
+        if batch_size >= 32 and batch_size % 64 != 0:
+            aligned = -(-batch_size // 64) * 64
+            import warnings
+
+            warnings.warn(
+                f"batch_size={batch_size} is lane-hostile on TPU (non-64-"
+                f"multiple padding measured 2.3x slower); rounding up to "
+                f"{aligned} — pass a multiple of 64 to silence",
+                stacklevel=2,
+            )
+            batch_size = aligned
         self.batch_size = batch_size
         self.resize_mode = resize_mode
         self.use_crop = use_crop
