@@ -152,6 +152,38 @@ def test_empty_shard_written_and_merged(tiny_engine, tmp_path):
         np.testing.assert_allclose(a["ob_clip_pos_rtg"][:], b["ob_clip_pos_rtg"][:], atol=1e-6)
 
 
+def test_merge_at_scale_hundreds_of_trajectories(tiny_engine, tmp_path):
+    """VERDICT r4 #9: the .rshard format at production trajectory counts.
+    300 single-frame trajectories across 8 hosts — merge must reproduce the
+    single-host labels exactly, and removing one shard must name the host."""
+    single = str(tmp_path / "single.hdf5")
+    multi = str(tmp_path / "multi.hdf5")
+    n_traj = 300
+    _make_demo_hdf5(single, n=n_traj, num_frames=1, img=16, n_traj=n_traj)
+    shutil.copy(single, multi)
+    label_rewards(single, "x.", engine=tiny_engine, progress=False)
+    for h in range(8):
+        label_rewards(multi, "x.", engine=tiny_engine, progress=False,
+                      num_hosts=8, host_index=h)
+    shards = [f for f in os.listdir(tmp_path) if ".rshard" in f]
+    assert len(shards) == 8
+    # a deliberately missing shard is refused with the host named…
+    victim = multi + ".clip_reward.rshard5.npz"
+    blob = open(victim, "rb").read()
+    os.remove(victim)
+    with pytest.raises(FileNotFoundError, match="host 5 never finished"):
+        merge_reward_shards(multi)
+    # …and once restored, the merge matches the single-host run
+    with open(victim, "wb") as f:
+        f.write(blob)
+    merge_reward_shards(multi)
+    with h5py.File(single, "r") as a, h5py.File(multi, "r") as b:
+        np.testing.assert_allclose(a["ob_clip_reward"][:], b["ob_clip_reward"][:],
+                                   atol=1e-6)
+        np.testing.assert_allclose(a["ob_clip_pos_rtg"][:], b["ob_clip_pos_rtg"][:],
+                                   atol=1e-6)
+
+
 def test_encode_recipe_stamped(tiny_engine, tmp_path):
     """Reward provenance: both single-host and merged datasets carry the
     engine's resolved numeric recipe (ADVICE r4: the packed defaults flipped
