@@ -49,7 +49,13 @@ def make_variant(num_heads: int, ln: bool, softmax: bool, int8_attn: bool = True
     norm = _ln if ln else lambda x, s, b, dt: affine(x, s, b)
 
     def attention_nosoftmax(q, k, v, heads, a_in, score_dtype):
-        # softmax ablation: identical int8 matmul pair, probs = scaled scores
+        # softmax ablation: the EXACT production dataflow/casts of
+        # _attention_int8 (s32 -> f32*scale -> bf16 -> f32*127 -> int8) with
+        # only the jax.nn.softmax call deleted.  An earlier version quantized
+        # straight from the s32 scores (s // 128) — that variant measured
+        # SLOWER than production (45 vs 27 ms: the s32 tensor moves at 4 bytes
+        # through the requant region the bf16 softmax path covers at 2), i.e.
+        # it ablated the layout, not the softmax.
         b, n, d = q.shape
         hd = d // heads
         inv = 127.0 / jnp.maximum(a_in, 1e-12)
@@ -60,7 +66,9 @@ def make_variant(num_heads: int, ln: bool, softmax: bool, int8_attn: bool = True
 
         qi, ki, vi = q8(q), q8(k), q8(v)
         s = jnp.einsum("bqhd,bkhd->bhqk", qi, ki, preferred_element_type=jnp.int32)
-        p8 = jnp.clip(s // 128, -127, 127).astype(jnp.int8)  # no exp/normalize
+        s_scale = (a_in / 127.0) ** 2 * hd**-0.5
+        p = (s.astype(jnp.float32) * s_scale).astype(score_dtype)  # no exp/normalize
+        p8 = jnp.round(p.astype(jnp.float32) * 127.0).astype(jnp.int8)
         o = jnp.einsum("bhqk,bkhd->bqhd", p8, vi, preferred_element_type=jnp.int32)
         o_scale = (1.0 / 127.0) * (a_in / 127.0)
         return (o.astype(jnp.float32) * o_scale).astype(cd).reshape(b, n, d)
