@@ -126,7 +126,7 @@ def trip_count(cond_body: str) -> int:
 
 
 def walk_computation(name: str, comps: dict, weight: float, buckets: dict,
-                     seen_whiles: list):
+                     seen_whiles: list, top: list = None):
     body = comps[name]
     # name -> type map for operand byte lookup (params + every definition)
     types = {m.group(1): m.group(2) for m in _INSTR_RE.finditer(body)}
@@ -145,7 +145,7 @@ def walk_computation(name: str, comps: dict, weight: float, buckets: dict,
                 trips = trip_count(comps[cdm.group(1)]) if cdm and cdm.group(1) in comps else 1
                 seen_whiles.append((bm.group(1), trips))
                 walk_computation(bm.group(1), comps, weight * trips, buckets,
-                                 seen_whiles)
+                                 seen_whiles, top)
             continue
         cat = classify(op, called)
         if cat == "none":
@@ -164,13 +164,19 @@ def walk_computation(name: str, comps: dict, weight: float, buckets: dict,
         b["hbm_bytes"] += hbm * weight
         b["scoped_bytes"] += scoped * weight
         b["count"] += 1
+        if top is not None and hbm * weight > 0:
+            short = re.match(r"(\(?\w+\[[\d,]*\])", out_type)
+            top.append({"hbm_mb": hbm * weight / 1e6, "instr": iname, "op": op,
+                        "category": cat, "weight": weight,
+                        "out_type": short.group(1) if short else out_type[:40]})
 
 
 def analyze(compiled, label: str) -> dict:
     hlo = compiled.as_text()
     comps, entry = parse_computations(hlo)
-    buckets, whiles = {}, []
-    walk_computation(entry, comps, 1.0, buckets, whiles)
+    buckets, whiles, top = {}, [], []
+    walk_computation(entry, comps, 1.0, buckets, whiles, top)
+    top.sort(key=lambda r: -r["hbm_mb"])
 
     ca = compiled.cost_analysis()
     ca = ca[0] if isinstance(ca, (list, tuple)) else ca
@@ -179,6 +185,9 @@ def analyze(compiled, label: str) -> dict:
     return {
         "label": label,
         "buckets": buckets,
+        # the largest individual HBM-crossing buffers (output side), already
+        # weighted by loop trip count — names the optimization targets
+        "top_buffers": top[:12],
         "loops": [{"body": n, "trips": t} for n, t in whiles],
         "sum_hbm_bytes": total_hbm,
         "sum_scoped_bytes": total_scoped,
@@ -242,6 +251,9 @@ def main():
                   f"{v['count']:>8}")
         print(f"{'SUM':<12}{r['sum_hbm_bytes']/1e6:>16.1f}{r['sum_scoped_bytes']/1e6:>11.1f}")
         print(f"loops: {r['loops']}")
+        for t in r["top_buffers"][:6]:
+            print(f"  top {t['hbm_mb']:8.1f} MB  {t['category']:<11} "
+                  f"{t['op']:<11} {t['out_type']:<26} x{t['weight']:.0f} {t['instr']}")
         print(f"xla aggregates (body counted once): "
               f"{r['xla_bytes_accessed_body_once']/1e6:.1f} MB, "
               f"{r['xla_flops_body_once']:.3e} flops")
