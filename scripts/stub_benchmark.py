@@ -422,6 +422,19 @@ def common_flags(split, cfg, out, seed):
     w = cfg.get("window", 4)
     return [
         f"--seed={seed}",
+        # Round-5 diagnosis of the flat w1 matrix: every policy (all methods,
+        # all seeds) converged to the UNIFORM ACTION MARGINAL — argmax
+        # constant, train CE == ln(4), rtg/goal probes flat — because the
+        # trainer's reference-default augmentations are tuned for real
+        # Procgen textures, not a 4-px-cell color-coded grid: random_crop
+        # (0.8x) regularly crops the goal block out of frame and the
+        # hue-rotation jitter randomizes the red-agent/gold-goal coding that
+        # IS the state.  (Measured: BC train acc 26% plateau with augs ==
+        # chance on the mixture; 55% after 3 epochs without.)  The stub
+        # experiment therefore trains un-augmented at the native 32-px
+        # resolution (encode_image_size=32 also kills the pointless 32->256
+        # upscale m3ae transfer defaults to; 257 blurry tokens -> 5).
+        "--data.augmentations=", f"--encode_image_size={IMG}",
         f"--game_name={sc['game']}", f"--window_size={w}", "--use_crop=False",
         f"--episode_length={EP_LEN}", "--eval_env=fake",
         f"--env_hidden_goal={sc['hidden_goal']}",
