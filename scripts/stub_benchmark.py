@@ -470,11 +470,25 @@ def run(cmd, env, log_path, retries: int = 2):
         raise RuntimeError(f"failed (rc={proc.returncode}): {' '.join(cmd)}\n{tail}")
 
 
+# Train/eval run order: both headline ordering claims complete earliest.
+# reward_split_arpdt_gt_bc needs (reward, arpdt) + (reward, bc);
+# goal_split_gcbc_gt_bc needs (goal, gcbc) + (goal, bc).  (reward, gcbc)
+# participates in neither claim, so it runs last — a wall-clock-truncated
+# matrix still yields a complete answer for both claims.
+RUN_ORDER = (("reward", "arpdt"), ("reward", "bc"),
+             ("goal", "bc"), ("goal", "gcbc"), ("reward", "gcbc"))
+
+
+def ordered_runs():
+    for split, method in RUN_ORDER:
+        assert method in SPLITS[split]["methods"], (split, method)
+        yield split, method
+
+
 def stage_train(out, cfg, seeds, device="cpu"):
     env = stage_env(device)
     spec = os.path.abspath(os.path.join(out, "reward_clip.npz"))
-    for split, sc in SPLITS.items():
-        for method in sc["methods"]:
+    for split, method in ordered_runs():
             for seed in seeds:
                 ckpt = os.path.join(out, f"ckpt_{split}_{method}_s{seed}")
                 done = os.path.join(ckpt, "TRAIN_DONE")
@@ -546,9 +560,10 @@ def stage_eval(out, cfg, seeds, device="cpu"):
     sep = json.load(open(sep_path)) if os.path.exists(sep_path) else {}
     expert_rtg = sep.get("expert_return_p90")
     results = {}
-    for split, sc in SPLITS.items():
+    not_ready = 0
+    for split, method in ordered_runs():
         eval_dir = os.path.abspath(os.path.join(out, f"eval_{split}"))
-        for method in sc["methods"]:
+        if True:
             for seed in seeds:
                 for variant, extra, episodes in eval_variants(split, method, sep):
                     key = f"{split}/{method}/s{seed}/{variant}"
@@ -559,6 +574,12 @@ def stage_eval(out, cfg, seeds, device="cpu"):
                         print(f"[eval] {key}: done, skipping", flush=True)
                         continue
                     ckpt = os.path.join(out, f"ckpt_{split}_{method}_s{seed}")
+                    if not os.path.exists(os.path.join(ckpt, "TRAIN_DONE")):
+                        # follow-behind worker: checkpoint still training.
+                        # Skip now; fail the pass at the end so the worker
+                        # retries until every sidecar exists.
+                        not_ready += 1
+                        continue
                     log = os.path.join(out, f"eval_{tag}.log")
                     cmd = [sys.executable, "-m", "arp_tpu.train.eval",
                            f"--checkpoint_dir={ckpt}",
@@ -585,6 +606,10 @@ def stage_eval(out, cfg, seeds, device="cpu"):
                         json.dump(results[key], f, indent=1)
     with open(os.path.join(out, "eval_raw.json"), "w") as f:
         json.dump(results, f, indent=1)
+    if not_ready:
+        raise RuntimeError(
+            f"{not_ready} eval runs skipped (checkpoints still training); "
+            "partial eval_raw.json written — retry the eval stage")
     return results
 
 
