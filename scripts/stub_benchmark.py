@@ -489,26 +489,26 @@ def stage_train(out, cfg, seeds, device="cpu"):
     env = stage_env(device)
     spec = os.path.abspath(os.path.join(out, "reward_clip.npz"))
     for split, method in ordered_runs():
-            for seed in seeds:
-                ckpt = os.path.join(out, f"ckpt_{split}_{method}_s{seed}")
-                done = os.path.join(ckpt, "TRAIN_DONE")
-                if os.path.exists(done):
-                    print(f"[train] {split}/{method} seed={seed}: done, skipping",
-                          flush=True)
-                    continue
-                cmd = [sys.executable, "-m", "arp_tpu.train.main",
-                       f"--epochs={cfg['epochs']}", "--warmup_epochs=0",
-                       f"--batch_size={cfg['batch_size']}", "--lr=1e-3",
-                       "--dataloader_n_workers=0", "--val_every_epochs=0",
-                       f"--test_every_epochs={cfg['epochs']}",
-                       "--num_test_episodes=0",
-                       f"--checkpoint_dir={ckpt}",
-                       f"--logging.output_dir={os.path.join(out, 'logs')}",
-                       ] + common_flags(split, cfg, out, seed) \
-                         + method_flags(method, spec)
-                print(f"[train] {split}/{method} seed={seed}", flush=True)
-                run(cmd, env, os.path.join(out, f"train_{split}_{method}_s{seed}.log"))
-                open(done, "w").write("ok\n")
+        for seed in seeds:
+            ckpt = os.path.join(out, f"ckpt_{split}_{method}_s{seed}")
+            done = os.path.join(ckpt, "TRAIN_DONE")
+            if os.path.exists(done):
+                print(f"[train] {split}/{method} seed={seed}: done, skipping",
+                      flush=True)
+                continue
+            cmd = [sys.executable, "-m", "arp_tpu.train.main",
+                   f"--epochs={cfg['epochs']}", "--warmup_epochs=0",
+                   f"--batch_size={cfg['batch_size']}", "--lr=1e-3",
+                   "--dataloader_n_workers=0", "--val_every_epochs=0",
+                   f"--test_every_epochs={cfg['epochs']}",
+                   "--num_test_episodes=0",
+                   f"--checkpoint_dir={ckpt}",
+                   f"--logging.output_dir={os.path.join(out, 'logs')}",
+                   ] + common_flags(split, cfg, out, seed) \
+                     + method_flags(method, spec)
+            print(f"[train] {split}/{method} seed={seed}", flush=True)
+            run(cmd, env, os.path.join(out, f"train_{split}_{method}_s{seed}.log"))
+            open(done, "w").write("ok\n")
 
 
 # Eval decode: seeded temperature sampling.  Round 4 measured that greedy
@@ -563,47 +563,46 @@ def stage_eval(out, cfg, seeds, device="cpu"):
     not_ready = 0
     for split, method in ordered_runs():
         eval_dir = os.path.abspath(os.path.join(out, f"eval_{split}"))
-        if True:
-            for seed in seeds:
-                for variant, extra, episodes in eval_variants(split, method, sep):
-                    key = f"{split}/{method}/s{seed}/{variant}"
-                    tag = f"{split}_{method}_s{seed}_{variant}"
-                    per_run = os.path.join(out, f"eval_{tag}.json")
-                    if os.path.exists(per_run):  # resume: already measured
-                        results[key] = json.load(open(per_run))
-                        print(f"[eval] {key}: done, skipping", flush=True)
-                        continue
-                    ckpt = os.path.join(out, f"ckpt_{split}_{method}_s{seed}")
-                    if not os.path.exists(os.path.join(ckpt, "TRAIN_DONE")):
-                        # follow-behind worker: checkpoint still training.
-                        # Skip now; fail the pass at the end so the worker
-                        # retries until every sidecar exists.
-                        not_ready += 1
-                        continue
-                    log = os.path.join(out, f"eval_{tag}.log")
-                    cmd = [sys.executable, "-m", "arp_tpu.train.eval",
-                           f"--checkpoint_dir={ckpt}",
-                           f"--num_test_episodes={episodes or cfg['episodes']}",
-                           f"--eval_parallel_envs={cfg['parallel_envs']}",
-                           # shared held-out initial states + goal frames:
-                           # every method restores the same episodes via
-                           # set_state
-                           f"--eval_data_path={eval_dir}",
-                           "--eval_data_name=data_train.hdf5",
-                           f"--logging.output_dir={os.path.join(out, 'logs')}",
-                           ] + common_flags(split, cfg, out, seed) \
-                             + method_flags(method, spec) + extra
-                    if (method == "arpdt" and expert_rtg is not None
-                            and not any(a.startswith("--return_to_go") for a in extra)):
-                        # condition on an expert-level return (see
-                        # separation_report), not the noisy dataset max
-                        cmd.append(f"--return_to_go={expert_rtg}")
-                    print(f"[eval] {key}", flush=True)
-                    run(cmd, env, log)
-                    lines = [l for l in open(log).read().splitlines() if l.startswith("{")]
-                    results[key] = ast.literal_eval(lines[-1])
-                    with open(per_run, "w") as f:
-                        json.dump(results[key], f, indent=1)
+        for seed in seeds:
+            for variant, extra, episodes in eval_variants(split, method, sep):
+                key = f"{split}/{method}/s{seed}/{variant}"
+                tag = f"{split}_{method}_s{seed}_{variant}"
+                per_run = os.path.join(out, f"eval_{tag}.json")
+                if os.path.exists(per_run):  # resume: already measured
+                    results[key] = json.load(open(per_run))
+                    print(f"[eval] {key}: done, skipping", flush=True)
+                    continue
+                ckpt = os.path.join(out, f"ckpt_{split}_{method}_s{seed}")
+                if not os.path.exists(os.path.join(ckpt, "TRAIN_DONE")):
+                    # follow-behind worker: checkpoint still training.
+                    # Skip now; fail the pass at the end so the worker
+                    # retries until every sidecar exists.
+                    not_ready += 1
+                    continue
+                log = os.path.join(out, f"eval_{tag}.log")
+                cmd = [sys.executable, "-m", "arp_tpu.train.eval",
+                       f"--checkpoint_dir={ckpt}",
+                       f"--num_test_episodes={episodes or cfg['episodes']}",
+                       f"--eval_parallel_envs={cfg['parallel_envs']}",
+                       # shared held-out initial states + goal frames:
+                       # every method restores the same episodes via
+                       # set_state
+                       f"--eval_data_path={eval_dir}",
+                       "--eval_data_name=data_train.hdf5",
+                       f"--logging.output_dir={os.path.join(out, 'logs')}",
+                       ] + common_flags(split, cfg, out, seed) \
+                         + method_flags(method, spec) + extra
+                if (method == "arpdt" and expert_rtg is not None
+                        and not any(a.startswith("--return_to_go") for a in extra)):
+                    # condition on an expert-level return (see
+                    # separation_report), not the noisy dataset max
+                    cmd.append(f"--return_to_go={expert_rtg}")
+                print(f"[eval] {key}", flush=True)
+                run(cmd, env, log)
+                lines = [l for l in open(log).read().splitlines() if l.startswith("{")]
+                results[key] = ast.literal_eval(lines[-1])
+                with open(per_run, "w") as f:
+                    json.dump(results[key], f, indent=1)
     with open(os.path.join(out, "eval_raw.json"), "w") as f:
         json.dump(results, f, indent=1)
     if not_ready:
