@@ -631,19 +631,33 @@ def stage_report(out, seeds, window=None):
     def sr(split, method, seed, variant):
         return raw[f"{split}/{method}/s{seed}/{variant}"]["success_rate"]
 
+    # Partial tolerance: a wall-clock-truncated matrix still reports honestly.
+    # Each method aggregates only the seeds whose primary+greedy sidecars
+    # exist, records which they were, and the ordering booleans become null
+    # when either side has no evaluated seed yet.
     table = {}
+    missing = []
     for split, sc in SPLITS.items():
         table[split] = {}
         for method in sc["methods"]:
-            vals = {v: [sr(split, method, s, v) for s in seeds]
+            avail = [s for s in seeds
+                     if f"{split}/{method}/s{s}/primary" in raw
+                     and f"{split}/{method}/s{s}/greedy" in raw]
+            missing += [f"{split}/{method}/s{s}" for s in seeds
+                        if s not in avail]
+            if not avail:
+                table[split][method] = None
+                continue
+            vals = {v: [sr(split, method, s, v) for s in avail]
                     for v in ("primary", "greedy")}
-            ret = [raw[f"{split}/{method}/s{s}/primary"]["return"] for s in seeds]
+            ret = [raw[f"{split}/{method}/s{s}/primary"]["return"] for s in avail]
             table[split][method] = {
                 "success_rate_mean": float(np.mean(vals["primary"])),
                 "success_rate_std": float(np.std(vals["primary"])),
                 "return_mean": float(np.mean(ret)),
                 "per_seed_success": [float(x) for x in vals["primary"]],
                 "greedy_success_mean": float(np.mean(vals["greedy"])),
+                "seeds_evaluated": list(avail),
             }
 
     # conditioning-sensitivity probes (VERDICT r4 next #2): attribute any
@@ -655,9 +669,11 @@ def stage_report(out, seeds, window=None):
             curve = {name: float(sr("reward", "arpdt", s, f"rtg_{name}"))
                      for name in RTG_PROBE_ORDER
                      if f"reward/arpdt/s{s}/rtg_{name}" in raw}
-            curves.append(curve)
+            if curve:
+                curves.append(curve)
         mean_curve = {name: float(np.mean([c[name] for c in curves]))
-                      for name in RTG_PROBE_ORDER if all(name in c for c in curves)}
+                      for name in RTG_PROBE_ORDER
+                      if curves and all(name in c for c in curves)}
         vals = [mean_curve[n] for n in RTG_PROBE_ORDER if n in mean_curve]
         probes["rtg_monotonicity"] = {
             "targets": {n: (sep.get(n, {}).get("return_mean")
@@ -680,7 +696,7 @@ def stage_report(out, seeds, window=None):
         drops = []
         for s in seeds:
             k = f"{split}/gcbc/s{s}/goalswap"
-            if k in raw:
+            if k in raw and f"{split}/gcbc/s{s}/primary" in raw:
                 drops.append(float(sr(split, "gcbc", s, "primary")) - float(raw[k]["success_rate"]))
         if drops:
             goalswap[split] = {"true_minus_swapped_mean": float(np.mean(drops)),
@@ -691,16 +707,20 @@ def stage_report(out, seeds, window=None):
     if goalswap:
         probes["goal_swap"] = goalswap
 
+    def claim(split, a, b):
+        """a > b on mean sampled success; null until both sides have data."""
+        ra, rb = table.get(split, {}).get(a), table.get(split, {}).get(b)
+        if ra is None or rb is None:
+            return None
+        return bool(ra["success_rate_mean"] > rb["success_rate_mean"])
+
     ordering = {
-        "reward_split_arpdt_gt_bc": table.get("reward", {}).get("arpdt", {}).get(
-            "success_rate_mean", 0.0) > table.get("reward", {}).get("bc", {}).get(
-            "success_rate_mean", 1.0),
-        "goal_split_gcbc_gt_bc": table.get("goal", {}).get("gcbc", {}).get(
-            "success_rate_mean", 0.0) > table.get("goal", {}).get("bc", {}).get(
-            "success_rate_mean", 1.0),
+        "reward_split_arpdt_gt_bc": claim("reward", "arpdt", "bc"),
+        "goal_split_gcbc_gt_bc": claim("goal", "gcbc", "bc"),
     }
     results = {"table": table, "ordering": ordering, "probes": probes,
                "clip": clip_stats, "seeds": list(seeds),
+               "partial": bool(missing), "missing_runs": missing,
                "config": {"grid": GRID, "image": IMG, "episode_length": EP_LEN,
                           "window": window,
                           "eval_temperature": EVAL_TEMPERATURE,
@@ -722,14 +742,22 @@ def render_results_markdown(results):
              "|---|---|---|---|---|---|"]
     for split, methods in results["table"].items():
         for m, r in methods.items():
+            if r is None:
+                lines.append(f"| {split} | {m} | (not yet evaluated) | — | — | 0 |")
+                continue
+            n = len(r.get("seeds_evaluated", seeds))
             lines.append(
                 f"| {split} | {m} | {r['success_rate_mean']:.3f} ± {r['success_rate_std']:.3f} "
                 f"| {r.get('greedy_success_mean', float('nan')):.3f} "
-                f"| {r['return_mean']:.2f} | {len(seeds)} |")
+                f"| {r['return_mean']:.2f} | {n} |")
     o = results["ordering"]
+    fmt = lambda v: "pending" if v is None else str(v)
     lines.append("")
-    lines.append(f"Ordering: reward-split ARPDT > BC = **{o['reward_split_arpdt_gt_bc']}**, "
-                 f"goal-split GCBC > BC = **{o['goal_split_gcbc_gt_bc']}**.")
+    if results.get("partial"):
+        lines.append(f"**PARTIAL matrix** — {len(results['missing_runs'])} runs "
+                     "not yet evaluated: " + ", ".join(results["missing_runs"]) + ".")
+    lines.append(f"Ordering: reward-split ARPDT > BC = **{fmt(o['reward_split_arpdt_gt_bc'])}**, "
+                 f"goal-split GCBC > BC = **{fmt(o['goal_split_gcbc_gt_bc'])}**.")
     p = results.get("probes", {})
     if "rtg_monotonicity" in p:
         mc = p["rtg_monotonicity"]["mean_curve"]
