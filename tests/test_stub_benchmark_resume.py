@@ -23,9 +23,9 @@ def _load_module():
 
 
 def _matrix(mod, seeds):
+    # claim-priority execution order (RUN_ORDER), not SPLITS declaration order
     return [(split, method, seed)
-            for split, sc in mod.SPLITS.items()
-            for method in sc["methods"] for seed in seeds]
+            for split, method in mod.ordered_runs() for seed in seeds]
 
 
 def test_stage_train_skips_done_runs(tmp_path, monkeypatch):
@@ -64,8 +64,7 @@ def test_stage_train_skips_done_runs(tmp_path, monkeypatch):
 
 def _variant_matrix(mod, seeds, sep):
     return [(split, method, seed, variant)
-            for split, sc in mod.SPLITS.items()
-            for method in sc["methods"] for seed in seeds
+            for split, method in mod.ordered_runs() for seed in seeds
             for variant, _, _ in mod.eval_variants(split, method, sep)]
 
 
@@ -98,6 +97,11 @@ def test_stage_eval_resumes_from_sidecars(tmp_path, monkeypatch):
             f.write("noise line\n{'success_rate': 0.5, 'return': 0.0}\n")
 
     monkeypatch.setattr(mod, "run", fake_run)
+    # eval only runs against finished checkpoints (follow-behind worker)
+    for split, method, seed, _ in matrix:
+        ckpt = tmp_path / f"ckpt_{split}_{method}_s{seed}"
+        ckpt.mkdir(exist_ok=True)
+        (ckpt / "TRAIN_DONE").write_text("ok\n")
     results = mod.stage_eval(str(tmp_path), mod.SMOKE, seeds)
 
     key0 = f"{split0}/{method0}/s{seed0}/{variant0}"
@@ -111,6 +115,64 @@ def test_stage_eval_resumes_from_sidecars(tmp_path, monkeypatch):
     # aggregate artifact exists and covers the whole matrix
     raw = json.load(open(tmp_path / "eval_raw.json"))
     assert set(raw) == {f"{s}/{m}/s{d}/{v}" for s, m, d, v in matrix}
+
+
+def test_stage_eval_follow_behind_skips_untrained(tmp_path, monkeypatch):
+    """The follow-behind eval worker skips runs whose checkpoint is still
+    training, evaluates everything it can, writes the partial eval_raw.json,
+    and fails the pass so the worker loop retries later."""
+    import pytest
+    mod = _load_module()
+    seeds = [0]
+    sep = {"expert_return_p90": 70.0, "anti": {"return_mean": -556.0}}
+    with open(tmp_path / "label_separation.json", "w") as f:
+        json.dump(sep, f)
+    matrix = _variant_matrix(mod, seeds, sep)
+    runs = list(dict.fromkeys((s, m, d) for s, m, d, _ in matrix))
+    # only the first (split, method, seed) has finished training
+    first = runs[0]
+    ckpt = tmp_path / f"ckpt_{first[0]}_{first[1]}_s{first[2]}"
+    ckpt.mkdir()
+    (ckpt / "TRAIN_DONE").write_text("ok\n")
+
+    launched = []
+
+    def fake_run(cmd, env, log_path, retries=2):
+        launched.append(os.path.basename(log_path))
+        with open(log_path, "w") as f:
+            f.write("{'success_rate': 0.5, 'return': 0.0}\n")
+
+    monkeypatch.setattr(mod, "run", fake_run)
+    with pytest.raises(RuntimeError, match="still training"):
+        mod.stage_eval(str(tmp_path), mod.SMOKE, seeds)
+    n_first = len(mod.eval_variants(first[0], first[1], sep))
+    assert len(launched) == n_first  # only the trained run's variants
+    raw = json.load(open(tmp_path / "eval_raw.json"))  # partial raw exists
+    assert len(raw) == n_first
+
+
+def test_stage_report_partial_matrix(tmp_path):
+    """A wall-clock-truncated matrix reports per-method evaluated seeds and
+    null (pending) ordering claims instead of crashing or fabricating."""
+    mod = _load_module()
+    seeds = [0, 1]
+    # only reward/arpdt s0+s1 evaluated
+    raw = {}
+    for s in seeds:
+        for variant in ("primary", "greedy"):
+            raw[f"reward/arpdt/s{s}/{variant}"] = {
+                "success_rate": 0.4, "return": 4.0, "episode_length": 20.0}
+    with open(tmp_path / "eval_raw.json", "w") as f:
+        json.dump(raw, f)
+    results = mod.stage_report(str(tmp_path), seeds, window=1)
+    assert results["partial"] is True
+    assert results["table"]["reward"]["arpdt"]["seeds_evaluated"] == seeds
+    assert results["table"]["reward"]["bc"] is None
+    assert results["ordering"] == {"reward_split_arpdt_gt_bc": None,
+                                   "goal_split_gcbc_gt_bc": None}
+    md = mod.render_results_markdown(results)
+    assert "PARTIAL matrix" in md and "pending" in md
+    assert "(not yet evaluated)" in md
 
 
 def test_stage_report_table_probes_and_docs(tmp_path):
